@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
+
+Each query is forced through full materialization with the noop sink
+(``df.count()`` would let Catalyst prune every unreferenced column and
+undercount the real work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stock_market_etl_pipeline_spark import registry  # noqa: E402
+from stock_market_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "ticks_ohlcv",
+    "enriched_features",
+    "pricing_summary",
+    "revenue_by_nation",
+    "performance_summary",
+    "predictions",
+    "trading_signals",
+    "dedup_keep_last",
+    "validation_aggregates",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    # JVM/codegen warmup on a query that touches lineitem + shuffles
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Enrichment: the reference's full derived-column set (C5) as one lazy plan.
+
+Reference ``src/transform.py:45-336``. Every window operator shares ONE
+window spec — ``partitionBy(symbol).orderBy(date)`` — so Catalyst plans a
+single Exchange(hashpartitioning(symbol)) + one Sort for all of:
+lag-diff, pct-change, ma_5, ma_20, rolling stddev (SURVEY.md §4).
+
+The per-symbol volume quartiles (A7) are an aggregate + broadcast
+join-back: the quartile table is one row per symbol (tiny at any scale),
+so the join adds no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.dateparts import with_date_parts
+from ..functions.stock import categorize_volatility, volume_category_expr
+from ..schema import ENRICHED_COLUMNS
+
+def SYMBOL_DATE_WINDOW():
+    """Shared per-symbol ordered window (built lazily: Window specs need an
+    active SparkSession in PySpark 4)."""
+    return Window.partitionBy("symbol").orderBy("date")
+
+
+def with_lag_features(df: DataFrame) -> DataFrame:
+    """daily_change / daily_change_percent (W1/W2, src/transform.py:218-219).
+
+    First row per symbol → null (pandas NaN equivalent).
+    """
+    lag_close = F.lag("close", 1).over(SYMBOL_DATE_WINDOW())
+    return df.withColumns(
+        {
+            "daily_change": F.col("close") - lag_close,
+            "daily_change_percent": (F.col("close") / lag_close - 1) * 100,
+        }
+    )
+
+
+def with_range_features(df: DataFrame) -> DataFrame:
+    """price_range / price_range_percent (F2, src/transform.py:222-223)."""
+    rng = F.col("high") - F.col("low")
+    return df.withColumns(
+        {
+            "price_range": rng,
+            "price_range_percent": rng / F.col("close") * 100,
+        }
+    )
+
+
+def with_moving_averages(df: DataFrame) -> DataFrame:
+    """ma_5 / ma_20: trailing means with shrinking head (W3).
+
+    pandas ``rolling(n, min_periods=1).mean()`` == Spark bounded frame
+    ``rowsBetween(-(n-1), 0)`` — the frame naturally shrinks at the
+    partition head (SURVEY.md §7.7).
+    """
+    return df.withColumns(
+        {
+            "ma_5": F.avg("close").over(SYMBOL_DATE_WINDOW().rowsBetween(-4, 0)),
+            "ma_20": F.avg("close").over(SYMBOL_DATE_WINDOW().rowsBetween(-19, 0)),
+        }
+    )
+
+
+def with_volatility(df: DataFrame) -> DataFrame:
+    """Rolling 20-row sample stddev of daily_change_percent (W4).
+
+    1-row frame → null (= pandas ddof=1 NaN, SURVEY.md §7.4); the category
+    expression maps that null to 'Unknown'.
+    """
+    vol = F.stddev_samp("daily_change_percent").over(
+        SYMBOL_DATE_WINDOW().rowsBetween(-19, 0)
+    )
+    return df.withColumn("volatility_indicator", vol)
+
+
+def with_volume_quartile_category(df: DataFrame) -> DataFrame:
+    """Per-symbol volume-quartile bucketing (A7/J2/F5).
+
+    Exact linear-interpolated percentiles (= pandas quantile() = DuckDB
+    quantile_cont). Groups are small per symbol, so exact is safe at
+    parity scale; at 100 TB switch to approx_percentile with documented
+    tolerance (SURVEY.md §4).
+    """
+    quartiles = df.groupBy("symbol").agg(
+        F.percentile("volume", 0.25).alias("__q1"),
+        F.percentile("volume", 0.50).alias("__q2"),
+        F.percentile("volume", 0.75).alias("__q3"),
+    )
+    joined = df.join(F.broadcast(quartiles), "symbol")
+    return joined.withColumn(
+        "volume_category",
+        volume_category_expr(
+            F.col("volume"), F.col("__q1"), F.col("__q2"), F.col("__q3")
+        ),
+    ).drop("__q1", "__q2", "__q3")
+
+
+def enrich(df: DataFrame) -> DataFrame:
+    """ticks-shaped (symbol,date,open,high,low,close,volume) → enriched table.
+
+    Output columns/order per ENRICHED_COLUMNS (src/transform.py:292-313).
+    """
+    out = with_lag_features(df)
+    out = with_range_features(out)
+    out = with_date_parts(out)
+    out = out.withColumns(
+        {
+            # pandas: NaN > 0 is False → coalesce nulls to False (SURVEY §7.3)
+            "is_positive_day": F.coalesce(F.col("daily_change") > 0, F.lit(False)),
+            "is_negative_day": F.coalesce(F.col("daily_change") < 0, F.lit(False)),
+        }
+    )
+    out = with_moving_averages(out)
+    out = with_volatility(out)
+    out = out.withColumns(
+        {
+            "price_vs_ma5": (F.col("close") - F.col("ma_5")) / F.col("ma_5") * 100,
+            "price_vs_ma20": (F.col("close") - F.col("ma_20")) / F.col("ma_20") * 100,
+            "volatility_category": categorize_volatility(F.col("volatility_indicator")),
+        }
+    )
+    out = with_volume_quartile_category(out)
+    extras = [c for c in out.columns if c not in ENRICHED_COLUMNS]
+    return out.select(*ENRICHED_COLUMNS, *extras)

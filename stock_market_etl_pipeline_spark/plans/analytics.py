@@ -1,0 +1,210 @@
+"""Composite analytics pipelines (SURVEY.md §2.9, C1-C4 + A6 + C6).
+
+The reference runs per-symbol Python loops (``src/predictions.py:97-100,
+130-131``) because pandas lacks partitioned windows; here every pipeline is
+ONE windowed DataFrame plan over all symbols at once — a single shuffle on
+``symbol`` serves the window, the groupBy that follows it (partitioning is
+reused, no second exchange), and the one-row-per-symbol join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.stock import (
+    confidence_expr,
+    predicted_change_percent_expr,
+    trend_expr,
+    trend_strength_expr,
+)
+
+def _DESC():
+    return Window.partitionBy("symbol").orderBy(F.col("date").desc())
+
+
+def _ASC():
+    return Window.partitionBy("symbol").orderBy("date")
+
+
+def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
+    """Next-day price prediction per symbol (C1/C2, src/predictions.py:6-110).
+
+    Loop-free translation: latest row via row_number, last-5 stats via a
+    grouped aggregate over the rank-filtered slice, then pure expressions.
+    Symbols with < min_history rows are dropped (reference returns None).
+    Output is sorted by predicted_change_percent desc.
+    """
+    ranked = enriched.withColumns(
+        {
+            "__rn": F.row_number().over(_DESC()),
+            "__cnt": F.count(F.lit(1)).over(Window.partitionBy("symbol")),
+        }
+    )
+    # mean/std of daily_change_percent over the 5 most recent rows (A10)
+    recent = (
+        ranked.filter(F.col("__rn") <= 5)
+        .groupBy("symbol")
+        .agg(
+            # Rounded to 6dp at the aggregate boundary: downstream arithmetic
+            # then runs on bit-identical doubles in Spark and the DuckDB
+            # oracle, so the final 2dp rounding can't straddle (engines'
+            # window/agg float summation differs by ~1 ulp otherwise).
+            F.round(F.avg("daily_change_percent"), 6).alias("avg_daily_change"),
+            F.round(F.stddev_samp("daily_change_percent"), 6).alias(
+                "recent_volatility"
+            ),
+        )
+    )
+    latest = ranked.filter(
+        (F.col("__rn") == 1) & (F.col("__cnt") >= min_history)
+    ).select(
+        "symbol",
+        F.col("close").alias("current_price"),
+        F.round("ma_5", 6).alias("ma_5"),
+        F.round("ma_20", 6).alias("ma_20"),
+        F.col("date").alias("latest_date"),
+    )
+    joined = latest.join(recent, "symbol")
+
+    trend = trend_expr(F.col("ma_5"), F.col("ma_20"))
+    strength = trend_strength_expr(F.col("ma_5"), F.col("ma_20"))
+    joined = joined.withColumns({"trend": trend, "trend_strength": strength})
+    pcp = predicted_change_percent_expr(
+        F.col("trend"), F.col("trend_strength"), F.col("avg_daily_change")
+    )
+    joined = joined.withColumn("predicted_change_percent", pcp)
+    joined = joined.withColumn(
+        "predicted_price",
+        F.col("current_price") * (1 + F.col("predicted_change_percent") / 100),
+    )
+    return joined.select(
+        "symbol",
+        F.round("current_price", 2).alias("current_price"),
+        F.round("predicted_price", 2).alias("predicted_price"),
+        F.round(F.col("predicted_price") - F.col("current_price"), 2).alias(
+            "predicted_change"
+        ),
+        F.round("predicted_change_percent", 2).alias("predicted_change_percent"),
+        "trend",
+        F.round("trend_strength", 2).alias("trend_strength"),
+        confidence_expr(F.col("trend_strength"), F.col("recent_volatility")).alias(
+            "confidence"
+        ),
+        F.round("ma_5", 2).alias("ma_5"),
+        F.round("ma_20", 2).alias("ma_20"),
+        F.round("recent_volatility", 2).alias("recent_volatility"),
+        F.date_format(F.date_add("latest_date", 1), "yyyy-MM-dd").alias(
+            "prediction_date"
+        ),
+        F.date_format("latest_date", "yyyy-MM-dd").alias("asof_date"),
+    ).orderBy(F.col("predicted_change_percent").desc(), "symbol")
+
+
+def trading_signals(enriched: DataFrame, lookback: int = 10) -> DataFrame:
+    """MA-crossover BUY/SELL signals (C3, src/predictions.py:113-174).
+
+    Adjacent-row comparison within each symbol's last ``lookback`` rows:
+    golden cross = prev ma5 ≤ prev ma20 ∧ ma5 > ma20 (BUY); death cross
+    mirrored (SELL). ``days_ago`` is measured from the GLOBAL max date of
+    the full input (not per symbol) — a scalar aggregate broadcast-joined
+    back (J3).
+    """
+    last_n = (
+        enriched.withColumn("__rn", F.row_number().over(_DESC()))
+        .filter(F.col("__rn") <= lookback)
+        .drop("__rn")
+    )
+    prev5 = F.lag("ma_5").over(_ASC())
+    prev20 = F.lag("ma_20").over(_ASC())
+    flagged = last_n.withColumns(
+        {
+            "signal": F.when(
+                (prev5 <= prev20) & (F.col("ma_5") > F.col("ma_20")), F.lit("BUY")
+            ).when(
+                (prev5 >= prev20) & (F.col("ma_5") < F.col("ma_20")), F.lit("SELL")
+            ),
+        }
+    ).filter(F.col("signal").isNotNull())
+    flagged = flagged.withColumn(
+        "signal_type",
+        F.when(F.col("signal") == "BUY", F.lit("Golden Cross")).otherwise(
+            F.lit("Death Cross")
+        ),
+    )
+    max_date = enriched.agg(F.max("date").alias("__max_date"))
+    return (
+        flagged.crossJoin(F.broadcast(max_date))
+        .select(
+            "symbol",
+            "signal",
+            "signal_type",
+            "date",
+            F.col("close").alias("price"),
+            "ma_5",
+            "ma_20",
+            F.datediff("__max_date", "date").cast("int").alias("days_ago"),
+        )
+        .orderBy(F.col("date").desc(), "symbol")
+    )
+
+
+def top_movers(enriched: DataFrame, top_n: int = 5, kind: str = "gainers") -> DataFrame:
+    """Top predicted gainers/losers (C4, src/predictions.py:177-197).
+
+    orderBy+limit plans as TakeOrderedAndProject — no global sort
+    materialization at scale.
+    """
+    preds = predictions(enriched)
+    key = F.col("predicted_change_percent")
+    order = key.desc() if kind == "gainers" else key.asc()
+    return preds.orderBy(order, "symbol").limit(top_n)
+
+
+def performance_summary(enriched: DataFrame) -> DataFrame:
+    """Per-symbol performance table (A6, dashboard/app.py:641-667).
+
+    first/latest price via min_by/max_by on date — a plain grouped
+    aggregate, no window, no second shuffle after the enrich window
+    (same key).
+    """
+    return (
+        enriched.groupBy("symbol")
+        .agg(
+            F.max_by("close", "date").alias("latest_price"),
+            F.avg("close").alias("avg_price"),
+            F.min("close").alias("min_price"),
+            F.max("close").alias("max_price"),
+            F.min_by("close", "date").alias("start_price"),
+            F.avg("daily_change_percent").alias("avg_daily_change_pct"),
+            (F.sum("volume") / F.lit(1_000_000.0)).alias("total_volume_millions"),
+        )
+        .withColumn(
+            "total_return_pct",
+            (F.col("latest_price") - F.col("start_price"))
+            / F.col("start_price")
+            * 100,
+        )
+        .orderBy("symbol")
+    )
+
+
+def db_summary(enriched: DataFrame) -> DataFrame:
+    """Database-summary aggregates (C6, src/load.py:291-381) as ONE pass.
+
+    The reference issues five sequential SQL queries; here a single
+    conditional-aggregate scan produces the same numbers (the avg columns
+    keep the reference's ``WHERE close IS NOT NULL`` guard, A4).
+    """
+    not_null = F.col("close").isNotNull()
+    return enriched.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.countDistinct("symbol").alias("unique_symbols"),
+        F.min("date").alias("earliest_date"),
+        F.max("date").alias("latest_date"),
+        F.avg(F.when(not_null, F.col("close"))).alias("avg_close"),
+        F.avg(F.when(not_null, F.col("volume"))).alias("avg_volume"),
+        F.avg(F.when(not_null, F.col("daily_change_percent"))).alias(
+            "avg_daily_change_percent"
+        ),
+    )

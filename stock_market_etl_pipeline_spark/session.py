@@ -1,0 +1,53 @@
+"""SparkSession builder tuned for this engine.
+
+Local-mode defaults are sized for the test harness (local[32], 128 GiB);
+every setting here is also the right *shape* for a 1000-executor cluster —
+AQE handles runtime shuffle-partition coalescing and skew joins, so the
+static ``shuffle.partitions`` value only sets the upper bound pre-AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "stock-market-etl-pipeline-spark",
+              master: str | None = None) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's standard config.
+
+    - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+      dynamic broadcast-join demotion/promotion. Symbol-partitioned market
+      data is mildly skewed (listing age), so skewJoin matters at scale.
+    - Arrow on: any future pandas_udf extension operators get vectorized
+      batch transfer for free.
+    - Timezone pinned to UTC so date extraction is deterministic across
+      driver/executor locales (and matches the DuckDB oracle).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet uses TIMESTAMP(NANOS); read as int64 ns and convert
+        # in sources/events.py (Spark has no ns timestamp type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        # At 100 TB the scan parallelism is governed by this; 128 MiB splits
+        # keep per-task memory bounded and saturate a wide cluster.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

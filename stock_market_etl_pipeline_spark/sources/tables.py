@@ -1,0 +1,24 @@
+"""Parquet table readers for the driver testdata layout.
+
+One parquet file per table under ``{sf_dir}/{name}.parquet`` (TESTDATA.md).
+Reading is lazy; Catalyst pushes projections and predicates into the
+parquet scan, so callers should select/filter on the returned DataFrame
+rather than pre-materializing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -1,0 +1,64 @@
+"""lineitem → per-supplier daily OHLCV "ticks" series.
+
+The reference engine's core table is one row per (symbol, date) with OHLCV
+columns (reference ``src/load.py:26-92``). The driver testdata is TPC-H-ish,
+so we derive an equivalent series deterministically: ``l_suppkey`` is the
+symbol-like partition key and ``l_shipdate`` the date axis (FIXTURES.md §5).
+
+Every aggregate here is MIN/MAX over per-row products, or a SUM of
+integer-valued quantities — all order-independent, so Spark and the DuckDB
+oracle produce bit-identical values regardless of partitioning. This is a
+deliberate choice: it makes the downstream window-operator oracle checks
+exact instead of tolerance-based.
+
+Invariants (used by the OHLC-consistency filters): high ≥ close ≥ ... is
+guaranteed by construction since ``high = max(price·(1+tax))`` with tax ≥ 0
+and ``low = min(price·(1−discount))`` with discount ≥ 0, so
+low ≤ open ≤ close ≤ high always holds.
+
+Scale note: the groupBy is one shuffle on (symbol, date); at 100 TB the
+same plan holds — AQE coalesces the post-shuffle partitions, and the
+downstream window ops reuse the symbol hash-partitioning (Spark's window
+exchange on `symbol` is a strict coarsening of (symbol, date)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (symbol, date): open/high/low/close/volume."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy(
+            F.col("l_suppkey").alias("symbol"),
+            F.to_date("l_shipdate").alias("date"),
+        )
+        .agg(
+            F.min("l_extendedprice").alias("open"),
+            F.max(F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))).alias("high"),
+            F.min(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("low"),
+            F.max("l_extendedprice").alias("close"),
+            F.sum("l_quantity").cast("bigint").alias("volume"),
+        )
+    )
+
+
+# DuckDB twin of ticks() — prepended as a CTE to every oracle query that
+# reads the series. Must stay semantically identical to the DataFrame above.
+TICKS_CTE = """
+ticks AS (
+    SELECT
+        l_suppkey                                  AS symbol,
+        CAST(l_shipdate AS DATE)                   AS date,
+        MIN(l_extendedprice)                       AS open,
+        MAX(l_extendedprice * (1.0 + l_tax))       AS high,
+        MIN(l_extendedprice * (1.0 - l_discount))  AS low,
+        MAX(l_extendedprice)                       AS close,
+        CAST(SUM(l_quantity) AS BIGINT)            AS volume
+    FROM lineitem
+    GROUP BY 1, 2
+)
+"""
