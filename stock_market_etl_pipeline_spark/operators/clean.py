@@ -58,14 +58,17 @@ def clean_quotes(raw: DataFrame) -> DataFrame:
     renames = {k: v for k, v in RAW_RENAME_MAP.items() if k in df.columns}
     if renames:
         df = df.withColumnsRenamed(renames)
+    # try_cast, not cast: Spark 4 runs in ANSI mode where a malformed string
+    # cast THROWS; pandas to_numeric(errors='coerce') semantics need
+    # null-on-error, which try_cast provides.
     df = df.withColumns(
         {
             "date": F.to_date("date"),
-            "open": F.col("open").cast("double"),
-            "high": F.col("high").cast("double"),
-            "low": F.col("low").cast("double"),
-            "close": F.col("close").cast("double"),
-            "volume": F.col("volume").cast("bigint"),
+            "open": F.col("open").try_cast("double"),
+            "high": F.col("high").try_cast("double"),
+            "low": F.col("low").try_cast("double"),
+            "close": F.col("close").try_cast("double"),
+            "volume": F.col("volume").try_cast("bigint"),
         }
     )
     df = df.na.drop(subset=CRITICAL_COLUMNS)
