@@ -1,0 +1,57 @@
+"""Sinks (SURVEY.md §2.1 S4-S7): parquet (primary), CSV, JSON, JDBC.
+
+Parquet-first: partitioned by symbol (the reference's composite
+(symbol, date) index maps to partition-by-symbol + within-file date order,
+src/load.py:87-89). JDBC mirrors the reference's chunked append
+(batchsize=1000, src/load.py:239-256) and is import-gated — no Postgres in
+the test environment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: str = "symbol",
+                  mode: str = "overwrite") -> None:
+    (
+        df.repartition(partition_by)
+        .sortWithinPartitions(partition_by, "date")
+        .write.mode(mode)
+        .partitionBy(partition_by)
+        .parquet(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: CSV sink (reference df.to_csv, src/transform.py:447-448)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4: JSON sink (reference json.dump samples, src/extract.py:449-452)."""
+    df.write.mode(mode).json(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    num_partitions: int = 8,
+    mode: str = "append",
+    **options: str,
+) -> None:
+    """S6: chunked JDBC append — writer-side batchsize replaces the
+    reference's manual 1000-row chunk loop; numPartitions bounds concurrent
+    connections so the database isn't overwhelmed (SURVEY.md §4)."""
+    (
+        df.repartition(num_partitions)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )

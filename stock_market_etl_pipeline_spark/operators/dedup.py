@@ -1,0 +1,256 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four strategies, all shuffle-disciplined for 100 TB:
+
+- exact:        hash-groupBy on a normalized fingerprint (one shuffle on the
+                16-byte digest — never on the document text itself)
+- n-gram Jaccard: shingle-explode → inverted-index self-join → count-based
+                Jaccard. The join key is the shingle hash; a document-
+                frequency cap drops stop-shingles that would otherwise
+                create quadratic hot keys.
+- MinHash+LSH:  shingle → k independent 60-bit hashes → per-band signature →
+                band-bucket self-join. Candidate generation is linear in
+                docs×bands, never all-pairs.
+- SimHash:      token-hash bit voting → 64-bit signature → banded hamming
+                join (LSH for hamming distance), verify ≤ max_distance.
+
+Every step is built-in expressions (md5/conv/explode/groupBy) — no Python
+UDFs — and each strategy has an exact DuckDB oracle twin in registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import (
+    md5_hash60,
+    normalized_fingerprint,
+    word_shingles,
+    ws_tokens,
+)
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (fingerprint, n_docs, keep_doc_id, dup_doc_ids) for groups with
+    more than one member; ``keep_doc_id`` is the smallest id (deterministic
+    survivor policy).
+    """
+    fp = docs.select(
+        F.col("doc_id"), normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _doc_shingles(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word k-grams."""
+    return docs.select(
+        "doc_id",
+        F.explode(word_shingles(ws_tokens(F.col("text")), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard similarity.
+
+    Inverted-index join: |A∩B| from a self-join on shingle, |A∪B| from
+    per-doc shingle counts. ``max_doc_freq`` drops shingles appearing in
+    more than N documents — at scale, stop-shingles are the skew bomb; the
+    cap bounds per-key join fan-out. Jaccard is exact integer arithmetic,
+    so the oracle comparison is bit-exact.
+    """
+    sh = _doc_shingles(docs, k)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(freq.filter(F.col("__df") <= max_doc_freq), "shingle")
+            .drop("__df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, hash_idx, minhash) MinHash signature, one row per hash fn.
+
+    Hash family: md5_hash60(i || '|' || shingle) — k independent hashes by
+    seed-prefixing, portable to the DuckDB oracle. One shuffle
+    (groupBy doc_id, hash_idx); documents with no shingles drop out.
+    """
+    sh = _doc_shingles(docs, k)
+    idx = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
+    )
+    hashed = idx.withColumn(
+        "h",
+        md5_hash60(
+            F.concat_ws("|", F.col("hash_idx").cast("string"), F.col("shingle"))
+        ),
+    )
+    return hashed.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: equal band-signatures in ≥1 of `bands` bands.
+
+    rows-per-band = num_hashes / bands. Banding is the 100 TB path: the
+    self-join key is (band_idx, band_signature) — docs only meet inside a
+    bucket, so cost is Σ bucket², not n².
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hash_idx", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ":",
+            ).alias("band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 60  # md5_hash60 yields 60 usable bits (15 hex chars)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 60-bit SimHash over distinct whitespace tokens.
+
+    Bit b of the signature is the sign of Σ_tokens (±1 per token depending
+    on bit b of the token hash) — 60 conditional sums in ONE aggregate pass
+    (no per-bit scans).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("tok"),
+    ).withColumn("h", md5_hash60(F.col("tok")))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_distance: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_distance via banded LSH.
+
+    60 bits split into `bands` 15-bit chunks; pairs within hamming ≤ 3 must
+    agree exactly on ≥1 chunk (pigeonhole), so the candidate join is on
+    (band_idx, chunk_value) — never all-pairs. Verification is
+    bit_count(xor) on the full signature.
+    """
+    bits_per_band = SIMHASH_BITS // bands
+    mask = (1 << bits_per_band) - 1
+    sig = simhash_signatures(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        # F.shiftright only takes a Python int shift; band varies per row
+        "chunk",
+        F.expr(f"shiftright(simhash, band * {bits_per_band})")
+        .bitwiseAND(F.lit(mask)),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )

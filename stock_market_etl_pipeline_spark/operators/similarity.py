@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute-force cosine top-k: exact baseline. Queries are a small set →
+  broadcast; the corpus streams through executors, dot products computed
+  JVM-side with higher-order functions (no Python in the hot path).
+- bit-sampling LSH (sign of md5-selected dimension differences): candidate
+  buckets shrink the scan; portable hashing so it stays oracle-checkable.
+
+Float policy: dot products are left-fold sums over ≤ a-few-hundred dims —
+scores are rounded to 6dp and ranked by (rounded score, vec_id) so Spark
+and the DuckDB oracle order identically (see oracles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force baseline).
+
+    (query_id, neighbor_id, score, rank). Query side is tiny → broadcast
+    nested-loop; at 100 TB the corpus scan is embarrassingly parallel and
+    the per-query top-k is a TakeOrdered inside one window partition.
+    """
+    emb = embeddings.select(
+        F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)) if query_ids else emb.limit(10)
+    q = q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (embedding-space near-dup).
+
+    All-pairs here (the exact baseline / oracle surface); the banded LSH
+    candidate path below is the scale route.
+    """
+    emb = embeddings.select(
+        F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def random_projection_buckets(
+    embeddings: DataFrame, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Sign-random-projection LSH bucket per vector (the ANN scale path).
+
+    Hyperplanes are pseudo-random ±1 vectors derived from md5(seed,plane,dim)
+    parity — fully deterministic and engine-portable. Bucket = n_planes sign
+    bits packed into an int. Vectors in the same bucket are ANN candidates;
+    search cost drops from O(n) per query to O(bucket).
+    """
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    emb = embeddings.select(
+        F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
+    )
+    bucket = None
+    for p in range(n_planes):
+        # ±1 plane component for dim i: parity of md5(seed|plane|i)
+        signs = F.array(
+            *[
+                F.lit(1.0)
+                if _md5_parity(seed, p, i)
+                else F.lit(-1.0)
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def _md5_parity(seed: int, plane: int, dim: int) -> bool:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{plane}|{dim}".encode()).hexdigest()
+    return int(h[0], 16) % 2 == 0
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: exact rerank restricted to same-LSH-bucket candidates."""
+    buckets = random_projection_buckets(embeddings, n_planes=n_planes)
+    emb = embeddings.join(buckets, "vec_id").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v"), "bucket"
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

