@@ -85,18 +85,21 @@ def with_volume_quartile_category(df: DataFrame) -> DataFrame:
     parity scale; at 100 TB switch to approx_percentile with documented
     tolerance (SURVEY.md §4).
     """
-    quartiles = df.groupBy("symbol").agg(
-        F.percentile("volume", 0.25).alias("__q1"),
-        F.percentile("volume", 0.50).alias("__q2"),
-        F.percentile("volume", 0.75).alias("__q3"),
-    )
-    joined = df.join(F.broadcast(quartiles), "symbol")
-    return joined.withColumn(
+    # percentile as a WINDOW aggregate (whole-partition frame) instead of
+    # groupBy + broadcast join-back: the join version computes the input
+    # subtree twice (once per branch) and re-shuffles; the window reuses the
+    # symbol hash-partitioning the other window ops already established —
+    # zero extra shuffles, one scan.
+    w = Window.partitionBy("symbol")
+    return df.withColumn(
         "volume_category",
         volume_category_expr(
-            F.col("volume"), F.col("__q1"), F.col("__q2"), F.col("__q3")
+            F.col("volume"),
+            F.percentile("volume", 0.25).over(w),
+            F.percentile("volume", 0.50).over(w),
+            F.percentile("volume", 0.75).over(w),
         ),
-    ).drop("__q1", "__q2", "__q3")
+    )
 
 
 def enrich(df: DataFrame) -> DataFrame:

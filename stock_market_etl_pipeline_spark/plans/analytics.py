@@ -35,28 +35,31 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
     Symbols with < min_history rows are dropped (reference returns None).
     Output is sorted by predicted_change_percent desc.
     """
+    # Single-branch plan: the last-5 stats (A10) are frame aggregates over
+    # rowsBetween(0, 4) in the SAME desc-ordered window as row_number — a
+    # groupBy-on-slice + join-back would make Catalyst compute the whole
+    # enrich subtree twice (two parquet scans, two shuffles; verified via
+    # explain). All window functions share one Exchange+Sort.
     ranked = enriched.withColumns(
         {
             "__rn": F.row_number().over(_DESC()),
             "__cnt": F.count(F.lit(1)).over(Window.partitionBy("symbol")),
-        }
-    )
-    # mean/std of daily_change_percent over the 5 most recent rows (A10)
-    recent = (
-        ranked.filter(F.col("__rn") <= 5)
-        .groupBy("symbol")
-        .agg(
             # Rounded to 6dp at the aggregate boundary: downstream arithmetic
             # then runs on bit-identical doubles in Spark and the DuckDB
             # oracle, so the final 2dp rounding can't straddle (engines'
             # window/agg float summation differs by ~1 ulp otherwise).
-            F.round(F.avg("daily_change_percent"), 6).alias("avg_daily_change"),
-            F.round(F.stddev_samp("daily_change_percent"), 6).alias(
-                "recent_volatility"
+            "__avg5": F.round(
+                F.avg("daily_change_percent").over(_DESC().rowsBetween(0, 4)), 6
             ),
-        )
+            "__std5": F.round(
+                F.stddev_samp("daily_change_percent").over(
+                    _DESC().rowsBetween(0, 4)
+                ),
+                6,
+            ),
+        }
     )
-    latest = ranked.filter(
+    joined = ranked.filter(
         (F.col("__rn") == 1) & (F.col("__cnt") >= min_history)
     ).select(
         "symbol",
@@ -64,8 +67,9 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
         F.round("ma_5", 6).alias("ma_5"),
         F.round("ma_20", 6).alias("ma_20"),
         F.col("date").alias("latest_date"),
+        F.col("__avg5").alias("avg_daily_change"),
+        F.col("__std5").alias("recent_volatility"),
     )
-    joined = latest.join(recent, "symbol")
 
     trend = trend_expr(F.col("ma_5"), F.col("ma_20"))
     strength = trend_strength_expr(F.col("ma_5"), F.col("ma_20"))
@@ -101,7 +105,8 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
     ).orderBy(F.col("predicted_change_percent").desc(), "symbol")
 
 
-def trading_signals(enriched: DataFrame, lookback: int = 10) -> DataFrame:
+def trading_signals(enriched: DataFrame, lookback: int = 10,
+                    max_date_df: DataFrame | None = None) -> DataFrame:
     """MA-crossover BUY/SELL signals (C3, src/predictions.py:113-174).
 
     Adjacent-row comparison within each symbol's last ``lookback`` rows:
@@ -132,7 +137,16 @@ def trading_signals(enriched: DataFrame, lookback: int = 10) -> DataFrame:
             F.lit("Death Cross")
         ),
     )
-    max_date = enriched.agg(F.max("date").alias("__max_date"))
+    # days_ago needs max(date) over the FULL input; deriving it from
+    # `enriched` duplicates the whole enrich subtree in the plan (no CTE
+    # reuse across join branches). Callers that know a cheaper equivalent
+    # source (e.g. max(l_shipdate) straight off the parquet scan) pass it
+    # via max_date_df.
+    max_date = (
+        max_date_df
+        if max_date_df is not None
+        else enriched.agg(F.max("date").alias("__max_date"))
+    )
     return (
         flagged.crossJoin(F.broadcast(max_date))
         .select(

@@ -657,8 +657,15 @@ def q_top_losers(spark, sf_dir):
     """,
 )
 def q_trading_signals(spark, sf_dir):
-    """C3/W5: MA-crossover signals with global-max days_ago."""
-    df = trading_signals(_enriched(spark, sf_dir))
+    """C3/W5: MA-crossover signals with global-max days_ago.
+
+    max(date) comes straight off the lineitem scan (equal to the enriched
+    table's max date by construction) — avoids duplicating the enrich
+    subtree into the broadcast branch.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    max_date = li.agg(F.max(F.to_date("l_shipdate")).alias("__max_date"))
+    df = trading_signals(_enriched(spark, sf_dir), max_date_df=max_date)
     return df.select(
         "symbol", "signal", "signal_type", "date", "price",
         _r6("ma_5"), _r6("ma_20"), "days_ago",
