@@ -675,3 +675,4 @@ def q_trading_signals(spark, sf_dir):
 # Import at module bottom: registry_llm registers the LLM-data-pipeline
 # queries (dedup/similarity/text) via the decorator above.
 from . import registry_llm  # noqa: E402,F401
+from . import registry_ext  # noqa: E402,F401

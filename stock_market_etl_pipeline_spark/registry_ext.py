@@ -1,0 +1,273 @@
+"""Extended coverage queries: JSON parsing (S1 analog), sessionization,
+describe-stats (A8), join-heavy TPC-H-style shapes, filter patterns
+(P8-P10), and union-by-name (O7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.events import load_events
+from .sources.ticks import ticks
+from .oracles import WITH_TICKS
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                       AS n_events,
+           ROUND(AVG(value), 6)                           AS avg_value,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT)                                AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_events(spark, sf_dir):
+    """S1 analog: parse JSON payload column, aggregate extracted fields.
+
+    get_json_object is JVM-side (Jackson) — no Python in the parse path.
+    """
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000)
+                AS BIGINT)          AS duration_secs,
+           ROUND(SUM(value), 6) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    """Session windows (gap > 30 min) via lag + running sum — the batch
+    equivalent of streaming session windows; one shuffle on user_id serves
+    the lag, the cumulative sum, and the final group-by."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # explicit floor: Spark's bigint cast truncates but DuckDB's cast
+        # rounds half-even -- floor is identical in both for positives
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("duration_secs"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "describe_stats",
+    WITH_TICKS
+    + """
+    SELECT CAST(COUNT(close) AS BIGINT)     AS close_count,
+           ROUND(AVG(close), 6)             AS close_mean,
+           ROUND(STDDEV_SAMP(close), 6)     AS close_std,
+           MIN(close)                       AS close_min,
+           MAX(close)                       AS close_max,
+           CAST(COUNT(volume) AS BIGINT)    AS volume_count,
+           ROUND(AVG(volume), 6)            AS volume_mean,
+           ROUND(STDDEV_SAMP(volume), 6)    AS volume_std,
+           MIN(volume)                      AS volume_min,
+           MAX(volume)                      AS volume_max
+    FROM ticks
+    """,
+)
+def q_describe_stats(spark, sf_dir):
+    """A8: describe() block as explicit aggregates (df.describe itself
+    returns stringly-typed output; this is the engine-grade equivalent)."""
+    t = ticks(spark, sf_dir)
+    return t.agg(
+        F.count("close").alias("close_count"),
+        F.round(F.avg("close"), 6).alias("close_mean"),
+        F.round(F.stddev_samp("close"), 6).alias("close_std"),
+        F.min("close").alias("close_min"),
+        F.max("close").alias("close_max"),
+        F.count("volume").alias("volume_count"),
+        F.round(F.avg("volume"), 6).alias("volume_mean"),
+        F.round(F.stddev_samp("volume"), 6).alias("volume_std"),
+        F.min("volume").alias("volume_min"),
+        F.max("volume").alias("volume_max"),
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    WITH rev AS (
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, c.c_name, CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority, r.revenue
+    FROM rev r
+    JOIN orders o   ON r.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY r.revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-shaped: per-order revenue rollup → dim joins → global top-k.
+
+    The orders/customer sides broadcast; the top-k is
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return (
+        rev.join(F.broadcast(orders), rev.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "customer_segment_stats",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(o.o_orderkey) AS BIGINT)         AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS open_orders,
+           ROUND(AVG(o.o_totalprice), 6)               AS avg_order_value
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_customer_segment_stats(spark, sf_dir):
+    """Dimension join + conditional aggregation per market segment."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("open_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_order_value"),
+        )
+    )
+
+
+@register(
+    "symbol_filter_range",
+    WITH_TICKS
+    + """
+    SELECT symbol, date, close, volume
+    FROM ticks
+    WHERE symbol IN (1, 3, 5, 7)
+      AND date BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    """,
+)
+def q_symbol_filter_range(spark, sf_dir):
+    """P8-P10: IN-list + date-range predicates (the dashboard filter path).
+
+    Both predicates push into the aggregate's input scan.
+    """
+    t = ticks(spark, sf_dir)
+    return t.filter(
+        F.col("symbol").isin(1, 3, 5, 7)
+        & F.col("date").between("1996-01-01", "1997-12-31")
+    ).select("symbol", "date", "close", "volume")
+
+
+@register(
+    "union_sources",
+    WITH_TICKS
+    + """
+    , orders_feed AS (
+        SELECT o_custkey AS symbol, CAST(o_orderdate AS DATE) AS date,
+               MAX(o_totalprice) AS close, 'orders' AS source
+        FROM orders GROUP BY 1, 2
+    ),
+    lineitem_feed AS (
+        SELECT symbol, date, close, 'lineitem' AS source FROM ticks
+    ),
+    unioned AS (
+        SELECT * FROM lineitem_feed UNION ALL SELECT * FROM orders_feed
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(date) AS first_date, MAX(date) AS last_date
+    FROM unioned GROUP BY source
+    """,
+)
+def q_union_sources(spark, sf_dir):
+    """O7: unionByName of two source feeds with per-source lineage column."""
+    t = ticks(spark, sf_dir).select(
+        "symbol", "date", "close", F.lit("lineitem").alias("source")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o_feed = (
+        orders.groupBy(
+            F.col("o_custkey").alias("symbol"),
+            F.to_date("o_orderdate").alias("date"),
+        )
+        .agg(F.max("o_totalprice").alias("close"))
+        .withColumn("source", F.lit("orders"))
+    )
+    return (
+        t.unionByName(o_feed)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("date").alias("first_date"),
+            F.max("date").alias("last_date"),
+        )
+    )
