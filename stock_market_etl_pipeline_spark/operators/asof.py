@@ -1,0 +1,74 @@
+"""As-of (most-recent-prior) join — the canonical market-data operator.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do); this implements it as a
+union + ordered window, which is the shuffle-optimal formulation:
+
+    tag left/right rows → union → window partitionBy(key).orderBy(time,
+    right-first) → last(right_value, ignorenulls=True) → keep left rows
+
+Cost: ONE shuffle on the join key (the window exchange). A naive
+range-join (left.time >= right.time, pick max) would be a quadratic
+non-equi join; the window formulation is linear after the sort and is the
+correct 100 TB plan shape.
+
+Right side must be unique per (key, time) — pre-aggregate otherwise, or
+the matched value is nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    right_time ≤ left_time (or < if strict) for the same key.
+
+    Left rows with no prior right row get nulls (left-outer semantics).
+    """
+    lt = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            lt.schema["__left"].dataType
+        ).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal time → "≤" semantics;
+    # strict "<" puts left rows first instead.
+    tie = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumns(
+        {
+            f"__r_{c}": F.last(f"__r_{c}", ignorenulls=True).over(w)
+            for c in value_cols
+        }
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

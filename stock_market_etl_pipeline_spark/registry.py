@@ -676,3 +676,4 @@ def q_trading_signals(spark, sf_dir):
 # queries (dedup/similarity/text) via the decorator above.
 from . import registry_llm  # noqa: E402,F401
 from . import registry_ext  # noqa: E402,F401
+from . import registry_ext2  # noqa: E402,F401

@@ -1,0 +1,207 @@
+"""Second extension block: as-of join, raw-quote cleaning under oracle,
+part-dimension join, ROLLUP aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join
+from .operators.clean import clean_quotes
+from .oracles import WITH_TICKS
+from .registry import register
+from .sources.ticks import ticks
+
+
+@register(
+    "asof_last_order_value",
+    WITH_TICKS
+    + """
+    , order_feed AS (
+        SELECT o_custkey AS symbol, CAST(o_orderdate AS DATE) AS odate,
+               MAX(o_totalprice) AS order_value
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT t.symbol, t.date, t.close,
+           f.odate       AS asof_odate,
+           f.order_value AS asof_order_value
+    FROM ticks t
+    ASOF LEFT JOIN order_feed f
+        ON t.symbol = f.symbol AND f.odate <= t.date
+    """,
+)
+def q_asof_last_order_value(spark, sf_dir):
+    """As-of join: each tick gets the most recent order (date + value) of
+    the same key at-or-before the tick date (operators/asof.py — union +
+    ordered window, one shuffle; DuckDB's native ASOF JOIN is the oracle).
+
+    Right side pre-aggregated to one row per (key, date) so the matched
+    value is deterministic.
+    """
+    t = ticks(spark, sf_dir).select("symbol", "date", "close")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feed = orders.groupBy(
+        F.col("o_custkey").alias("symbol"),
+        F.to_date("o_orderdate").alias("odate"),
+    ).agg(F.max("o_totalprice").alias("order_value"))
+    return asof_join(
+        t, feed, key="symbol", left_time="date", right_time="odate",
+        value_cols=["odate", "order_value"],
+    ).withColumnsRenamed({"asof_odate": "asof_odate",
+                          "asof_order_value": "asof_order_value"})
+
+
+# Raw-quote shaped strings derived deterministically from lineitem, with a
+# planted corruption (every 97th orderkey) — exercises the REAL cleaning
+# operator (rename → try_cast → null-drop → OHLC/positivity filters →
+# keep-last dedup) under the oracle. Prices go through DECIMAL(18,6) (exact for
+# TPC-H's ≤6dp products) so the string rendering is identical in both engines.
+_RAW_QUOTES_CTE = """
+raw_quotes AS (
+    SELECT
+        CAST(l_suppkey AS VARCHAR)                       AS symbol,
+        strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')   AS date,
+        CASE WHEN l_orderkey % 97 = 0 THEN 'N/A'
+             ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR)
+        END                                              AS open,
+        CAST(CAST(l_extendedprice * (1.0 + l_tax) AS DECIMAL(18,6))
+             AS VARCHAR)                                 AS high,
+        CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+             AS VARCHAR)                                 AS low,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) AS close,
+        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)      AS volume,
+        CAST(l_orderkey * 10 + l_linenumber AS BIGINT)   AS seq
+    FROM lineitem
+)
+"""
+
+
+@register(
+    "clean_raw_quotes",
+    "WITH " + _RAW_QUOTES_CTE + """
+    , cast_rows AS (
+        SELECT TRY_CAST(symbol AS BIGINT)   AS symbol,
+               CAST(date AS DATE)           AS date,
+               TRY_CAST(open AS DOUBLE)     AS open,
+               TRY_CAST(high AS DOUBLE)     AS high,
+               TRY_CAST(low AS DOUBLE)      AS low,
+               TRY_CAST(close AS DOUBLE)    AS close,
+               TRY_CAST(volume AS BIGINT)   AS volume,
+               seq
+        FROM raw_quotes
+    ),
+    cleaned AS (
+        SELECT * FROM cast_rows
+        WHERE open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL
+          AND close IS NOT NULL AND volume IS NOT NULL
+          AND date IS NOT NULL AND symbol IS NOT NULL
+          AND NOT (high < low OR high < open OR high < close
+                   OR low > open OR low > close)
+          AND open > 0 AND high > 0 AND low > 0 AND close > 0 AND volume >= 0
+    ),
+    deduped AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY symbol, date ORDER BY seq DESC) AS rn
+        FROM cleaned
+    )
+    SELECT symbol, date, open, high, low, close, volume
+    FROM deduped WHERE rn = 1
+    """,
+)
+def q_clean_raw_quotes(spark, sf_dir):
+    """C5 cleaning path end-to-end on string-typed rows: cast-with-null-
+    on-error (try_cast), critical null-drop, OHLC-consistency and
+    positivity filters, keep-last dedup on (symbol, date) with the row
+    sequence as tiebreak (operators/clean.py::clean_quotes).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = F.col
+    # DECIMAL(18,6) represents the true ≤6dp product exactly — no rounding
+    # tie for the engines to resolve differently (TPC-H prices are 2dp,
+    # tax/discount 2dp, so products are exact at ≤6dp)
+    dec = lambda col: col.cast("decimal(18,6)").cast("string")  # noqa: E731
+    raw = li.select(
+        c("l_suppkey").cast("string").alias("symbol"),
+        F.date_format(F.to_date("l_shipdate"), "yyyy-MM-dd").alias("date"),
+        F.when(c("l_orderkey") % 97 == 0, F.lit("N/A"))
+        .otherwise(dec(c("l_extendedprice")))
+        .alias("open"),
+        dec(c("l_extendedprice") * (F.lit(1.0) + c("l_tax"))).alias("high"),
+        dec(c("l_extendedprice") * (F.lit(1.0) - c("l_discount"))).alias("low"),
+        dec(c("l_extendedprice")).alias("close"),
+        c("l_quantity").cast("bigint").cast("string").alias("volume"),
+        (c("l_orderkey") * 10 + c("l_linenumber")).cast("bigint").alias("seq"),
+    )
+    cleaned = clean_quotes(raw.withColumn("extracted_at", c("seq")))
+    return cleaned.select(
+        F.col("symbol").try_cast("bigint").alias("symbol"),
+        "date", "open", "high", "low", "close", "volume",
+    )
+
+
+@register(
+    "part_type_revenue",
+    """
+    SELECT p.p_type,
+           CAST(COUNT(*) AS BIGINT) AS lines,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           ROUND(AVG(p.p_retailprice), 6) AS avg_retail
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def q_part_type_revenue(spark, sf_dir):
+    """Fact × part dimension (broadcast) with grouped revenue per type."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        )
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS lines,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (region → nation → grand total) — partial
+    aggregation handles the hierarchy in one shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""As-of join operator tests: hand-computed golden cases incl. exact-time
+ties, no-prior-row nulls, and strict mode."""
+
+import datetime as dt
+
+import pytest
+
+from stock_market_etl_pipeline_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    d = dt.date
+    left = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), "a"),
+            (1, d(2024, 1, 5), "b"),
+            (1, d(2024, 1, 10), "c"),
+            (2, d(2024, 1, 3), "d"),   # no prior right row
+        ],
+        "k int, t date, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 10.0),
+            (1, d(2024, 1, 4), 40.0),
+            (1, d(2024, 1, 10), 100.0),
+            (2, d(2024, 1, 4), 99.0),
+        ],
+        "k int, rt date, v double",
+    )
+    return left, right
+
+
+def test_asof_inclusive(frames):
+    left, right = frames
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                    value_cols=["v"])
+    got = {(r["k"], r["tag"]): r["asof_v"] for r in out.collect()}
+    assert got == {
+        (1, "a"): 10.0,   # same-date match counts (<=)
+        (1, "b"): 40.0,
+        (1, "c"): 100.0,  # exact-date tie -> right row included
+        (2, "d"): None,   # right row is later -> no match
+    }
+
+
+def test_asof_strict(frames):
+    left, right = frames
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                    value_cols=["v"], strict=True)
+    got = {(r["k"], r["tag"]): r["asof_v"] for r in out.collect()}
+    assert got[(1, "a")] is None      # strict <: same-date no longer matches
+    assert got[(1, "c")] == 40.0
+
+
+def test_asof_preserves_left_columns(frames):
+    left, right = frames
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                    value_cols=["v", "rt"])
+    assert set(out.columns) == {"k", "t", "tag", "asof_v", "asof_rt"}
+    assert out.count() == left.count()
