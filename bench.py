@@ -31,6 +31,11 @@ HEADLINE = [
     "trading_signals",
     "dedup_keep_last",
     "validation_aggregates",
+    "asof_last_order_value",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "text_stats",
+    "sessionize_events",
 ]
 
 

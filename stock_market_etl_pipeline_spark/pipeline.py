@@ -1,0 +1,95 @@
+"""End-to-end ETL pipeline orchestration (reference §3.1 lifecycle).
+
+The reference's ``run_etl_pipeline`` (``src/pipeline.py:119-378``) runs
+extract → transform → validate → load → summary → alert as eager stages.
+Here the whole thing is ONE lazy plan graph with two actions:
+
+1. the quality-suite aggregate (validation gate, ≥90% like the reference —
+   which also proceeds to load on warning, ``pipeline.py:244``)
+2. the sink write (which also executes clean + enrich)
+
+plus a cheap summary aggregate at the end. Alerts are returned as data
+(result records), not side effects — the scheduler/mailer glue the
+reference bakes in (``scheduler.py``, ``src/alerts.py``) stays out of the
+engine by design (SURVEY.md §7.8).
+
+Run: ``python -m stock_market_etl_pipeline_spark.pipeline <in> <out>``
+where <in> is a directory of raw-quote JSON/parquet drops.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io_sink import write_parquet
+from .operators.clean import clean_quotes
+from .operators.enrich import enrich
+from .plans.analytics import db_summary
+from .plans.quality import run_quality_suite, stock_quality_checks
+from .schema import RAW_QUOTE_SCHEMA
+from .session import get_spark
+
+
+@dataclass
+class PipelineResult:
+    success: bool
+    validation_rate: float
+    validation_passed: bool
+    records_loaded: int
+    unique_symbols: int
+    sink_path: str
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    sink_path: str,
+    input_format: str = "json",
+    validation_threshold: float = 0.90,
+) -> PipelineResult:
+    reader = spark.read.schema(RAW_QUOTE_SCHEMA)
+    raw = reader.json(input_path) if input_format == "json" else reader.parquet(
+        input_path
+    )
+    enriched = enrich(
+        clean_quotes(raw).drop("extracted_at", "data_source")
+    )
+    # cache: the quality gate, the sink write, and the summary all read this
+    enriched = enriched.cache()
+    try:
+        ok, rate, _results = run_quality_suite(
+            enriched, stock_quality_checks(), success_threshold=validation_threshold
+        )
+        # reference proceeds to load even on warning (pipeline.py:244)
+        write_parquet(enriched, sink_path)
+        summary = db_summary(enriched).collect()[0]
+        return PipelineResult(
+            success=True,
+            validation_rate=rate,
+            validation_passed=ok,
+            records_loaded=summary["total_records"],
+            unique_symbols=summary["unique_symbols"],
+            sink_path=sink_path,
+        )
+    finally:
+        enriched.unpersist()
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        print(
+            "usage: python -m stock_market_etl_pipeline_spark.pipeline "
+            "<input_dir> <sink_dir>",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    spark = get_spark("etl-pipeline")
+    result = run_pipeline(spark, sys.argv[1], sys.argv[2])
+    print(asdict(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -205,3 +205,13 @@ def q_revenue_rollup(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+from .sources.synthetic import synthetic_quotes, synthetic_quotes_oracle  # noqa: E402
+
+
+@register("synthetic_quotes", synthetic_quotes_oracle())
+def q_synthetic_quotes(spark, sf_dir):
+    """S13: deterministic hash-driven random-walk generator (no table
+    inputs; same output at any sf — reproducibility is the point)."""
+    return synthetic_quotes(spark)

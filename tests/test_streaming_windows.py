@@ -1,0 +1,56 @@
+"""Event-time windowed streaming aggregation tests (memory sink,
+availableNow trigger) + batch-equivalence check."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_etl_pipeline_spark.sources.events import load_events
+from stock_market_etl_pipeline_spark.streaming.windows import (
+    tumbling_event_counts,
+)
+
+from conftest import SF_DIR
+
+
+def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
+    # materialize events as a streamable directory
+    ev = load_events(spark, SF_DIR)
+    src = str(tmp_path / "events_stream")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        tumbling_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM tumbling_counts")
+    batch = tumbling_event_counts(ev)  # same plan over the bounded frame
+
+    # append mode only emits windows the watermark has closed; every
+    # emitted row must agree with the batch computation
+    joined = got.alias("s").join(
+        batch.alias("b"),
+        ["window_start", "window_end", "event_type"],
+        "left",
+    )
+    mism = joined.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.col("s.total_value") != F.col("b.total_value"))
+    )
+    assert got.count() > 0
+    assert mism.count() == 0
+
+
+def test_window_bounds_are_aligned(spark):
+    ev = load_events(spark, SF_DIR)
+    out = tumbling_event_counts(ev).collect()
+    for r in out:
+        assert r["window_start"].minute == 0 and r["window_start"].second == 0
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
