@@ -55,3 +55,22 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage layout so repeated
+    joins/aggregations on the bucket key skip the exchange entirely —
+    the storage-level answer to 'this join shuffles every run' at 100 TB.
+    Requires a metastore-backed saveAsTable (works with the default local
+    warehouse)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.format("parquet").saveAsTable(table)

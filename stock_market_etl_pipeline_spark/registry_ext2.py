@@ -215,3 +215,20 @@ def q_synthetic_quotes(spark, sf_dir):
     """S13: deterministic hash-driven random-walk generator (no table
     inputs; same output at any sf — reproducibility is the point)."""
     return synthetic_quotes(spark)
+
+
+@register("approx_stats")  # no oracle: approximate results differ by design
+def q_approx_stats(spark, sf_dir):
+    """The documented 100 TB switch (SURVEY.md §4): approx_count_distinct
+    (HLL) and approx_percentile replace their exact counterparts above a
+    size threshold. No DuckDB oracle — approximate algorithms differ across
+    engines by design; the driver records a rows-only check, and the exact
+    twins (validation_aggregates, enriched quartiles) are the correctness
+    anchor."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
+    )
