@@ -23,6 +23,12 @@ def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-split parquet inputs would put every dot product on one task;
+    fan rows across the cluster first (no-op at real multi-split scale)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double (deterministic order)."""
     return F.aggregate(
@@ -53,7 +59,7 @@ def cosine_topk(
     nested-loop; at 100 TB the corpus scan is embarrassingly parallel and
     the per-query top-k is a TakeOrdered inside one window partition.
     """
-    emb = embeddings.select(
+    emb = _spread(embeddings).select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
     )
     q = emb.filter(F.col("vec_id").isin(query_ids)) if query_ids else emb.limit(10)
@@ -84,7 +90,7 @@ def embedding_near_pairs(
     All-pairs here (the exact baseline / oracle surface); the banded LSH
     candidate path below is the scale route.
     """
-    emb = embeddings.select(
+    emb = _spread(embeddings).select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))

@@ -232,3 +232,62 @@ def q_approx_stats(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99_price"),
     )
+
+
+@register(
+    "rank_functions",
+    WITH_TICKS
+    + """
+    SELECT symbol, date, volume,
+           CAST(ROW_NUMBER()   OVER w AS INTEGER) AS rn,
+           CAST(RANK()         OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK()   OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4)       OVER w AS INTEGER) AS quartile_bucket,
+           ROUND(PERCENT_RANK() OVER w, 6)        AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6)        AS cume
+    FROM ticks
+    WINDOW w AS (PARTITION BY symbol ORDER BY volume, date)
+    """,
+)
+def q_rank_functions(spark, sf_dir):
+    """The full rank-function family (row_number/rank/dense_rank/ntile/
+    percent_rank/cume_dist) in one window pass. Note: NTILE is the
+    row-count bucketing SURVEY.md §7.6 warns is NOT pandas-quantile
+    bucketing — the quartile parity op is enriched_categories; this query
+    covers the rank semantics themselves (date tiebreak → deterministic)."""
+    from pyspark.sql import Window
+
+    t = ticks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("volume", "date")
+    return t.select(
+        "symbol", "date", "volume",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile_bucket"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "set_ops_symbols",
+    WITH_TICKS
+    + """
+    , early AS (SELECT DISTINCT symbol FROM ticks WHERE date < DATE '1998-01-01'),
+    late AS (SELECT DISTINCT symbol FROM ticks WHERE date >= DATE '1998-01-01'),
+    both_eras AS (SELECT symbol FROM early INTERSECT SELECT symbol FROM late),
+    only_early AS (SELECT symbol FROM early EXCEPT SELECT symbol FROM late)
+    SELECT 'both' AS era, symbol FROM both_eras
+    UNION ALL
+    SELECT 'only_early' AS era, symbol FROM only_early
+    """,
+)
+def q_set_ops_symbols(spark, sf_dir):
+    """INTERSECT / EXCEPT set operators over per-era symbol sets."""
+    t = ticks(spark, sf_dir)
+    early = t.filter(F.col("date") < "1998-01-01").select("symbol").distinct()
+    late = t.filter(F.col("date") >= "1998-01-01").select("symbol").distinct()
+    both = early.intersect(late).withColumn("era", F.lit("both"))
+    only_early = early.exceptAll(late).withColumn("era", F.lit("only_early"))
+    return both.unionByName(only_early).select("era", "symbol")
