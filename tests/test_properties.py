@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): engine expressions vs plain-Python
+reference implementations over generated inputs. One Spark job per example
+batch — examples are bounded to keep runtime sane."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from stock_market_etl_pipeline_spark.functions.stock import categorize_volatility
+from stock_market_etl_pipeline_spark.operators.clean import dedup_keep_last
+
+
+def ref_categorize(v):
+    """Reference src/transform.py:20-42 in plain Python."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "Unknown"
+    if v < 1.0:
+        return "Very Low"
+    if v < 2.0:
+        return "Low"
+    if v < 3.5:
+        return "Medium"
+    if v < 5.0:
+        return "High"
+    return "Very High"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+            st.sampled_from([0.999999, 1.0, 2.0, 3.5, 5.0, 4.999999]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_categorize_volatility_matches_reference(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["c"]
+        for r in df.select(categorize_volatility(F.col("v")).alias("c")).collect()
+    ]
+    assert got == [ref_categorize(v) for v in vals]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=50),  # order
+            st.integers(min_value=0, max_value=999), # payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_keep_last_matches_reference(spark, rows):
+    # tiebreak on payload makes the winner unique even for duplicate
+    # (key, order) pairs
+    df = spark.createDataFrame(rows, "k int, ord int, v int")
+    out = dedup_keep_last(df, keys=["k"], order_by=["ord", "v"]).collect()
+    expected = {}
+    for k, o, v in rows:
+        if k not in expected or (o, v) > expected[k]:
+            expected[k] = (o, v)
+    got = {r["k"]: (r["ord"], r["v"]) for r in out}
+    assert got == expected
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 19, 20, 21])
+def test_rolling_frames_shrink_exactly_like_pandas(spark, n):
+    """SURVEY §7.7: rowsBetween(-(k-1), 0) == pandas rolling(min_periods=1)."""
+    import pandas as pd
+
+    from stock_market_etl_pipeline_spark.operators.enrich import (
+        with_moving_averages,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["S"] * n,
+            "date": pd.date_range("2024-01-01", periods=n).date,
+            "close": [float(100 + i * 3 % 17) for i in range(n)],
+        }
+    )
+    df = with_moving_averages(spark.createDataFrame(pdf))
+    got = {r["date"]: (r["ma_5"], r["ma_20"]) for r in df.collect()}
+    exp5 = pdf["close"].rolling(5, min_periods=1).mean()
+    exp20 = pdf["close"].rolling(20, min_periods=1).mean()
+    for i, d in enumerate(pdf["date"]):
+        assert got[d][0] == pytest.approx(exp5.iloc[i])
+        assert got[d][1] == pytest.approx(exp20.iloc[i])
