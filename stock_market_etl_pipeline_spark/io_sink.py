@@ -74,3 +74,24 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(spark, path: str, target_partitions: int,
+                    partition_by: str | None = None) -> None:
+    """Small-files compaction: rewrite a parquet dataset into
+    target_partitions files (per partition dir if partition_by is set).
+    At 100 TB, streaming/append sinks accrete small files that destroy scan
+    parallelism economics (one task per tiny file); periodic compaction
+    restores ~maxPartitionBytes-sized splits. Writes to a temp subdir then
+    swaps, so a failed compaction never corrupts the dataset."""
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(target_partitions).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

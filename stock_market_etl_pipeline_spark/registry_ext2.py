@@ -291,3 +291,36 @@ def q_set_ops_symbols(spark, sf_dir):
     both = early.intersect(late).withColumn("era", F.lit("both"))
     only_early = early.exceptAll(late).withColumn("era", F.lit("only_early"))
     return both.unionByName(only_early).select("era", "symbol")
+
+
+@register(
+    "priority_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_priority_revenue(spark, sf_dir):
+    """Large fact-to-fact join (orders ⋈ lineitem): the sort-merge-join
+    shuffle path with AQE skew handling — deliberately NOT broadcast, the
+    plan probe for big-join behavior at scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").hint("merge")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )

@@ -354,3 +354,62 @@ def q_embedding_near_pairs(spark, sf_dir):
     """Embedding-space near-duplicate pairs: cosine ≥ 0.35."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_pairs(emb, threshold=0.35)
+
+
+@register(
+    "corpus_prep",
+    "WITH " + _SHINGLES_CTE + r""",
+    quality AS (
+        SELECT doc_id FROM toks
+        WHERE len(t) >= 20 AND length(text) >= 100
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        FROM documents
+    ),
+    exact_survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    near_dropped AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    )
+    SELECT q.doc_id FROM quality q
+    JOIN exact_survivors e ON q.doc_id = e.doc_id
+    LEFT JOIN near_dropped d ON q.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def q_corpus_prep(spark, sf_dir):
+    """Composite training-data prep pipeline: quality filter (length/token
+    thresholds) → exact-dup removal (min-id survivor) → near-dup removal
+    (drop the higher id of every Jaccard ≥ 0.5 pair). The flagship
+    LLM-data flow: every stage is one of the standalone operators chained
+    into a single lazy plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = ws_tokens(F.col("text"))
+    quality = docs.filter(
+        (F.size(t) >= 20) & (F.length("text") >= 100)
+    ).select("doc_id")
+    fp = docs.select(
+        "doc_id", normalized_fingerprint(F.col("text")).alias("f")
+    )
+    exact_survivors = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    near_dropped = (
+        ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(exact_survivors, "doc_id")
+        .join(near_dropped, "doc_id", "left_anti")
+    )
