@@ -324,3 +324,99 @@ def q_priority_revenue(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+from .oracles import WITH_ENRICHED  # noqa: E402
+
+
+@register(
+    "change_quartile_box",
+    WITH_ENRICHED
+    + """
+    SELECT symbol,
+           ROUND(quantile_cont(daily_change_percent, 0.25), 6) AS q1,
+           ROUND(quantile_cont(daily_change_percent, 0.50), 6) AS median,
+           ROUND(quantile_cont(daily_change_percent, 0.75), 6) AS q3,
+           ROUND(MIN(daily_change_percent), 6) AS lo,
+           ROUND(MAX(daily_change_percent), 6) AS hi
+    FROM enriched GROUP BY symbol
+    """,
+)
+def q_change_quartile_box(spark, sf_dir):
+    """C7 dashboard box plot data: per-symbol quartiles of daily change
+    (dashboard/app.py:808-820) — exact linear-interpolated percentiles."""
+    from .operators.enrich import enrich
+
+    e = enrich(ticks(spark, sf_dir))
+    return e.groupBy("symbol").agg(
+        F.round(F.percentile("daily_change_percent", 0.25), 6).alias("q1"),
+        F.round(F.percentile("daily_change_percent", 0.50), 6).alias("median"),
+        F.round(F.percentile("daily_change_percent", 0.75), 6).alias("q3"),
+        F.round(F.min("daily_change_percent"), 6).alias("lo"),
+        F.round(F.max("daily_change_percent"), 6).alias("hi"),
+    )
+
+
+@register(
+    "monthly_ohlcv",
+    WITH_TICKS
+    + """
+    SELECT symbol,
+           CAST(year(date) AS INTEGER)  AS year,
+           CAST(month(date) AS INTEGER) AS month,
+           arg_min(open, date)          AS open,
+           MAX(high)                    AS high,
+           MIN(low)                     AS low,
+           arg_max(close, date)         AS close,
+           CAST(SUM(volume) AS BIGINT)  AS volume,
+           CAST(COUNT(*) AS BIGINT)     AS trading_days
+    FROM ticks GROUP BY 1, 2, 3
+    """,
+)
+def q_monthly_ohlcv(spark, sf_dir):
+    """Calendar resample (pandas resample('M') equivalent): monthly OHLCV
+    bars — open/close are first/last-by-date aggregates, no window needed."""
+    t = ticks(spark, sf_dir)
+    return t.groupBy(
+        "symbol",
+        F.year("date").cast("int").alias("year"),
+        F.month("date").cast("int").alias("month"),
+    ).agg(
+        F.min_by("open", "date").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "date").alias("close"),
+        F.sum("volume").cast("bigint").alias("volume"),
+        F.count(F.lit(1)).alias("trading_days"),
+    )
+
+
+@register(
+    "doc_embedding_join",
+    r"""
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
+           e.label,
+           ROUND(sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_doc_embedding_join(spark, sf_dir):
+    """Cross-modal join: documents × their embedding rows (doc_id = vec_id)
+    with JVM-side norm computation — the text+vector co-processing shape."""
+    from .functions.text import ws_tokens
+    from .operators.similarity import l2_norm, _to_double
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(ws_tokens(F.col("text"))).cast("int").alias("n_tokens"),
+            "label",
+            F.round(l2_norm(_to_double(F.col("embedding"))), 6).alias("emb_norm"),
+        )
+    )
