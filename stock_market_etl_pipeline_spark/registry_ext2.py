@@ -420,3 +420,73 @@ def q_doc_embedding_join(spark, sf_dir):
             F.round(l2_norm(_to_double(F.col("embedding"))), 6).alias("emb_norm"),
         )
     )
+
+
+@register(
+    "range_frame_avg",
+    WITH_TICKS
+    + """
+    SELECT symbol, date, close,
+           ROUND(AVG(close) OVER (
+               PARTITION BY symbol ORDER BY date
+               RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW), 6)
+               AS avg_30cal,
+           CAST(COUNT(*) OVER (
+               PARTITION BY symbol ORDER BY date
+               RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_in_window
+    FROM ticks
+    """,
+)
+def q_range_frame_avg(spark, sf_dir):
+    """RANGE frame: trailing 30 CALENDAR days (vs ma_5/ma_20's 5/20 ROWS) —
+    the two differ whenever the series has date gaps. Spark expresses the
+    calendar range as rangeBetween over a day-index ordering column."""
+    from pyspark.sql import Window
+
+    t = ticks(spark, sf_dir)
+    day_idx = F.datediff(F.col("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(day_idx)
+        .rangeBetween(-29, 0)
+    )
+    return t.select(
+        "symbol", "date", "close",
+        F.round(F.avg("close").over(w), 6).alias("avg_30cal"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as wide columns. Spark's pivot()
+    with an explicit value list is one shuffle (no distinct-values scan)."""
+    from .sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(a)
+            for c, a in [("click", "click"), ("view", "view"),
+                         ("purchase", "purchase"), ("signup", "signup"),
+                         ("error", "error_count")]
+        ],
+    )

@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: the SCALING.md claims as assertions.
+
+These lock in the shuffle/scan discipline — a future edit that silently
+reintroduces a duplicate subtree or an extra exchange fails here, not in a
+benchmark three rounds later.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from stock_market_etl_pipeline_spark import registry
+
+from conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {re.escape(name)}\s*$", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.queries()
+
+
+def test_enrich_pipeline_single_scan_single_exchange(spark, qs):
+    plan = plan_of(qs["enriched_features"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    # pruned scan: only the six needed lineitem columns are read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 6
+
+
+def test_predictions_single_scan(spark, qs):
+    plan = plan_of(qs["predictions"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    # one data exchange + one trivial final-orderBy exchange at most
+    assert count_nodes(plan, "Exchange") <= 2
+    # unused enrichment windows (percentile, weekofyear) must be pruned
+    assert "percentile" not in plan
+    assert "weekofyear" not in plan
+
+
+def test_dimension_joins_broadcast_not_shuffle(spark, qs):
+    plan = plan_of(qs["revenue_by_nation"](spark, SF_DIR))
+    assert count_nodes(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # grouped aggregate still does map-side partial aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_big_join_is_not_broadcast(spark, qs):
+    plan = plan_of(qs["priority_revenue"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark, qs):
+    plan = plan_of(qs["top_revenue_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_signals_max_date_branch_is_cheap(spark, qs):
+    plan = plan_of(qs["trading_signals"](spark, SF_DIR))
+    # two scans: the ticks pipeline + the single-column max-date probe
+    assert count_nodes(plan, "Scan parquet") == 2
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(len(s.split(",")) == 1 for s in schemas), (
+        "max-date branch should scan exactly one column"
+    )
