@@ -115,3 +115,28 @@ def test_ann_lsh_recall_on_planted_dup(emb):
     got = [r["neighbor_id"] for r in out.collect()]
     # near-identical vectors land in the same sign-projection bucket
     assert 1 in got
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = cosine_topk(emb, query_ids=qids, k=10)
+    approx = ivf_topk(emb, query_ids=qids, k=10, n_clusters=8, n_probe=4)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in qids
+    ]
+    # probing half the clusters should recover well over half the true top-k
+    assert sum(recalls) / len(recalls) >= 0.5

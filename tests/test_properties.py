@@ -96,3 +96,41 @@ def test_rolling_frames_shrink_exactly_like_pandas(spark, n):
     for i, d in enumerate(pdf["date"]):
         assert got[d][0] == pytest.approx(exp5.iloc[i])
         assert got[d][1] == pytest.approx(exp20.iloc[i])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+             min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+             min_size=1, max_size=15),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    import pandas as pd
+
+    from stock_market_etl_pipeline_spark.operators.asof import asof_join
+
+    # right side must be unique per (key, time) for determinism
+    right_rows = list({(k, t): (k, t) for k, t in right_rows}.values())
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, t int, idx int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in right_rows], "k int, rt int, v int"
+    )
+    got = {
+        r["idx"]: r["asof_v"]
+        for r in asof_join(left, right, key="k", left_time="t",
+                           right_time="rt", value_cols=["v"]).collect()
+    }
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left_rows)],
+                      columns=["k", "t", "idx"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame([(k, t, k * 1000 + t) for k, t in right_rows],
+                      columns=["k", "rt", "v"]).sort_values("rt", kind="stable")
+    merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                           direction="backward", allow_exact_matches=True)
+    expected = {
+        int(r.idx): (None if pd.isna(r.v) else int(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == expected
