@@ -56,7 +56,7 @@ def main() -> None:
         if name not in qs:
             continue
         best = float("inf")
-        for _ in range(2):  # min of 2 → steady-state, not first-run JIT noise
+        for _ in range(3):  # min of 3 → steady-state, not first-run JIT noise
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -22,3 +22,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: mergeSchema unions the
+    schemas of all files (columns added over time arrive as nulls in old
+    files). The append-sink reality at scale — daily drops gain columns;
+    a plain read would silently pick one file's schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

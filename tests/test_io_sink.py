@@ -45,3 +45,22 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
     assert joined.count() == a.count()
     spark.sql("DROP TABLE IF EXISTS t_close")
     spark.sql("DROP TABLE IF EXISTS t_vol")
+
+
+def test_merge_schema_reads_evolved_columns(spark, tmp_path):
+    from stock_market_etl_pipeline_spark.sources.tables import (
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10.0)], "id long, close double").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, 20.0, "NASDAQ")], "id long, close double, exchange string"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "close", "exchange"}
+    rows = {r["id"]: r["exchange"] for r in df.collect()}
+    assert rows == {1: None, 2: "NASDAQ"}
