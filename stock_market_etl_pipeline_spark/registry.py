@@ -268,9 +268,14 @@ def q_first_last_return(spark, sf_dir):
     """,
 )
 def q_days_ago_global_max(spark, sf_dir):
-    """J3/W9: global scalar aggregate joined to every row (broadcast)."""
+    """J3/W9: global scalar aggregate joined to every row (broadcast).
+
+    max(date over ticks) == max(to_date(l_shipdate)) by construction, so
+    the scalar branch aggregates the raw single-column scan instead of
+    re-running the ticks shuffle."""
     t = ticks(spark, sf_dir)
-    maxd = t.agg(F.max("date").alias("__max_date"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    maxd = li.agg(F.max(F.to_date("l_shipdate")).alias("__max_date"))
     return t.crossJoin(F.broadcast(maxd)).select(
         "symbol",
         "date",
