@@ -490,3 +490,35 @@ def q_event_type_pivot(spark, sf_dir):
                          ("error", "error_count")]
         ],
     )
+
+
+@register(
+    "gap_fill_forward",
+    WITH_TICKS
+    + """
+    , bounds AS (
+        SELECT symbol, MIN(date) AS d0, MAX(date) AS d1 FROM ticks GROUP BY 1
+    ),
+    calendar AS (
+        SELECT symbol, CAST(g.gs AS DATE) AS date
+        FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(gs)
+    ),
+    filled AS (
+        SELECT c.symbol, c.date, t.close, t.volume
+        FROM calendar c LEFT JOIN ticks t USING (symbol, date)
+    )
+    SELECT symbol, date,
+           LAST_VALUE(close IGNORE NULLS) OVER (
+               PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+           volume,
+           close IS NULL AS is_gap
+    FROM filled
+    """,
+)
+def q_gap_fill_forward(spark, sf_dir):
+    """Time-series densification: every calendar day per symbol, close
+    forward-filled from the last trading day (operators/resample.py)."""
+    from .operators.resample import calendar_fill
+
+    return calendar_fill(ticks(spark, sf_dir))
