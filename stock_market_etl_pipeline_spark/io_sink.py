@@ -95,3 +95,43 @@ def compact_parquet(spark, path: str, target_partitions: int,
     writer.parquet(tmp)
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+def merge_upsert_parquet(
+    spark,
+    sink_path: str,
+    updates: "DataFrame",
+    keys: list[str],
+    order_by: list[str],
+    partition_by: str = "symbol",
+) -> int:
+    """Batch MERGE (upsert) into a parquet dataset: union existing + updates,
+    keep-last per key by order_by, atomically swap directories. The batch
+    half of the reference's daily append+dedup cycle (the streaming half is
+    streaming/ingest.py). With a table format (Delta/Iceberg) this becomes
+    a real MERGE INTO; on raw parquet the rewrite is the portable fallback.
+    Returns the merged row count."""
+    import os
+    import shutil
+    import uuid
+
+    from .operators.clean import dedup_keep_last
+
+    if os.path.exists(sink_path):
+        existing = spark.read.parquet(sink_path)
+        combined = existing.unionByName(updates, allowMissingColumns=True)
+    else:
+        combined = updates
+    merged = dedup_keep_last(combined, keys=keys, order_by=order_by)
+    tmp = f"{sink_path}__merge_{uuid.uuid4().hex[:8]}"
+    (
+        merged.repartition(partition_by)
+        .write.mode("overwrite")
+        .partitionBy(partition_by)
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(sink_path):
+        shutil.rmtree(sink_path)
+    shutil.move(tmp, sink_path)
+    return n

@@ -64,3 +64,33 @@ def test_merge_schema_reads_evolved_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "close", "exchange"}
     rows = {r["id"]: r["exchange"] for r in df.collect()}
     assert rows == {1: None, 2: "NASDAQ"}
+
+
+def test_merge_upsert_keep_last(spark, tmp_path):
+    from stock_market_etl_pipeline_spark.io_sink import merge_upsert_parquet
+
+    sink = str(tmp_path / "merged")
+    day1 = spark.createDataFrame(
+        [("A", "2024-01-01", 10.0, 1), ("A", "2024-01-02", 11.0, 1),
+         ("B", "2024-01-01", 5.0, 1)],
+        "symbol string, date string, close double, batch int",
+    )
+    n1 = merge_upsert_parquet(spark, sink, day1, keys=["symbol", "date"],
+                              order_by=["batch"])
+    assert n1 == 3
+
+    # overlapping refetch: corrected close for A/01-02 + one new day
+    day2 = spark.createDataFrame(
+        [("A", "2024-01-02", 99.0, 2), ("A", "2024-01-03", 12.0, 2)],
+        "symbol string, date string, close double, batch int",
+    )
+    n2 = merge_upsert_parquet(spark, sink, day2, keys=["symbol", "date"],
+                              order_by=["batch"])
+    assert n2 == 4
+    got = {
+        (r["symbol"], r["date"]): r["close"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got[("A", "2024-01-02")] == 99.0   # later batch wins
+    assert got[("A", "2024-01-01")] == 10.0   # untouched rows survive
+    assert ("A", "2024-01-03") in got
