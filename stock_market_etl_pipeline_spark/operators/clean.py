@@ -98,3 +98,34 @@ def dedup_keep_last(df: DataFrame, keys: list[str], order_by: list[str],
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def nan_to_null(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P13: NaN → NULL normalization (reference ``src/load.py:228``,
+    ``df.where(pd.notnull(df), None)``). Spark keeps NaN and NULL distinct
+    for doubles; sinks and aggregates that expect SQL semantics need real
+    NULLs."""
+    targets = cols or [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() in ("double", "float")
+    ]
+    return df.withColumns(
+        {c: F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+         for c in targets}
+    )
+
+
+def with_defaults(df: DataFrame, defaults: dict | None = None) -> DataFrame:
+    """P14: fill the bookkeeping columns if absent/null (reference
+    ``src/load.py:210-215``: extracted_at ← now, data_source ← constant)."""
+    defaults = defaults or {
+        "extracted_at": F.current_timestamp(),
+        "data_source": F.lit("Alpha Vantage"),
+    }
+    out = df
+    for name, default in defaults.items():
+        if name in out.columns:
+            out = out.withColumn(name, F.coalesce(F.col(name), default))
+        else:
+            out = out.withColumn(name, default)
+    return out

@@ -25,7 +25,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 API_SCHEMA = T.StructType(
@@ -124,3 +129,44 @@ class QuoteAPIDataSource(DataSource):
 
     def reader(self, schema) -> QuoteAPIReader:
         return QuoteAPIReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "QuoteAPIStreamReader":
+        return QuoteAPIStreamReader(self.options)
+
+
+class QuoteAPIStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch polling reader: each batch serves the next day's quotes
+    for every symbol — the streaming translation of the reference's daily
+    scheduled re-fetch (``scheduler.py:110``). Offsets are day indices, so
+    restart resumes exactly at the unserved day (checkpointed by Spark).
+    """
+
+    def __init__(self, options: dict):
+        self.symbols = [
+            s.strip().upper()
+            for s in options.get("symbols", "AAPL").split(",")
+            if s.strip()
+        ]
+        self.days = int(options.get("days", "5"))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def read(self, start: dict):
+        day = start["day"]
+        if day >= self.days:
+            return iter([]), {"day": day}
+        rows = []
+        for s in self.symbols:
+            rows.append(_fake_fetch(s, day + 1)[day])
+        return iter(rows), {"day": day + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for day in range(start["day"], end["day"]):
+            for s in self.symbols:
+                rows.append(_fake_fetch(s, day + 1)[day])
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass

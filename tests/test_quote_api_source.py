@@ -66,3 +66,35 @@ def test_source_feeds_cleaning_pipeline(spark):
     assert rows[1]["ma_5"] == pytest.approx(
         (rows[0]["close"] + rows[1]["close"]) / 2
     )
+
+
+def test_streaming_source_serves_days_as_microbatches(spark, tmp_path):
+    import time
+
+    stream = (
+        spark.readStream.format("quote_api")
+        .option("symbols", "AAPL,MSFT")
+        .option("days", "3")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("qa_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        n = spark.sql("SELECT count(*) c FROM qa_stream_test").collect()[0]["c"]
+        if n >= 6:
+            break
+        time.sleep(1)
+    q.stop()
+    out = spark.sql(
+        "SELECT symbol, count(*) n, count(DISTINCT date) d "
+        "FROM qa_stream_test GROUP BY 1"
+    ).collect()
+    got = {r["symbol"]: (r["n"], r["d"]) for r in out}
+    # exactly `days` rows per symbol, one per micro-batch day, no repeats
+    assert got == {"AAPL": (3, 3), "MSFT": (3, 3)}
