@@ -36,6 +36,9 @@ HEADLINE = [
     "embedding_cosine_topk",
     "text_stats",
     "sessionize_events",
+    "gap_fill_forward",
+    "corpus_prep",
+    "priority_revenue",
 ]
 
 
