@@ -30,25 +30,34 @@ from ..functions.text import (
 )
 
 
-def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+def exact_duplicate_groups(docs: DataFrame, with_doc_ids: bool = False) -> DataFrame:
     """Groups of byte-identical (post-normalization) documents.
 
-    Returns (fingerprint, n_docs, keep_doc_id, dup_doc_ids) for groups with
-    more than one member; ``keep_doc_id`` is the smallest id (deterministic
-    survivor policy).
+    Returns (fingerprint, n_docs, keep_doc_id) for groups with more than one
+    member; ``keep_doc_id`` is the smallest id (deterministic survivor
+    policy). The member-id list is OPT-IN (``with_doc_ids=True``) and built
+    with a two-phase salted collect so a pathological mega-group (e.g. a
+    million empty documents sharing one fingerprint) accumulates its list
+    across ``n_salts`` tasks instead of one unbounded aggregation buffer —
+    the default output carries only bounded scalars per group.
     """
     fp = docs.select(
         F.col("doc_id"), normalized_fingerprint(F.col("text")).alias("fingerprint")
     )
-    return (
+    groups = (
         fp.groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
+    if with_doc_ids:
+        from .skew import salted_collect_list
+
+        lists = salted_collect_list(fp, key="fingerprint", value="doc_id")
+        groups = groups.join(lists, "fingerprint")
+    return groups
 
 
 def _spread(docs: DataFrame) -> DataFrame:

@@ -107,7 +107,8 @@ def embedding_near_pairs(
 
 
 def random_projection_buckets(
-    embeddings: DataFrame, n_planes: int = 8, seed: int = 42
+    embeddings: DataFrame, n_planes: int = 8, seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection LSH bucket per vector (the ANN scale path).
 
@@ -115,8 +116,12 @@ def random_projection_buckets(
     parity — fully deterministic and engine-portable. Bucket = n_planes sign
     bits packed into an int. Vectors in the same bucket are ANN candidates;
     search cost drops from O(n) per query to O(bucket).
+
+    Pass ``dim`` explicitly at scale; the ``.first()`` sniff is a
+    small-data convenience only.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
     emb = embeddings.select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
     )
@@ -148,14 +153,115 @@ def _md5_parity(seed: int, plane: int, dim: int) -> bool:
     return int(h[0], 16) % 2 == 0
 
 
+def plane_signs(seed: int, plane: int, dim: int) -> list[float]:
+    """The ±1 hyperplane components for one plane — shared by the Spark
+    expression and the generated DuckDB oracle SQL (bit-identical planes)."""
+    return [1.0 if _md5_parity(seed, plane, i) else -1.0 for i in range(dim)]
+
+
+def banded_projection_buckets(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, band, bucket): one sign-LSH bucket per vector per band.
+
+    OR-amplified LSH for pair search: each band hashes the vector with its
+    own ``planes_per_band`` hyperplanes; a pair is a candidate if it agrees
+    in ANY band. Recall for a pair at angle θ is 1-(1-(1-θ/π)^r)^L — more
+    bands raise recall, more planes per band sharpen selectivity.
+    """
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
+    emb = _spread(embeddings).select(
+        F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
+    )
+    band_structs = []
+    for band in range(n_bands):
+        bucket = None
+        for p in range(planes_per_band):
+            signs = F.array(
+                *[F.lit(s) for s in plane_signs(seed, band * planes_per_band + p, dim)]
+            )
+            proj = F.aggregate(
+                F.zip_with(F.col("v"), signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), bucket.cast("int").alias("bucket"))
+        )
+    return emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-pairs at scale: banded sign-LSH candidates + exact cosine verify.
+
+    The scale-safe counterpart of :func:`embedding_near_pairs` — the join
+    key is (band, bucket), so the plan is a hash/sort-merge join over LSH
+    buckets (cost Σ bucket², never the all-pairs broadcast-nested-loop).
+    Every candidate is verified with the exact cosine, so precision is 1.0
+    vs the brute-force truth and recall follows the banding formula (tested
+    in tests/test_llm_ops.py). Deterministic md5-parity hyperplanes keep the
+    whole operator oracle-checkable bit-for-bit in DuckDB.
+    """
+    bb = banded_projection_buckets(
+        embeddings, n_bands=n_bands, planes_per_band=planes_per_band,
+        seed=seed, dim=dim,
+    )
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    emb = embeddings.select(
+        F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     n_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact rerank restricted to same-LSH-bucket candidates."""
-    buckets = random_projection_buckets(embeddings, n_planes=n_planes)
+    buckets = random_projection_buckets(embeddings, n_planes=n_planes, dim=dim)
     emb = embeddings.join(buckets, "vec_id").select(
         "vec_id", _to_double(F.col("embedding")).alias("v"), "bucket"
     )

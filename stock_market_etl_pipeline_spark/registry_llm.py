@@ -27,7 +27,14 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from .operators.similarity import cosine_topk, embedding_near_pairs
+from .operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_near_pairs,
+    embedding_near_pairs_lsh,
+    ivf_topk,
+    plane_signs,
+)
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -47,6 +54,23 @@ sh AS (
     SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
     FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
 )
+"""
+
+# Document-frequency cap for the inverted-index Jaccard join: a shingle
+# appearing in more than this many documents is a stop-shingle — it carries
+# no near-dup signal but fans the self-join out quadratically on one hot
+# key. The cap bounds per-key join cost at scale; true near-dups share many
+# RARE shingles, so the capped Jaccard still separates them (the cap is
+# mirrored in the oracle CTE so the comparison stays bit-exact).
+NGRAM_MAX_DOC_FREQ = 50
+
+# capped shingles: relation `shc` = sh minus stop-shingles
+_CAPPED_SHINGLES_CTE = _SHINGLES_CTE + f""",
+kept AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING COUNT(*) <= {NGRAM_MAX_DOC_FREQ}
+),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle))
 """
 
 _EMB_CTE = """
@@ -207,11 +231,11 @@ def q_dedup_exact_groups(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
-    "WITH " + _SHINGLES_CTE + """,
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    "WITH " + _CAPPED_SHINGLES_CTE + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
@@ -223,9 +247,16 @@ def q_dedup_exact_groups(spark, sf_dir):
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs ≥ 0.5 (operators/dedup.py)."""
+    """Word-3-gram Jaccard near-dup pairs ≥ 0.5 (operators/dedup.py).
+
+    Registered WITH the document-frequency cap (the scale-safe variant):
+    stop-shingles above NGRAM_MAX_DOC_FREQ are dropped before the
+    inverted-index self-join, bounding the per-key fan-out at 100 TB.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_doc_freq=NGRAM_MAX_DOC_FREQ
+    )
 
 
 _MINHASH_ORACLE = (
@@ -351,14 +382,146 @@ def q_embedding_cosine_topk(spark, sf_dir):
     """,
 )
 def q_embedding_near_pairs(spark, sf_dir):
-    """Embedding-space near-duplicate pairs: cosine ≥ 0.35."""
+    """Embedding-space near-duplicate pairs: cosine ≥ 0.35.
+
+    The EXACT all-pairs baseline — small-sf oracle truth only. The
+    registered scale path is ``embedding_near_pairs_lsh`` below (banded LSH
+    candidates + exact verify, no all-pairs join); its recall against this
+    query is asserted in tests/test_llm_ops.py.
+    """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_pairs(emb, threshold=0.35)
 
 
+# --- banded sign-LSH near-pairs: the scale-safe registered variant --------
+
+_EMB_DIM = 64           # driver testdata embeddings are 64-dim (TESTDATA.md)
+_LSH_SEED = 42
+_LSH_BANDS = 16
+_LSH_PLANES_PER_BAND = 4
+_LSH_THRESHOLD = 0.45
+
+
+def _signs_sql(plane: int) -> str:
+    """DuckDB list literal of the ±1 plane — same md5-parity planes as the
+    Spark expression (operators/similarity.py plane_signs)."""
+    return "[" + ", ".join(
+        "1.0" if s > 0 else "-1.0"
+        for s in plane_signs(_LSH_SEED, plane, _EMB_DIM)
+    ) + "]"
+
+
+def _bucket_sql(first_plane: int, n_planes: int) -> str:
+    """Packed sign-bit bucket over ``n_planes`` consecutive planes."""
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(v, (x, i) -> x * "
+        f"{_signs_sql(first_plane + p)}[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+_NEAR_PAIRS_LSH_ORACLE = (
+    "WITH " + _EMB_CTE + """,
+    bb AS (
+        """
+    + "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {band} AS band, "
+        f"CAST({_bucket_sql(band * _LSH_PLANES_PER_BAND, _LSH_PLANES_PER_BAND)}"
+        f" AS INTEGER) AS bucket FROM emb"
+        for band in range(_LSH_BANDS)
+    )
+    + f"""
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {_cosine_sql('ea.v', 'eb.v')} AS score
+    FROM cand
+    JOIN emb ea ON ea.vec_id = id_a
+    JOIN emb eb ON eb.vec_id = id_b
+    WHERE {_cosine_sql('ea.v', 'eb.v')} >= {_LSH_THRESHOLD}
+    """
+)
+
+
+@register("embedding_near_pairs_lsh", _NEAR_PAIRS_LSH_ORACLE)
+def q_embedding_near_pairs_lsh(spark, sf_dir):
+    """Scale-safe near-pairs: banded sign-LSH candidates (16 bands × 4
+    planes) + exact cosine verify ≥ 0.45. The join is an equi-join on
+    (band, bucket) — never a broadcast-nested-loop over the corpus
+    (asserted in tests/test_plan_shapes.py). Deterministic md5-parity
+    hyperplanes make it bit-exact against the DuckDB oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_pairs_lsh(
+        emb,
+        threshold=_LSH_THRESHOLD,
+        n_bands=_LSH_BANDS,
+        planes_per_band=_LSH_PLANES_PER_BAND,
+        seed=_LSH_SEED,
+        dim=_EMB_DIM,
+    )
+
+
+_ANN_PLANES = 6
+
+_ANN_LSH_ORACLE = (
+    "WITH " + _EMB_CTE + f""",
+    bk AS (
+        SELECT vec_id, v,
+               CAST({_bucket_sql(0, _ANN_PLANES)} AS INTEGER) AS bucket
+        FROM emb
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+        FROM bk WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               {_cosine_sql('qv', 'e.v')} AS score
+        FROM bk e JOIN q ON e.bucket = q.qbucket AND e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS nn_rank
+    FROM ranked WHERE rn <= 10
+    """
+)
+
+
+@register("ann_lsh_topk", _ANN_LSH_ORACLE)
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-10 via sign-projection LSH buckets (6 planes) + exact rerank
+    — the bucketed approximate path next to the brute-force
+    ``embedding_cosine_topk`` baseline. Oracle-exact because the buckets are
+    deterministic; recall vs brute force asserted in tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_lsh(
+        emb, query_ids=list(range(10)), k=10, n_planes=_ANN_PLANES,
+        dim=_EMB_DIM,
+    ).select("query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank"))
+
+
+@register("ann_ivf_topk")  # no SQL oracle: KMeans quantizer (rows-only check)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10: KMeans coarse quantizer, n_probe nearest clusters
+    scanned per query, exact rerank inside the probed clusters. Not
+    SQL-expressible (iterative KMeans) → driver records the weaker
+    rows-only check; recall ≥ 0.5 vs brute force is asserted in
+    tests/test_llm_ops.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb, query_ids=list(range(5)), k=10, n_clusters=8, n_probe=4
+    ).select("query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank"))
+
+
 @register(
     "corpus_prep",
-    "WITH " + _SHINGLES_CTE + r""",
+    "WITH " + _CAPPED_SHINGLES_CTE + r""",
     quality AS (
         SELECT doc_id FROM toks
         WHERE len(t) >= 20 AND length(text) >= 100
@@ -371,10 +534,10 @@ def q_embedding_near_pairs(spark, sf_dir):
     exact_survivors AS (
         SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     near_dropped AS (
@@ -394,7 +557,8 @@ def q_corpus_prep(spark, sf_dir):
     thresholds) → exact-dup removal (min-id survivor) → near-dup removal
     (drop the higher id of every Jaccard ≥ 0.5 pair). The flagship
     LLM-data flow: every stage is one of the standalone operators chained
-    into a single lazy plan."""
+    into a single lazy plan. Near-dup stage runs with the stop-shingle
+    document-frequency cap (NGRAM_MAX_DOC_FREQ) — the scale-safe variant."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = ws_tokens(F.col("text"))
     quality = docs.filter(
@@ -405,7 +569,9 @@ def q_corpus_prep(spark, sf_dir):
     )
     exact_survivors = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     near_dropped = (
-        ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+        ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, max_doc_freq=NGRAM_MAX_DOC_FREQ
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -44,7 +44,28 @@ def test_exact_dedup_normalized(docs):
     # lowercase+trim normalization folds doc 2 into the group
     assert g["n_docs"] == 3
     assert g["keep_doc_id"] == 0
-    assert g["doc_ids"] == [0, 1, 2]
+    # member ids are opt-in (salted two-phase collect)
+    assert "doc_ids" not in exact_duplicate_groups(docs).columns
+    with_ids = exact_duplicate_groups(docs, with_doc_ids=True).collect()[0]
+    assert with_ids["doc_ids"] == [0, 1, 2]
+
+
+def test_exact_dedup_mega_group_salted(spark):
+    """A 10k-duplicate group: the salted path builds partial lists per
+    (fingerprint, salt) so no single aggregation buffer holds the whole
+    group, and the flattened+sorted result is still exact."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same text every time").alias("text")
+    )
+    out = exact_duplicate_groups(docs, with_doc_ids=True)
+    # plan shape: two aggregation rounds (partial per-salt, then final)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+    row = out.collect()[0]
+    assert row["n_docs"] == n
+    assert row["keep_doc_id"] == 0
+    assert row["doc_ids"] == sorted(range(n))
 
 
 def test_ngram_jaccard_finds_near_dup(docs):
@@ -107,6 +128,51 @@ def test_embedding_near_pairs_threshold(emb):
     df, _ = emb
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_pairs(df, 0.95).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_near_pairs_lsh_recall_and_precision(spark):
+    """LSH candidates + exact verify vs the brute-force truth on the real
+    embeddings table: precision is 1.0 by construction (every candidate is
+    cosine-verified); recall follows the 16-band × 4-plane banding curve.
+    The testdata vectors are iid gaussian (no cluster structure) — the
+    adversarial case for LSH — so the bar here is deliberately the floor."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        embedding_near_pairs_lsh,
+    )
+    from conftest import SF_DIR
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_pairs(df, 0.45).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_pairs_lsh(
+            df, 0.45, n_bands=16, planes_per_band=4, dim=64
+        ).collect()
+    }
+    assert set(got) <= set(exact)          # precision 1.0
+    for p, s in got.items():
+        assert s == exact[p]               # verified scores are exact
+    assert len(got) / max(len(exact), 1) >= 0.6
+
+def test_ngram_jaccard_doc_freq_cap_drops_hot_shingles(spark):
+    """Stop-shingle cap: a shingle shared by every document must not create
+    pairs once the document frequency exceeds the cap."""
+    # 6 docs all sharing one 3-gram ("a b c"), otherwise disjoint
+    rows = [
+        (i, f"a b c x{i} y{i} z{i} w{i}", "en", "s", 20) for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    uncapped = ngram_jaccard_pairs(docs, k=3, threshold=0.01).collect()
+    capped = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.01, max_doc_freq=5
+    ).collect()
+    assert len(uncapped) == 15      # C(6,2): the hot shingle pairs everyone
+    assert len(capped) == 0         # cap removes the hot key entirely
 
 
 def test_ann_lsh_recall_on_planted_dup(emb):

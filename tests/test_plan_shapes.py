@@ -69,6 +69,24 @@ def test_topk_plans_take_ordered(spark, qs):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_near_pairs_lsh_no_all_pairs_join(spark, qs):
+    """The registered embedding near-pairs scale path must never plan a
+    broadcast-nested-loop / cartesian over the corpus — candidates come
+    from an equi-join on (band, bucket)."""
+    plan = plan_of(qs["embedding_near_pairs_lsh"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_registered_with_doc_freq_cap(spark, qs):
+    """The registered Jaccard query must run the stop-shingle cap (the
+    __df document-frequency aggregate appears in the plan)."""
+    plan = plan_of(qs["dedup_ngram_jaccard"](spark, SF_DIR))
+    assert "__df" in plan
+    plan2 = plan_of(qs["corpus_prep"](spark, SF_DIR))
+    assert "__df" in plan2
+
+
 def test_signals_max_date_branch_is_cheap(spark, qs):
     plan = plan_of(qs["trading_signals"](spark, SF_DIR))
     # two scans: the ticks pipeline + the single-column max-date probe
