@@ -682,3 +682,4 @@ def q_trading_signals(spark, sf_dir):
 from . import registry_llm  # noqa: E402,F401
 from . import registry_ext  # noqa: E402,F401
 from . import registry_ext2  # noqa: E402,F401
+from . import registry_dim  # noqa: E402,F401

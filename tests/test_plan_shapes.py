@@ -87,6 +87,15 @@ def test_ngram_jaccard_registered_with_doc_freq_cap(spark, qs):
     assert "__df" in plan2
 
 
+def test_overview_dim_joins_broadcast(spark, qs):
+    """The overview dim (one row per symbol) must always broadcast — the
+    fact side never shuffles on the dim key."""
+    for q in ("overview_enrich", "sector_volume_summary"):
+        plan = plan_of(qs[q](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
 def test_signals_max_date_branch_is_cheap(spark, qs):
     plan = plan_of(qs["trading_signals"](spark, SF_DIR))
     # two scans: the ticks pipeline + the single-column max-date probe
