@@ -28,7 +28,11 @@ from .io_sink import write_parquet
 from .operators.clean import clean_quotes
 from .operators.enrich import enrich
 from .plans.analytics import db_summary
-from .plans.quality import run_quality_suite, stock_quality_checks
+from .plans.quality import (
+    run_quality_suite,
+    save_validation_report,
+    stock_quality_checks,
+)
 from .schema import RAW_QUOTE_SCHEMA
 from .session import get_spark
 
@@ -41,6 +45,18 @@ class PipelineResult:
     records_loaded: int
     unique_symbols: int
     sink_path: str
+    report_path: str | None = None
+    checks_passed: int = 0
+    checks_total: int = 0
+
+
+def health_check(spark: SparkSession) -> bool:
+    """S14: SELECT 1 liveness probe (reference ``dashboard/app.py:125-137``
+    pings the database the same way before rendering)."""
+    try:
+        return spark.sql("SELECT 1 AS ok").collect()[0]["ok"] == 1
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def run_pipeline(
@@ -49,7 +65,10 @@ def run_pipeline(
     sink_path: str,
     input_format: str = "json",
     validation_threshold: float = 0.90,
+    report_path: str | None = None,
 ) -> PipelineResult:
+    if not health_check(spark):
+        raise RuntimeError("Spark session failed the SELECT 1 health probe")
     reader = spark.read.schema(RAW_QUOTE_SCHEMA)
     raw = reader.json(input_path) if input_format == "json" else reader.parquet(
         input_path
@@ -60,9 +79,11 @@ def run_pipeline(
     # cache: the quality gate, the sink write, and the summary all read this
     enriched = enriched.cache()
     try:
-        ok, rate, _results = run_quality_suite(
+        ok, rate, results = run_quality_suite(
             enriched, stock_quality_checks(), success_threshold=validation_threshold
         )
+        if report_path:
+            save_validation_report(results, rate, ok, report_path)
         # reference proceeds to load even on warning (pipeline.py:244)
         write_parquet(enriched, sink_path)
         summary = db_summary(enriched).collect()[0]
@@ -73,6 +94,9 @@ def run_pipeline(
             records_loaded=summary["total_records"],
             unique_symbols=summary["unique_symbols"],
             sink_path=sink_path,
+            report_path=report_path,
+            checks_passed=sum(1 for r in results if r.success),
+            checks_total=len(results),
         )
     finally:
         enriched.unpersist()

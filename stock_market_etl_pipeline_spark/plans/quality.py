@@ -118,6 +118,43 @@ def run_quality_suite(
     return rate >= success_threshold, rate, results
 
 
+def save_validation_report(
+    results: list[CheckResult],
+    rate: float,
+    success: bool,
+    path: str,
+    timestamp: str | None = None,
+) -> dict:
+    """Persist the validation outcome as a JSON artifact (machine-readable,
+    unlike the reference's prose .txt — ``src/data_quality.py:242-273``).
+
+    The report is driver-side metadata (the check results are already
+    collected scalars), so this is a plain json.dump, not a Spark write.
+    Returns the report dict that was written.
+    """
+    import json
+    import os
+    from datetime import datetime, timezone
+
+    report = {
+        "success": success,
+        "success_rate": round(rate * 100, 1),
+        "passed_checks": sum(1 for r in results if r.success),
+        "total_checks": len(results),
+        "failed_expectations": [
+            {"expectation": r.name, "pass_fraction": round(r.pass_fraction, 6)}
+            for r in results
+            if not r.success
+        ],
+        "timestamp": timestamp
+        or datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    return report
+
+
 def validation_aggregates(df: DataFrame) -> DataFrame:
     """Distributed (no-collect) flavor: one row of violation counts.
 

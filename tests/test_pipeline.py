@@ -32,6 +32,48 @@ def test_pipeline_end_to_end(spark, tmp_path, raw_quotes):
     assert aapl[1]["daily_change"] == 1.0
 
 
+def test_pipeline_report_and_warning_gate(spark, tmp_path):
+    """Failing dataset → validation gate trips (<90%), pipeline still loads
+    (reference proceeds on warning, src/pipeline.py:227-251), a JSON report
+    artifact is persisted, and the alert layer classifies it 'warning'."""
+    import json
+
+    from stock_market_etl_pipeline_spark.alerts import classify, email_payload
+
+    inp = str(tmp_path / "landing3")
+    sink = str(tmp_path / "warehouse3")
+    report = str(tmp_path / "logs" / "data_quality.json")
+    # prices ~20000 survive cleaning (positive, OHLC-consistent) but fail
+    # all four (0, 10000) range expectations -> 11/15 = 73% < 90%
+    df = spark.createDataFrame(make_raw_rows("HUGE", 10, base=20000.0),
+                               RAW_QUOTE_SCHEMA)
+    df.write.mode("overwrite").json(inp)
+
+    result = run_pipeline(spark, inp, sink, report_path=report)
+
+    assert result.success                    # loaded anyway
+    assert not result.validation_passed      # gate tripped
+    assert result.checks_total == 15 and result.checks_passed == 11
+    assert classify(result) == "warning"
+    assert email_payload(result, "r1")["status"] == "warning"
+
+    with open(report) as f:
+        rep = json.load(f)
+    assert rep["success"] is False
+    assert rep["passed_checks"] == 11 and rep["total_checks"] == 15
+    assert rep["success_rate"] == round(11 / 15 * 100, 1)
+    failed = {e["expectation"] for e in rep["failed_expectations"]}
+    assert failed == {"range_open", "range_high", "range_low", "range_close"}
+    # the loaded sink still has the rows (warning ≠ abort)
+    assert spark.read.parquet(sink).count() == 10
+
+
+def test_health_check(spark):
+    from stock_market_etl_pipeline_spark.pipeline import health_check
+
+    assert health_check(spark)
+
+
 def test_pipeline_rerun_overwrites(spark, tmp_path):
     inp = str(tmp_path / "landing2")
     sink = str(tmp_path / "warehouse2")
