@@ -207,6 +207,56 @@ def q_revenue_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "revenue_cube",
+    """
+    SELECT r.r_name AS region, l.l_returnflag AS returnflag,
+           CAST(GROUPING(r.r_name) AS INTEGER)       AS is_region_total,
+           CAST(GROUPING(l.l_returnflag) AS INTEGER) AS is_flag_total,
+           CAST(COUNT(*) AS BIGINT) AS lines,
+           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, l.l_returnflag)
+    """,
+)
+def q_revenue_cube(spark, sf_dir):
+    """CUBE over two independent dims (region × returnflag) with GROUPING()
+    markers disambiguating subtotal rows from genuine NULL groups — all
+    2^2 grouping sets in ONE shuffle (Spark expands sets map-side)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .cube("r_name", "l_returnflag")
+        .agg(
+            F.grouping("r_name").cast("int").alias("is_region_total"),
+            F.grouping("l_returnflag").cast("int").alias("is_flag_total"),
+            F.count(F.lit(1)).alias("lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("l_returnflag").alias("returnflag"),
+            "is_region_total",
+            "is_flag_total",
+            "lines",
+            "revenue",
+        )
+    )
+
+
 from .sources.synthetic import synthetic_quotes, synthetic_quotes_oracle  # noqa: E402
 
 
