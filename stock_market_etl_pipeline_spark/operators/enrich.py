@@ -106,26 +106,63 @@ def enrich(df: DataFrame) -> DataFrame:
     """ticks-shaped (symbol,date,open,high,low,close,volume) → enriched table.
 
     Output columns/order per ENRICHED_COLUMNS (src/transform.py:292-313).
+
+    Built as THREE wide selects (lag layer → window layer → expression
+    layer), not a chain of per-feature withColumns: each PySpark
+    DataFrame call re-analyzes the whole growing logical tree JVM-side, and
+    at ~10 chained calls the analysis overhead was ~0.4 s per query build —
+    real time at bench scale, pure waste at any scale. The layering is the
+    dependency structure: daily_change_percent (lag) must exist before the
+    rolling stddev that consumes it; everything else flattens.
     """
-    out = with_lag_features(df)
-    out = with_range_features(out)
-    out = with_date_parts(out)
-    out = out.withColumns(
-        {
-            # pandas: NaN > 0 is False → coalesce nulls to False (SURVEY §7.3)
-            "is_positive_day": F.coalesce(F.col("daily_change") > 0, F.lit(False)),
-            "is_negative_day": F.coalesce(F.col("daily_change") < 0, F.lit(False)),
-        }
+    from ..functions.dateparts import pandas_day_of_week
+
+    w = SYMBOL_DATE_WINDOW()
+    lag_close = F.lag("close", 1).over(w)
+    d = F.col("date")
+    rng = F.col("high") - F.col("low")
+    lag_layer = df.select(
+        "*",
+        (F.col("close") - lag_close).alias("daily_change"),
+        ((F.col("close") / lag_close - 1) * 100).alias("daily_change_percent"),
+        rng.alias("price_range"),
+        (rng / F.col("close") * 100).alias("price_range_percent"),
+        F.year(d).cast("int").alias("year"),
+        F.month(d).cast("int").alias("month"),
+        F.quarter(d).cast("int").alias("quarter"),
+        pandas_day_of_week(d).cast("int").alias("day_of_week"),
+        F.weekofyear(d).cast("int").alias("week_of_year"),
     )
-    out = with_moving_averages(out)
-    out = with_volatility(out)
-    out = out.withColumns(
-        {
-            "price_vs_ma5": (F.col("close") - F.col("ma_5")) / F.col("ma_5") * 100,
-            "price_vs_ma20": (F.col("close") - F.col("ma_20")) / F.col("ma_20") * 100,
-            "volatility_category": categorize_volatility(F.col("volatility_indicator")),
-        }
+    w2 = SYMBOL_DATE_WINDOW()
+    window_layer = lag_layer.select(
+        "*",
+        # pandas: NaN > 0 is False → coalesce nulls to False (SURVEY §7.3)
+        F.coalesce(F.col("daily_change") > 0, F.lit(False)).alias("is_positive_day"),
+        F.coalesce(F.col("daily_change") < 0, F.lit(False)).alias("is_negative_day"),
+        F.avg("close").over(w2.rowsBetween(-4, 0)).alias("ma_5"),
+        F.avg("close").over(w2.rowsBetween(-19, 0)).alias("ma_20"),
+        F.stddev_samp("daily_change_percent")
+        .over(w2.rowsBetween(-19, 0))
+        .alias("volatility_indicator"),
     )
-    out = with_volume_quartile_category(out)
+    wp = Window.partitionBy("symbol")
+    out = window_layer.select(
+        "*",
+        ((F.col("close") - F.col("ma_5")) / F.col("ma_5") * 100).alias(
+            "price_vs_ma5"
+        ),
+        ((F.col("close") - F.col("ma_20")) / F.col("ma_20") * 100).alias(
+            "price_vs_ma20"
+        ),
+        categorize_volatility(F.col("volatility_indicator")).alias(
+            "volatility_category"
+        ),
+        volume_category_expr(
+            F.col("volume"),
+            F.percentile("volume", 0.25).over(wp),
+            F.percentile("volume", 0.50).over(wp),
+            F.percentile("volume", 0.75).over(wp),
+        ).alias("volume_category"),
+    )
     extras = [c for c in out.columns if c not in ENRICHED_COLUMNS]
     return out.select(*ENRICHED_COLUMNS, *extras)

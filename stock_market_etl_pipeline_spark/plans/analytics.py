@@ -37,14 +37,18 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
     """
     # Single-branch plan: the last-5 stats (A10) are TRAILING frame
     # aggregates in the same ASC-ordered window the enrichment already
-    # sorted for — evaluated at the last row per symbol (rn == cnt). Using
-    # a desc window here would add a second Sort node; a groupBy-on-slice +
-    # join-back would compute the whole enrich subtree twice (verified via
-    # explain). All window functions share one Exchange+Sort.
+    # sorted for — evaluated at the last row per symbol. The last row is
+    # detected with lead(date) IS NULL (same ordered spec as everything
+    # else) instead of rn == count-over-partition: the unordered COUNT
+    # window would be a second Window node buffering each whole partition.
+    # At the last row row_number == partition size, so the min_history
+    # gate is just __rn >= min_history. A desc window would add a second
+    # Sort; a groupBy-on-slice + join-back would compute the enrich
+    # subtree twice (verified via explain).
     ranked = enriched.withColumns(
         {
             "__rn": F.row_number().over(_ASC()),
-            "__cnt": F.count(F.lit(1)).over(Window.partitionBy("symbol")),
+            "__is_last": F.lead("date").over(_ASC()).isNull(),
             # Rounded to 6dp at the aggregate boundary: downstream arithmetic
             # then runs on bit-identical doubles in Spark and the DuckDB
             # oracle, so the final 2dp rounding can't straddle (engines'
@@ -61,7 +65,7 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
         }
     )
     joined = ranked.filter(
-        (F.col("__rn") == F.col("__cnt")) & (F.col("__cnt") >= min_history)
+        F.col("__is_last") & (F.col("__rn") >= min_history)
     ).select(
         "symbol",
         F.col("close").alias("current_price"),
@@ -72,16 +76,20 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
         F.col("__std5").alias("recent_volatility"),
     )
 
-    trend = trend_expr(F.col("ma_5"), F.col("ma_20"))
-    strength = trend_strength_expr(F.col("ma_5"), F.col("ma_20"))
-    joined = joined.withColumns({"trend": trend, "trend_strength": strength})
+    # two wide selects, not four withColumns: each extra DataFrame call is
+    # a full JVM re-analysis of the tree (see enrich() docstring)
+    joined = joined.select(
+        "*",
+        trend_expr(F.col("ma_5"), F.col("ma_20")).alias("trend"),
+        trend_strength_expr(F.col("ma_5"), F.col("ma_20")).alias("trend_strength"),
+    )
     pcp = predicted_change_percent_expr(
         F.col("trend"), F.col("trend_strength"), F.col("avg_daily_change")
     )
-    joined = joined.withColumn("predicted_change_percent", pcp)
-    joined = joined.withColumn(
-        "predicted_price",
-        F.col("current_price") * (1 + F.col("predicted_change_percent") / 100),
+    joined = joined.select(
+        "*",
+        pcp.alias("predicted_change_percent"),
+        (F.col("current_price") * (1 + pcp / 100)).alias("predicted_price"),
     )
     return joined.select(
         "symbol",
@@ -116,17 +124,16 @@ def trading_signals(enriched: DataFrame, lookback: int = 10,
     the full input (not per symbol) — a scalar aggregate broadcast-joined
     back (J3).
     """
-    # last-N per symbol expressed against the ASC ordering (rn > cnt − N):
-    # reuses the enrichment's existing sort instead of adding a desc Sort.
+    # last-N per symbol expressed against the ASC ordering: a row is within
+    # the last N rows iff lead(date, N) runs off the partition end. Same
+    # ordered window spec as the signal lags below — no desc re-sort, no
+    # unordered COUNT window buffering whole partitions.
     last_n = (
-        enriched.withColumns(
-            {
-                "__rn": F.row_number().over(_ASC()),
-                "__cnt": F.count(F.lit(1)).over(Window.partitionBy("symbol")),
-            }
+        enriched.withColumn(
+            "__in_tail", F.lead("date", lookback).over(_ASC()).isNull()
         )
-        .filter(F.col("__rn") > F.col("__cnt") - lookback)
-        .drop("__rn", "__cnt")
+        .filter(F.col("__in_tail"))
+        .drop("__in_tail")
     )
     prev5 = F.lag("ma_5").over(_ASC())
     prev20 = F.lag("ma_20").over(_ASC())

@@ -25,6 +25,7 @@ from .plans.analytics import (
     trading_signals,
 )
 from .plans.quality import validation_aggregates
+from .sources.tables import load_table
 from .sources.ticks import ticks
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -81,7 +82,7 @@ def q_ticks_ohlcv(spark, sf_dir):
 )
 def q_clean_filters(spark, sf_dir):
     """P5-P7 analog: positivity/logic predicates + projected row expr."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     c = F.col
     return li.filter(
         (c("l_quantity") > 0)
@@ -141,7 +142,7 @@ def q_dedup_keep_last(spark, sf_dir):
 )
 def q_date_parts(spark, sf_dir):
     """F1: date parts with pandas dayofweek convention (functions/dateparts)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     df = orders.select(
         "o_orderkey", F.to_date("o_orderdate").alias("date")
     )
@@ -274,7 +275,7 @@ def q_days_ago_global_max(spark, sf_dir):
     the scalar branch aggregates the raw single-column scan instead of
     re-running the ticks shuffle."""
     t = ticks(spark, sf_dir)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     maxd = li.agg(F.max(F.to_date("l_shipdate")).alias("__max_date"))
     return t.crossJoin(F.broadcast(maxd)).select(
         "symbol",
@@ -456,7 +457,7 @@ def q_validation_aggregates(spark, sf_dir):
 def q_supplier_latest_left(spark, sf_dir):
     """J1: left join of the requested-keys dimension against results —
     nulls mark missing fetches."""
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sup = load_table(spark, sf_dir, "supplier")
     latest = ticks(spark, sf_dir).groupBy("symbol").agg(
         F.max_by("close", "date").alias("latest_close"),
         F.max("date").alias("latest_date"),
@@ -485,10 +486,10 @@ def q_revenue_by_nation(spark, sf_dir):
     The three dimension joins broadcast (tiny tables at any SF) — the only
     shuffle is the final group-by, with map-side partial aggregation.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
@@ -523,7 +524,7 @@ def q_revenue_by_nation(spark, sf_dir):
 )
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary — the canonical scan+agg scale probe."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     c = F.col
     disc_price = c("l_extendedprice") * (F.lit(1.0) - c("l_discount"))
     return (
@@ -668,7 +669,7 @@ def q_trading_signals(spark, sf_dir):
     table's max date by construction) — avoids duplicating the enrich
     subtree into the broadcast branch.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     max_date = li.agg(F.max(F.to_date("l_shipdate")).alias("__max_date"))
     df = trading_signals(_enriched(spark, sf_dir), max_date_df=max_date)
     return df.select(

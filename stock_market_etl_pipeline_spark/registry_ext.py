@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import register
+from .sources.tables import load_table
 from .sources.events import load_events
 from .sources.ticks import ticks
 from .oracles import WITH_TICKS
@@ -152,9 +153,9 @@ def q_top_revenue_orders(spark, sf_dir):
     The orders/customer sides broadcast; the top-k is
     TakeOrderedAndProject (no global sort materialization).
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
     rev = li.groupBy("l_orderkey").agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
@@ -190,8 +191,8 @@ def q_top_revenue_orders(spark, sf_dir):
 )
 def q_customer_segment_stats(spark, sf_dir):
     """Dimension join + conditional aggregation per market segment."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
@@ -253,7 +254,7 @@ def q_union_sources(spark, sf_dir):
     t = ticks(spark, sf_dir).select(
         "symbol", "date", "close", F.lit("lineitem").alias("source")
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     o_feed = (
         orders.groupBy(
             F.col("o_custkey").alias("symbol"),

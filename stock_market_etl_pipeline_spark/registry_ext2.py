@@ -10,6 +10,7 @@ from .operators.asof import asof_join
 from .operators.clean import clean_quotes
 from .oracles import WITH_TICKS
 from .registry import register
+from .sources.tables import load_table
 from .sources.ticks import ticks
 
 
@@ -39,7 +40,7 @@ def q_asof_last_order_value(spark, sf_dir):
     value is deterministic.
     """
     t = ticks(spark, sf_dir).select("symbol", "date", "close")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     feed = orders.groupBy(
         F.col("o_custkey").alias("symbol"),
         F.to_date("o_orderdate").alias("odate"),
@@ -114,7 +115,7 @@ def q_clean_raw_quotes(spark, sf_dir):
     positivity filters, keep-last dedup on (symbol, date) with the row
     sequence as tiebreak (operators/clean.py::clean_quotes).
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     c = F.col
     # DECIMAL(18,6) represents the true ≤6dp product exactly — no rounding
     # tie for the engines to resolve differently (TPC-H prices are 2dp,
@@ -152,8 +153,8 @@ def q_clean_raw_quotes(spark, sf_dir):
 )
 def q_part_type_revenue(spark, sf_dir):
     """Fact × part dimension (broadcast) with grouped revenue per type."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_type")
@@ -186,10 +187,10 @@ def q_part_type_revenue(spark, sf_dir):
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP hierarchy totals (region → nation → grand total) — partial
     aggregation handles the hierarchy in one shuffle."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
@@ -226,10 +227,10 @@ def q_revenue_cube(spark, sf_dir):
     """CUBE over two independent dims (region × returnflag) with GROUPING()
     markers disambiguating subtotal rows from genuine NULL groups — all
     2^2 grouping sets in ONE shuffle (Spark expands sets map-side)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
@@ -275,7 +276,7 @@ def q_approx_stats(spark, sf_dir):
     engines by design; the driver records a rows-only check, and the exact
     twins (validation_aggregates, enriched quartiles) are the correctness
     anchor."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
@@ -358,8 +359,8 @@ def q_priority_revenue(spark, sf_dir):
     """Large fact-to-fact join (orders ⋈ lineitem): the sort-merge-join
     shuffle path with AQE skew handling — deliberately NOT broadcast, the
     plan probe for big-join behavior at scale."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").hint("merge")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").hint("merge")
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
@@ -458,8 +459,8 @@ def q_doc_embedding_join(spark, sf_dir):
     from .functions.text import ws_tokens
     from .operators.similarity import l2_norm, _to_double
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
     return (
         docs.join(emb, docs.doc_id == emb.vec_id)
         .select(

@@ -36,6 +36,7 @@ from .operators.similarity import (
     plane_signs,
 )
 from .registry import register
+from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
 # Shared oracle fragments
@@ -117,7 +118,7 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 def q_text_stats(spark, sf_dir):
     """Text quality metrics: lengths, token counts, stopword ratio, BPE-ish
     lexer token count — all JVM-side expressions (functions/text.py)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     t = ws_tokens(F.col("text"))
     tok_lens = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
@@ -165,7 +166,7 @@ _LANG_CASE += "  ELSE 'und' END"
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID: per-language stopword hit counts, argmax with
     a fixed priority order (en > de > fr > es), 'und' when no hits."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     t = ws_tokens(F.col("text"))
     scores = {lang: stopword_hits(t, STOPWORDS[lang]) for lang in LANG_PRIORITY}
     guess = None
@@ -198,7 +199,7 @@ def q_lang_id(spark, sf_dir):
 )
 def q_doc_fingerprints(spark, sf_dir):
     """Normalized md5 fingerprint per document (the exact-dedup key)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -219,7 +220,7 @@ def q_doc_fingerprints(spark, sf_dir):
 )
 def q_dedup_exact_groups(spark, sf_dir):
     """Exact dedup: fingerprint groups with >1 member + survivor id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return exact_duplicate_groups(docs).select(
         "fingerprint", "n_docs", "keep_doc_id"
     )
@@ -253,7 +254,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     stop-shingles above NGRAM_MAX_DOC_FREQ are dropped before the
     inverted-index self-join, bounding the per-key fan-out at 100 TB.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, k=3, threshold=0.5, max_doc_freq=NGRAM_MAX_DOC_FREQ
     )
@@ -290,7 +291,7 @@ _MINHASH_ORACLE = (
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate pairs."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
 
 
@@ -338,7 +339,7 @@ def _simhash_oracle() -> str:
 @register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3) via banded hamming-LSH."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_distance=3, bands=4)
 
 
@@ -366,7 +367,7 @@ def q_dedup_simhash(spark, sf_dir):
 )
 def q_embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 10."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, query_ids=list(range(10)), k=10).select(
         "query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank")
     )
@@ -389,7 +390,7 @@ def q_embedding_near_pairs(spark, sf_dir):
     candidates + exact verify, no all-pairs join); its recall against this
     query is asserted in tests/test_llm_ops.py.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs(emb, threshold=0.35)
 
 
@@ -453,7 +454,7 @@ def q_embedding_near_pairs_lsh(spark, sf_dir):
     (band, bucket) — never a broadcast-nested-loop over the corpus
     (asserted in tests/test_plan_shapes.py). Deterministic md5-parity
     hyperplanes make it bit-exact against the DuckDB oracle."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs_lsh(
         emb,
         threshold=_LSH_THRESHOLD,
@@ -499,7 +500,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     — the bucketed approximate path next to the brute-force
     ``embedding_cosine_topk`` baseline. Oracle-exact because the buckets are
     deterministic; recall vs brute force asserted in tests."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(
         emb, query_ids=list(range(10)), k=10, n_planes=_ANN_PLANES,
         dim=_EMB_DIM,
@@ -513,7 +514,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     SQL-expressible (iterative KMeans) → driver records the weaker
     rows-only check; recall ≥ 0.5 vs brute force is asserted in
     tests/test_llm_ops.py."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, query_ids=list(range(5)), k=10, n_clusters=8, n_probe=4
     ).select("query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank"))
@@ -559,7 +560,7 @@ def q_corpus_prep(spark, sf_dir):
     LLM-data flow: every stage is one of the standalone operators chained
     into a single lazy plan. Near-dup stage runs with the stop-shingle
     document-frequency cap (NGRAM_MAX_DOC_FREQ) — the scale-safe variant."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     t = ws_tokens(F.col("text"))
     quality = docs.filter(
         (F.size(t) >= 20) & (F.length("text") >= 100)

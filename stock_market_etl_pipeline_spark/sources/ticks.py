@@ -39,7 +39,9 @@ def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1; the projection below prunes the shuffle payload to the six
     needed columns.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    from .tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("symbol"),
         F.to_date("l_shipdate").alias("date"),
         "l_extendedprice", "l_tax", "l_discount", "l_quantity",
