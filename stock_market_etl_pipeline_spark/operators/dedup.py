@@ -204,6 +204,54 @@ def minhash_lsh_candidates(
     )
 
 
+def jaccard_over_candidates(
+    docs: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard verification restricted to a candidate-pair set.
+
+    The candidates+verify composition (pair with
+    :func:`minhash_lsh_candidates`): candidate generation is the banded
+    LSH join (cost Σ bucket²), and the exact shingle-set Jaccard runs only
+    on candidates — the full-corpus inverted-index self-join (and its
+    stop-shingle skew) never happens. The 100 TB text near-dup path.
+    """
+    sh = _doc_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # equi-join on (doc_b, shingle): attaching a's shingles to each
+    # candidate then hash-joining b's on BOTH keys yields exactly the
+    # intersection rows — never the |sh_a| × |sh_b| cross-blowup a
+    # join-then-filter would produce
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    zb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    jac = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 SIMHASH_BITS = 60  # md5_hash60 yields 60 usable bits (15 hex chars)
 
 

@@ -16,6 +16,7 @@ from .functions.text import (
     LANG_PRIORITY,
     STOPWORDS,
     bpe_ish_tokens,
+    md5_hash60,
     normalized_fingerprint,
     stopword_hits,
     ws_tokens,
@@ -23,6 +24,7 @@ from .functions.text import (
 from .operators.dedup import (
     SIMHASH_BITS,
     exact_duplicate_groups,
+    jaccard_over_candidates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -260,8 +262,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-_MINHASH_ORACLE = (
-    "WITH " + _SHINGLES_CTE + """,
+_MINHASH_CTES = _SHINGLES_CTE + """,
     idx AS (
         SELECT doc_id, shingle, i AS hash_idx
         FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
@@ -280,12 +281,16 @@ _MINHASH_ORACLE = (
                string_agg(minhash::VARCHAR, ':' ORDER BY hash_idx) AS band_sig
         FROM sig GROUP BY 1, 2
     )
+"""
+
+_MINHASH_CAND_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
                  AND a.doc_id < b.doc_id
-    """
-)
+"""
+
+_MINHASH_ORACLE = "WITH " + _MINHASH_CTES + _MINHASH_CAND_SELECT
 
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
@@ -293,6 +298,36 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_jaccard_lsh_verified",
+    "WITH " + _MINHASH_CTES + """,
+    cand AS (""" + _MINHASH_CAND_SELECT + """),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q_dedup_jaccard_lsh_verified(spark, sf_dir):
+    """Candidates+verify near-dup (the 100 TB text path): MinHash-LSH
+    banded candidates, then EXACT shingle-Jaccard ≥ 0.5 computed only on
+    candidate pairs — the full-corpus inverted-index self-join (and its
+    stop-shingle skew surface) never exists in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+    return jaccard_over_candidates(docs, cand, k=3, threshold=0.5)
 
 
 def _simhash_oracle() -> str:
@@ -341,6 +376,226 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3) via banded hamming-LSH."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_distance=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation: chunking / redaction / sampling / packing
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64  # tokens per chunk
+
+
+@register(
+    "doc_chunking",
+    "WITH " + _TOKS_CTE + f"""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(t[i * {_CHUNK} + 1 : i * {_CHUNK} + {_CHUNK}], ' ')
+               AS chunk_text,
+           CAST(len(t[i * {_CHUNK} + 1 : i * {_CHUNK} + {_CHUNK}]) AS INTEGER)
+               AS chunk_tokens
+    FROM toks,
+         UNNEST(generate_series(0,
+             greatest(CAST(ceil(len(t) / {_CHUNK}.0) AS INTEGER) - 1, 0)))
+         AS g(i)
+    """,
+)
+def q_doc_chunking(spark, sf_dir):
+    """Fixed-size token chunking: each document explodes into ⌈n/64⌉
+    chunks of ≤64 whitespace tokens — the context-window slicing step of a
+    training pipeline. Pure explode+slice (no UDF); chunk count grows with
+    the data, never with the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = ws_tokens(F.col("text"))
+    n_chunks = F.greatest(
+        F.ceil(F.size(t) / F.lit(float(_CHUNK))).cast("int") - 1, F.lit(0)
+    )
+    exploded = docs.select(
+        "doc_id",
+        t.alias("__t"),
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("__t"), F.col("chunk_idx") * _CHUNK + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).cast("int").alias("chunk_tokens"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS INTEGER)
+               AS n_long_numbers,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g') AS redacted_text
+    FROM documents
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing pass: emails and long digit runs replaced with typed
+    placeholder tokens, plus per-document match counts — regexp built-ins
+    only (Java and RE2 agree on this pattern subset), codegen-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_LONGNUM_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_long_numbers"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _LONGNUM_RE,
+            "<NUM>",
+        ).alias("redacted_text"),
+    )
+
+
+# per-language keep rates for the stratified sample (en-heavy corpus →
+# downsample en, keep the tail languages)
+_STRATA_RATES = {"en": 0.5, "de": 0.9, "fr": 0.9, "es": 0.9}
+_DEFAULT_RATE = 0.2
+_TWO60_F = float(1 << 60)
+
+
+def _rate_case_sql() -> str:
+    whens = "\n".join(
+        f"WHEN lang = '{lang}' THEN {rate}"
+        for lang, rate in _STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('strat|' || doc_id), 1, 15))::BIGINT
+          / {_TWO60_F:.1f} < {_rate_case_sql()}
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampling: keep iff
+    hash(doc_id)∈[0,1) falls under the stratum's rate. Hash-gated (never
+    rand()): retries and speculative tasks keep the same rows, and the
+    sample is reproducible across engines — a property sampling at 100 TB
+    cannot do without."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = md5_hash60(F.concat_ws("|", F.lit("strat"), F.col("doc_id"))) / F.lit(
+        _TWO60_F
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in reversed(list(_STRATA_RATES.items())):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(u < rate).select("doc_id", "lang")
+
+
+@register(
+    "train_val_split",
+    "WITH " + _TOKS_CTE + f"""
+    SELECT CASE
+             WHEN ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 10 < 8
+               THEN 'train'
+             WHEN ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 10 < 9
+               THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def q_train_val_split(spark, sf_dir):
+    """Hash-mod 80/10/10 train/val/test assignment with per-split document
+    and token totals. Membership is a pure function of doc_id — stable
+    under reprocessing, appends, and engine changes (no shuffle-dependent
+    sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash60(F.concat_ws("|", F.lit("split"), F.col("doc_id"))) % 10
+    split = (
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.size(ws_tokens(F.col("text"))).alias("__n"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+_PACK_BUDGET = 256   # tokens per pack
+_PACK_SHARDS = 8
+
+
+@register(
+    "sequence_packing",
+    "WITH " + _TOKS_CTE + f""",
+    sized AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('pack|' || doc_id), 1, 15))::BIGINT
+                    % {_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len(t) AS INTEGER) AS n_tokens
+        FROM toks
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS INTEGER) AS pack_id
+    FROM packed
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing for training batches: documents are hash-sharded,
+    then contiguously filled into ~256-token packs via a per-shard running
+    token count (pack_id = tokens-before ÷ budget — the contiguous-fill
+    approximation of greedy bin packing). Sharding keeps the running sum a
+    PER-SHARD window, so packing parallelizes across the cluster instead
+    of serializing on one global ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sized = docs.select(
+        "doc_id",
+        (
+            md5_hash60(F.concat_ws("|", F.lit("pack"), F.col("doc_id")))
+            % _PACK_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.size(ws_tokens(F.col("text"))).cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("int")
+        .alias("pack_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -183,6 +183,86 @@ def test_ann_lsh_recall_on_planted_dup(emb):
     assert 1 in got
 
 
+def test_jaccard_over_candidates_matches_full_join(docs):
+    """Candidates+verify must agree with the full inverted-index Jaccard on
+    every pair the LSH candidates contain (verify is exact)."""
+    from stock_market_etl_pipeline_spark.operators.dedup import (
+        jaccard_over_candidates,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+    verified = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_over_candidates(docs, cand, k=3, threshold=0.5).collect()
+    }
+    assert set(verified) <= set(full)
+    for pair, vals in verified.items():
+        assert vals == full[pair]
+    assert (0, 1) in verified  # identical docs always survive banding
+
+
+def test_doc_chunking_reassembles(spark):
+    from stock_market_etl_pipeline_spark.registry import queries
+    from conftest import SF_DIR
+
+    chunks = queries()["doc_chunking"](spark, SF_DIR)
+    joined = (
+        chunks.orderBy("doc_id", "chunk_idx")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("rebuilt"),
+            F.sum("chunk_tokens").alias("n"),
+            F.max("chunk_tokens").alias("max_chunk"),
+        )
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("norm"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    row = joined.join(docs, "doc_id").select(
+        F.sum(F.when(F.col("rebuilt") == F.col("norm"), 0).otherwise(1)).alias("bad"),
+        F.sum(F.when(F.col("n") == F.col("n_tokens"), 0).otherwise(1)).alias("badn"),
+        F.max("max_chunk").alias("maxc"),
+    ).collect()[0]
+    assert row["bad"] == 0 and row["badn"] == 0   # lossless chunking
+    assert row["maxc"] <= 64                      # budget respected
+
+
+def test_sequence_packing_budget(spark):
+    from stock_market_etl_pipeline_spark.registry import queries
+    from conftest import SF_DIR
+
+    packed = queries()["sequence_packing"](spark, SF_DIR)
+    # contiguous-fill invariant: within a shard, pack_id is non-decreasing
+    # in doc_id order and every pack starts before the budget boundary
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    # a pack can overflow by at most one document's tokens (docs straddle),
+    # but tokens-before-last-doc must be < budget
+    w_ok = packed.withColumn(
+        "before",
+        F.col("pack_id") * 256,
+    )
+    assert per_pack.filter(F.col("tok") <= 0).count() == 0
+    total_in = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_docs = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert total_in == total_docs  # every token packed exactly once
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     from stock_market_etl_pipeline_spark.operators.similarity import (
         cosine_topk,
