@@ -130,6 +130,9 @@ def merge_upsert_parquet(
         .partitionBy(partition_by)
         .parquet(tmp)
     )
+    # count() on the freshly-written parquet is metadata-only: Spark's
+    # count pushdown reads row counts from file footers, no data scan —
+    # cheaper than persisting `merged` just to count it
     n = spark.read.parquet(tmp).count()
     if os.path.exists(sink_path):
         shutil.rmtree(sink_path)
