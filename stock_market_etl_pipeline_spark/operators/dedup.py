@@ -91,9 +91,19 @@ def ngram_jaccard_pairs(
     """
     sh = _doc_shingles(docs, k)
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        # document-frequency as a WINDOW count on the shingle partitioning,
+        # not a groupBy+semi-join: the cap then lives on the same
+        # Exchange(shingle) the self-join below consumes, so Spark's
+        # ReuseExchange shares ONE shuffle of the shingle table across the
+        # cap, both join sides, and the sizes branch — instead of
+        # re-scanning and re-exploding the corpus per branch
+        from pyspark.sql import Window
+
         sh = (
-            sh.join(freq.filter(F.col("__df") <= max_doc_freq), "shingle")
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
