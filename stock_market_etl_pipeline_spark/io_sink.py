@@ -76,6 +76,64 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def create_table_ddl(
+    spark,
+    table: str,
+    columns: dict[str, str],
+    partitioned_by: tuple[str, ...] = (),
+    location: str | None = None,
+    if_not_exists: bool = True,
+) -> None:
+    """S7: explicit CREATE TABLE DDL (reference ``src/load.py:26-92`` issues
+    CREATE TABLE + composite index via SQLAlchemy). Spark analog: a parquet
+    table in the catalog, optionally external (LOCATION) and partitioned —
+    partition columns play the index role (partition pruning at scan)."""
+    cols = ", ".join(
+        f"{name} {dtype}" for name, dtype in columns.items()
+        if name not in partitioned_by
+    )
+    ddl = f"CREATE TABLE {'IF NOT EXISTS ' if if_not_exists else ''}{table} ({cols}) USING PARQUET"
+    if partitioned_by:
+        parts = ", ".join(
+            f"{name} {columns[name]}" for name in partitioned_by
+        )
+        ddl += f" PARTITIONED BY ({parts})"
+    if location:
+        ddl += f" LOCATION '{location}'"
+    spark.sql(ddl)
+
+
+def retain_recent(
+    spark,
+    path: str,
+    cutoff_date: str,
+    date_col: str = "date",
+    partition_by: str | None = "symbol",
+) -> int:
+    """Retention sweep (VACUUM analog for a raw-parquet sink): rewrite the
+    dataset keeping only rows with ``date_col`` >= cutoff_date, then swap
+    directories atomically (same pattern as compact_parquet). With a table
+    format this is `DELETE WHERE` + VACUUM; on raw parquet the rewrite is
+    the portable fallback. The cutoff is an explicit parameter — retention
+    policy belongs to the caller, not a wall clock buried in the engine.
+    Returns the retained row count (parquet footer metadata, no rescan)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).filter(F.col(date_col) >= F.lit(cutoff_date))
+    tmp = f"{path}__retain_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
+
+
 def compact_parquet(spark, path: str, target_partitions: int,
                     partition_by: str | None = None) -> None:
     """Small-files compaction: rewrite a parquet dataset into

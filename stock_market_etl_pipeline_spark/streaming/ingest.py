@@ -74,3 +74,56 @@ def start_quote_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_gated_quote_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    sink_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    validation_threshold: float = 0.90,
+    trigger_once: bool = True,
+):
+    """Quality-gated streaming ingest: the batch pipeline's ≥90% validation
+    gate (reference ``src/pipeline.py:227-251``) applied per micro-batch.
+
+    Each micro-batch is cleaned + enriched, then run through the one-pass
+    quality suite; batches meeting the threshold append to the sink, the
+    rest divert whole to a quarantine directory with the batch id — bad
+    feeds never contaminate the serving table, and nothing is silently
+    dropped. Returns the StreamingQuery.
+    """
+    from ..operators.clean import clean_quotes
+    from ..operators.enrich import enrich
+    from ..plans.quality import run_quality_suite, stock_quality_checks
+
+    raw = (
+        spark.readStream.schema(RAW_QUOTE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(landing_dir)
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enriched = enrich(
+            clean_quotes(batch_df).drop("extracted_at", "data_source")
+        ).cache()
+        try:
+            ok, _rate, _results = run_quality_suite(
+                enriched,
+                stock_quality_checks(),
+                success_threshold=validation_threshold,
+            )
+            target = sink_dir if ok else f"{quarantine_dir}/batch_id={batch_id}"
+            enriched.write.mode("append").partitionBy("symbol").parquet(target)
+        finally:
+            enriched.unpersist()
+
+    writer = raw.writeStream.foreachBatch(gate_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

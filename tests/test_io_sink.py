@@ -66,6 +66,43 @@ def test_merge_schema_reads_evolved_columns(spark, tmp_path):
     assert rows == {1: None, 2: "NASDAQ"}
 
 
+def test_create_table_ddl_and_insert(spark, tmp_path):
+    from stock_market_etl_pipeline_spark.io_sink import create_table_ddl
+
+    spark.sql("DROP TABLE IF EXISTS quotes_ddl")
+    create_table_ddl(
+        spark,
+        "quotes_ddl",
+        {"symbol": "BIGINT", "date": "DATE", "close": "DOUBLE"},
+        partitioned_by=("symbol",),
+    )
+    # insertInto is positional: non-partition columns first, partition last
+    t = ticks(spark, SF_DIR).select("date", "close", "symbol").limit(50)
+    t.write.mode("append").insertInto("quotes_ddl")
+    got = spark.table("quotes_ddl")
+    assert got.count() == 50
+    # partition column registered -> partition pruning available
+    parts = spark.sql("SHOW PARTITIONS quotes_ddl").collect()
+    assert len(parts) >= 1
+    spark.sql("DROP TABLE quotes_ddl")
+
+
+def test_retain_recent_drops_old_rows(spark, tmp_path):
+    from stock_market_etl_pipeline_spark.io_sink import retain_recent
+
+    sink = str(tmp_path / "retain")
+    df = spark.createDataFrame(
+        [("A", f"2024-01-{d:02d}", float(d)) for d in range(1, 21)],
+        "symbol string, date string, close double",
+    ).select("symbol", F.to_date("date").alias("date"), "close")
+    df.write.partitionBy("symbol").parquet(sink)
+    n = retain_recent(spark, sink, cutoff_date="2024-01-11")
+    assert n == 10
+    out = spark.read.parquet(sink)
+    assert out.count() == 10
+    assert out.agg(F.min("date")).collect()[0][0].isoformat() == "2024-01-11"
+
+
 def test_merge_upsert_keep_last(spark, tmp_path):
     from stock_market_etl_pipeline_spark.io_sink import merge_upsert_parquet
 

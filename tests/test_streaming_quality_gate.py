@@ -1,0 +1,49 @@
+"""Per-micro-batch quality gate (streaming/ingest.py::start_gated_quote_ingest):
+healthy batches land in the sink, failing batches divert whole to
+quarantine — the reference's ≥90% validation gate applied continuously."""
+
+import os
+
+from stock_market_etl_pipeline_spark.schema import RAW_QUOTE_SCHEMA
+from stock_market_etl_pipeline_spark.streaming.ingest import (
+    start_gated_quote_ingest,
+)
+
+from conftest import make_raw_rows
+
+
+def _drop(spark, rows, landing, name):
+    # append new part-files into the flat landing dir (the file stream
+    # source discovers new files, not nested non-partition subdirs)
+    df = spark.createDataFrame(rows, RAW_QUOTE_SCHEMA)
+    df.coalesce(1).write.mode("append").json(landing)
+
+
+def _ingest(spark, landing, sink, quarantine, ckpt):
+    q = start_gated_quote_ingest(
+        spark, landing, sink, quarantine, ckpt, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+
+def test_gate_routes_good_and_bad_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    # batch 1: clean prices -> passes the suite -> sink
+    _drop(spark, make_raw_rows("GOOD", 10), landing, "drop1")
+    _ingest(spark, landing, sink, quarantine, ckpt)
+    assert spark.read.parquet(sink).count() == 10
+    assert not os.path.exists(quarantine)
+
+    # batch 2: prices ~20000 survive cleaning but fail all four range
+    # expectations (11/15 = 73% < 90%) -> quarantined, sink untouched
+    _drop(spark, make_raw_rows("HUGE", 10, base=20000.0), landing, "drop2")
+    _ingest(spark, landing, sink, quarantine, ckpt)
+    assert spark.read.parquet(sink).count() == 10
+    quarantined = spark.read.parquet(quarantine)
+    assert quarantined.count() == 10
+    assert {r["symbol"] for r in quarantined.collect()} == {"HUGE"}
