@@ -217,6 +217,14 @@ def embedding_near_pairs_lsh(
     vs the brute-force truth and recall follows the banding formula (tested
     in tests/test_llm_ops.py). Deterministic md5-parity hyperplanes keep the
     whole operator oracle-checkable bit-for-bit in DuckDB.
+
+    Scale dial: ``planes_per_band`` sets the bucket count per band
+    (2^planes). The registered defaults (4 planes → 16 buckets) are tuned
+    for the low 0.45 threshold on cluster-free gaussian testdata; at
+    production near-dup thresholds (cosine ≥ 0.9) use 8–16 planes per band
+    (256–65k buckets per band) — collision probability per plane rises
+    with similarity, so selective bands keep both recall AND Σ bucket²
+    sub-quadratic on a corpus with real duplicate structure.
     """
     bb = banded_projection_buckets(
         embeddings, n_bands=n_bands, planes_per_band=planes_per_band,
