@@ -77,6 +77,42 @@ def _doc_shingles(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def bucket_pairs(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    out: tuple[str, str] = ("doc_a", "doc_b"),
+    distinct: bool = True,
+) -> DataFrame:
+    """Intra-bucket id pairs (id_a < id_b) via ONE grouped pass.
+
+    The naive formulation is a self-join of the bucketed table on the
+    bucket key — but Spark computes the (expensive: hashing, min-aggregates)
+    bucketing subtree once PER JOIN SIDE, and exchange reuse does not
+    collapse them. Collecting each bucket's sorted id list and exploding
+    the i<j pairs does the subtree once and shuffles once.
+
+    Buffer note: the collect_set buffer is one bucket's membership — bounded
+    by the banding/cap parameters in every caller here (band signatures,
+    ``max_doc_freq``). Floods of byte-identical documents belong to EXACT
+    dedup, which runs before any near-dup pass in corpus_prep ordering.
+    """
+    ids = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    pairs = ids.select(
+        F.col("__ids"), F.posexplode("__ids").alias("__i", out[0])
+    ).select(
+        out[0],
+        F.explode(
+            F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
+        ).alias(out[1]),
+    )
+    return pairs.distinct() if distinct else pairs
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 3, threshold: float = 0.5,
     max_doc_freq: int | None = None,
@@ -107,14 +143,12 @@ def ngram_jaccard_pairs(
             .drop("__df")
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # inverted index as bucket_pairs per shingle (one pass over the shingle
+    # table, not a two-sided self-join); |A∩B| = how many shingle-buckets
+    # emit the pair. With the cap, a bucket is ≤ max_doc_freq members.
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        bucket_pairs(sh, ["shingle"], distinct=False)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(
@@ -198,20 +232,7 @@ def minhash_lsh_candidates(
             ).alias("band_sig")
         )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return bucket_pairs(banded, ["band", "band_sig"])
 
 
 def jaccard_over_candidates(
@@ -316,20 +337,33 @@ def simhash_near_pairs(
         F.expr(f"shiftright(simhash, band * {bits_per_band})")
         .bitwiseAND(F.lit(mask)),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # intra-bucket pairs via one grouped pass (see bucket_pairs); members
+    # carry (doc_id, simhash) structs so the verify step needs no join-back,
+    # and struct ordering sorts by doc_id first → doc_a < doc_b holds
+    members = (
+        chunks.groupBy("band", "chunk")
+        .agg(
+            F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias(
+                "__m"
+            )
+        )
+        .filter(F.size("__m") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        members.select(
+            F.col("__m"), F.posexplode("__m").alias("__i", "__pa")
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            "__pa",
+            F.explode(
+                F.slice(F.col("__m"), F.col("__i") + 2, F.size("__m"))
+            ).alias("__pb"),
+        )
+        .select(
+            F.col("__pa.doc_id").alias("doc_a"),
+            F.col("__pb.doc_id").alias("doc_b"),
+            F.col("__pa.simhash").alias("sim_a"),
+            F.col("__pb.simhash").alias("sim_b"),
         )
         .distinct()
     )

@@ -226,23 +226,17 @@ def embedding_near_pairs_lsh(
     with similarity, so selective bands keep both recall AND Σ bucket²
     sub-quadratic on a corpus with real duplicate structure.
     """
+    from .dedup import bucket_pairs
+
     bb = banded_projection_buckets(
         embeddings, n_bands=n_bands, planes_per_band=planes_per_band,
         seed=seed, dim=dim,
     )
-    a = bb.alias("a")
-    b = bb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
+    # one grouped pass over the (band, bucket) table — the projection
+    # subtree (32 hyperplane dot products per vector) is computed once,
+    # not once per self-join side (see dedup.bucket_pairs)
+    cand = bucket_pairs(
+        bb, ["band", "bucket"], id_col="vec_id", out=("id_a", "id_b")
     )
     emb = embeddings.select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
