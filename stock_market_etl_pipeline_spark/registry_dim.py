@@ -74,6 +74,29 @@ def q_overview_enrich(spark, sf_dir):
 
 
 @register(
+    "part_price_band_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_retailprice AS value_a, b.p_retailprice AS value_b
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) <= 0.10
+    """,
+)
+def q_part_price_band_pairs(spark, sf_dir):
+    """Band (range) self-join: part pairs within ±0.10 retail price, via
+    bucketized candidates + exact verify (operators/rangejoin.py) — the
+    oracle runs the naive non-equi join; the Spark plan never does."""
+    from .operators.rangejoin import band_self_pairs
+    from .sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    return band_self_pairs(
+        part, id_col="p_partkey", value_col="p_retailprice", width=0.10
+    )
+
+
+@register(
     "sector_volume_summary",
     WITH_TICKS + ", " + OVERVIEW_CTE + """
     SELECT o.sector,

@@ -87,6 +87,14 @@ def test_ngram_jaccard_registered_with_doc_freq_cap(spark, qs):
     assert "__df" in plan2
 
 
+def test_band_join_no_nested_loop(spark, qs):
+    """The band self-join must plan as bucketized equi-shapes, never the
+    O(n²) nested-loop the naive |a-b|<=w condition produces."""
+    plan = plan_of(qs["part_price_band_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_overview_dim_joins_broadcast(spark, qs):
     """The overview dim (one row per symbol) must always broadcast — the
     fact side never shuffles on the dim key."""
