@@ -272,3 +272,102 @@ def q_union_sources(spark, sf_dir):
             F.max("date").alias("last_date"),
         )
     )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click-after-view → purchase-after-
+    click): per-stage first-timestamp joins, each stage conditioned on the
+    previous stage's timestamp — the canonical product-analytics operator.
+    Three grouped joins on user_id (one shuffle key reused); never a
+    per-user collect or Python loop."""
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+    )
+    return funnel.agg(
+        F.count("t_view").cast("bigint").alias("n_viewed"),
+        F.count("t_click").cast("bigint").alias("n_clicked_after_view"),
+        F.count("t_purchase").cast("bigint").alias("n_purchased_after_click"),
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+    ),
+    firstwk AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1
+    ),
+    active AS (SELECT DISTINCT user_id, wk FROM ev)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER)
+               AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firstwk f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each later week they were active — the standard retention
+    analysis. Weekly truncation on both engines lands on Monday, so the
+    day-diff is an exact multiple of 7."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    firstwk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(firstwk, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
