@@ -1,0 +1,67 @@
+"""Connected components for dedup-cluster resolution.
+
+Near-dup detection emits PAIRS; a real dedup pass must then group pairs
+into clusters (A~B, B~C ⇒ {A,B,C}) and keep one survivor per cluster.
+That grouping is connected components — iterative, so it cannot be one
+SQL query at scale; the distributed formulation here is min-label
+propagation (each node repeatedly adopts the smallest label among itself
+and its neighbors), which converges in O(component diameter) rounds.
+Dedup graphs are near-cliques (diameter ≤ ~3), so a handful of rounds
+suffices; ``max_iter`` bounds the worst case.
+
+Scale notes: every round is one join + one aggregate on the edge list
+(shuffle on node id); ``localCheckpoint`` truncates the plan lineage each
+round so the job graph stays flat instead of growing exponentially; the
+convergence probe is a cheap `isEmpty` on the changed-labels frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(node, cluster_id) for every node in `edges`; cluster_id = the
+    smallest node id reachable through the undirected edge set."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.alias("n").join(
+            labels.alias("o"),
+            (F.col("n.node") == F.col("o.node"))
+            & (F.col("n.label") != F.col("o.label")),
+        )
+        done = changed.isEmpty()
+        labels = new_labels
+        if done:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

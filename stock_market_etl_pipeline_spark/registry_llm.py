@@ -378,6 +378,39 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(docs, max_distance=3, bands=4)
 
 
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE " + _MINHASH_CTES + """,
+    cand AS (""" + _MINHASH_CAND_SELECT + """),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, re.r FROM sym s JOIN reach re ON s.v = re.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY 1
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup-cluster resolution: connected components over the MinHash-LSH
+    candidate pairs (A~B, B~C ⇒ one cluster), cluster_id = min member id
+    (the survivor policy). Iterative min-label propagation on Spark
+    (operators/graph.py); the oracle is DuckDB's recursive-CTE transitive
+    closure — both converge to the same fixpoint."""
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+    return connected_components(cand).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data preparation: chunking / redaction / sampling / packing
 # ---------------------------------------------------------------------------

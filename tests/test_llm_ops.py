@@ -263,6 +263,24 @@ def test_sequence_packing_budget(spark):
     assert total_in == total_docs  # every token packed exactly once
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain collapses to one cluster (transitivity across
+    multiple propagation rounds); disjoint pairs stay separate."""
+    from stock_market_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     from stock_market_etl_pipeline_spark.operators.similarity import (
         cosine_topk,
