@@ -134,3 +134,64 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 6)),
+        min_size=2, max_size=60, unique=True,
+    )
+)
+def test_bucket_pairs_equals_self_join(spark, rows):
+    """bucket_pairs must emit exactly the i<j pairs a bucket self-join
+    would, for any (id, bucket) multiset."""
+    from stock_market_etl_pipeline_spark.operators.dedup import bucket_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, bucket long").distinct()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in bucket_pairs(df, ["bucket"]).collect()
+    }
+    data = set(rows)
+    expected = {
+        (a, b)
+        for (a, ba) in data
+        for (b, bb) in data
+        if ba == bb and a < b
+    }
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),
+            st.floats(min_value=0, max_value=20, allow_nan=False,
+                      allow_infinity=False),
+        ),
+        min_size=2, max_size=40,
+    )
+)
+def test_band_self_pairs_equals_naive(spark, rows):
+    """Bucketized band join ≡ the naive |a-b|<=w nested loop for any
+    value distribution (ids deduped, last value wins)."""
+    from stock_market_etl_pipeline_spark.operators.rangejoin import (
+        band_self_pairs,
+    )
+
+    dd = dict(rows)  # unique ids
+    df = spark.createDataFrame(list(dd.items()), "pid long, price double")
+    width = 1.5
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in band_self_pairs(df, "pid", "price", width).collect()
+    }
+    expected = {
+        (a, b)
+        for a in dd
+        for b in dd
+        if a < b and abs(dd[a] - dd[b]) <= width
+    }
+    assert got == expected
