@@ -371,3 +371,49 @@ def q_user_retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "symbol_correlation",
+    WITH_TICKS + """
+    , rets AS (
+        SELECT symbol, date,
+               (close / LAG(close) OVER (PARTITION BY symbol ORDER BY date)
+                - 1) * 100 AS ret
+        FROM ticks WHERE symbol <= 10
+    )
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(a.ret, b.ret), 6) AS return_corr
+    FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
+    GROUP BY 1, 2
+    """,
+)
+def q_symbol_correlation(spark, sf_dir):
+    """Pairwise daily-return correlation between symbols (the pairs-trading
+    screen): per-symbol returns from one lag window, date-aligned self-join
+    restricted to a bounded symbol set (all-pairs across a 10-symbol
+    universe is 45 pairs — the symbol filter, not the join, bounds the
+    quadratic term), then corr() as a grouped aggregate. corr skips rows
+    where either return is NULL (first trading day) in both engines."""
+    t = ticks(spark, sf_dir).filter(F.col("symbol") <= 10)
+    w = Window.partitionBy("symbol").orderBy("date")
+    rets = t.select(
+        "symbol", "date",
+        ((F.col("close") / F.lag("close").over(w) - 1) * 100).alias("ret"),
+    )
+    a = rets.select(
+        F.col("symbol").alias("sym_a"), "date", F.col("ret").alias("ret_a")
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym_b"), "date", F.col("ret").alias("ret_b")
+    )
+    return (
+        a.join(b, ["date"])
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.corr("ret_a", "ret_b"), 6).alias("return_corr"),
+        )
+    )

@@ -868,3 +868,37 @@ def q_corpus_prep(spark, sf_dir):
         quality.join(exact_survivors, "doc_id")
         .join(near_dropped, "doc_id", "left_anti")
     )
+
+
+_K_PER_GROUP = 20
+
+
+@register(
+    "sample_k_per_group",
+    f"""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5('samp|' || doc_id), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {_K_PER_GROUP}
+    """,
+)
+def q_sample_k_per_group(spark, sf_dir):
+    """Exactly-k-per-group sampling: rank by a hash of the id inside each
+    language and keep the first k — a deterministic uniform draw (the hash
+    IS the random order) that, unlike fraction-based sampling, guarantees
+    the group quota exactly. One window over the group key; reproducible
+    across engines, retries, and appends of unrelated groups."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("|", F.lit("samp"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= _K_PER_GROUP)
+        .select("doc_id", "lang")
+    )
