@@ -6,11 +6,16 @@ struct beside it; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so the raw bytes never
 round-trip through row-at-a-time Python.
 
-The decode step itself is STUBBED (no image/audio libs in this container):
-``decode_stub=True`` produces a deterministic fake (dimensions derived from
-the payload digest); ``decode_stub=False`` raises NotImplementedError where
-a real libjpeg/ffmpeg call would go. Everything around it — schema, batch
-shape, partitioning, UDF signature — is real and tested.
+Decode support is tiered by what the container can honestly do:
+
+- ``decode_stub=True``: deterministic fake (dimensions from the payload
+  digest) — exercises the full Spark contract with any payload bytes.
+- ``decode_stub=False``: REAL decoding for the uncompressed formats that
+  need no codec library — PPM (P6) images and PCM16 WAV audio are parsed
+  with numpy (`_decode_ppm` / `_decode_wav`); codec formats (JPEG/PNG/
+  MP4…) raise NotImplementedError at the exact line a libjpeg/ffmpeg call
+  would slot into. Either way the Spark-side contract — schema, Arrow
+  batch iteration, null passthrough, partitioning — is identical.
 """
 
 from __future__ import annotations
@@ -57,13 +62,74 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pad_feature(vals: list[float], dim: int) -> list[float]:
+    vals = [round(float(v), 6) for v in vals[:dim]]
+    return vals + [0.0] * (dim - len(vals))
+
+
+def _decode_ppm(payload: bytes, feature_dim: int):
+    """Raw PPM (P6): ASCII header `P6\\n<w> <h>\\n<maxval>\\n` + RGB bytes.
+    Feature: per-channel means + overall std, normalized to [0, 1]."""
+    import numpy as np
+
+    parts = payload.split(maxsplit=4)
+    if parts[0] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    raw = parts[4] if len(parts) > 4 else b""
+    px = np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+    px = px.astype(np.float64) / maxval
+    feature = _pad_feature(
+        [px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(), px.std()],
+        feature_dim,
+    )
+    return w, h, 1, feature
+
+
+def _decode_wav(payload: bytes, feature_dim: int):
+    """PCM16 WAV: RIFF/fmt/data chunk walk + int16 samples via numpy.
+    Feature: RMS, mean |x|, peak, zero-crossing rate (all in [0, 1]).
+    width/height carry (n_channels, sample_rate_kHz) so the typed metadata
+    stays one schema across modalities; n_frames = samples per channel."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_channels, sample_rate, data = 12, 1, 0, b""
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8]
+        )[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, n_channels, sample_rate = struct.unpack("<HHI", body[:8])
+            if fmt_code != 1:
+                raise NotImplementedError("only PCM wav supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    x = np.frombuffer(data, dtype=np.int16).astype(np.float64) / 32768.0
+    n = max(len(x) // max(n_channels, 1), 1)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    feature = _pad_feature(
+        [np.sqrt(np.mean(x ** 2)), np.mean(np.abs(x)),
+         np.max(np.abs(x), initial=0.0), zcr],
+        feature_dim,
+    )
+    return n_channels, sample_rate // 1000, n, feature
+
+
 def decode_media(media: DataFrame, decode_stub: bool = True,
                  feature_dim: int = 8) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Real-decoder integration point: replace `_fake_decode` with the
-    libjpeg/ffmpeg call. The Spark-side contract (schema in/out, batch
-    iteration, null payloads passed through) does not change.
+    ``decode_stub=False`` really decodes PPM/WAV payloads (numpy only —
+    see module docstring); codec formats raise NotImplementedError at the
+    libjpeg/ffmpeg integration point. The Spark-side contract (schema
+    in/out, batch iteration, null payloads passed through) is identical
+    in both modes.
     """
 
     def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -76,15 +142,22 @@ def decode_media(media: DataFrame, decode_stub: bool = True,
         feature = [round(b / 255.0, 6) for b in d[:feature_dim]]
         return width, height, n_frames, feature
 
+    def _real_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload, feature_dim)
+        if payload[:4] == b"RIFF":
+            return _decode_wav(payload, feature_dim)
+        raise NotImplementedError(
+            "codec-backed formats (JPEG/PNG/MP4/...) need libjpeg/ffmpeg; "
+            "this container decodes raw PPM images and PCM WAV audio"
+        )
+
+    decode = _fake_decode if decode_stub else _real_decode
+
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires libjpeg/ffmpeg; "
-                    "run with decode_stub=True in this environment"
-                )
             out = {
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -98,7 +171,7 @@ def decode_media(media: DataFrame, decode_stub: bool = True,
                     out["n_frames"].append(None)
                     out["feature"].append(None)
                 else:
-                    w, h, n, f = _fake_decode(bytes(payload))
+                    w, h, n, f = decode(bytes(payload))
                     out["width"].append(w)
                     out["height"].append(h)
                     out["n_frames"].append(n)
