@@ -417,3 +417,89 @@ def q_symbol_correlation(spark, sf_dir):
             F.round(F.corr("ret_a", "ret_b"), 6).alias("return_corr"),
         )
     )
+
+
+@register(
+    "price_anomalies",
+    WITH_TICKS + """
+    , rets AS (
+        SELECT symbol, date, close,
+               (close / LAG(close) OVER w - 1) * 100 AS dcp
+        FROM ticks
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    ),
+    scored AS (
+        SELECT symbol, date, close,
+               ROUND((dcp - AVG(dcp) OVER (PARTITION BY symbol))
+                     / STDDEV_SAMP(dcp) OVER (PARTITION BY symbol), 6)
+                   AS z_score
+        FROM rets
+    )
+    SELECT symbol, date, close, z_score
+    FROM scored WHERE abs(z_score) >= 2.5
+    """,
+)
+def q_price_anomalies(spark, sf_dir):
+    """Anomaly detection: daily moves beyond 2.5 sigma of the symbol's own
+    return distribution — per-symbol mean/stddev as whole-partition window
+    aggregates on the same symbol partitioning as the lag (one exchange),
+    z rounded at the aggregate boundary per the float policy."""
+    t = ticks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    wp = Window.partitionBy("symbol")
+    rets = t.select(
+        "symbol", "date", "close",
+        ((F.col("close") / F.lag("close").over(w) - 1) * 100).alias("dcp"),
+    )
+    scored = rets.select(
+        "symbol", "date", "close",
+        F.round(
+            (F.col("dcp") - F.avg("dcp").over(wp))
+            / F.stddev_samp("dcp").over(wp),
+            6,
+        ).alias("z_score"),
+    )
+    return scored.filter(F.abs(F.col("z_score")) >= 2.5)
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH nrev AS (
+        SELECT n.n_name AS nation,
+               SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT nation, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS revenue_share
+    FROM nrev
+    """,
+)
+def q_nation_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of total revenue via an
+    unpartitioned window sum over the 25-row aggregate (the window runs on
+    the tiny post-aggregation table, never the fact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    nrev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return nrev.select(
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "revenue_share"
+        ),
+    )
