@@ -91,22 +91,28 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
         pcp.alias("predicted_change_percent"),
         (F.col("current_price") * (1 + pcp / 100)).alias("predicted_price"),
     )
+    # 6dp output rounding (not the reference's 2dp display rounding): the
+    # derived values live on fine decimal grids (multiples of 5e-4), so
+    # exact .xx5 ties at 2dp are common and Spark/DuckDB resolve the same
+    # double differently (shortest-decimal half-up vs binary scaling) —
+    # first observed at sf0.1. 6dp sits below the grid resolution →
+    # tie-free. 2dp is presentation formatting (F13, out of engine scope).
     return joined.select(
         "symbol",
         F.round("current_price", 2).alias("current_price"),
-        F.round("predicted_price", 2).alias("predicted_price"),
-        F.round(F.col("predicted_price") - F.col("current_price"), 2).alias(
+        F.round("predicted_price", 6).alias("predicted_price"),
+        F.round(F.col("predicted_price") - F.col("current_price"), 6).alias(
             "predicted_change"
         ),
-        F.round("predicted_change_percent", 2).alias("predicted_change_percent"),
+        F.round("predicted_change_percent", 6).alias("predicted_change_percent"),
         "trend",
-        F.round("trend_strength", 2).alias("trend_strength"),
+        F.round("trend_strength", 6).alias("trend_strength"),
         confidence_expr(F.col("trend_strength"), F.col("recent_volatility")).alias(
             "confidence"
         ),
-        F.round("ma_5", 2).alias("ma_5"),
-        F.round("ma_20", 2).alias("ma_20"),
-        F.round("recent_volatility", 2).alias("recent_volatility"),
+        F.round("ma_5", 6).alias("ma_5"),
+        F.round("ma_20", 6).alias("ma_20"),
+        F.round("recent_volatility", 6).alias("recent_volatility"),
         F.date_format(F.date_add("latest_date", 1), "yyyy-MM-dd").alias(
             "prediction_date"
         ),

@@ -60,6 +60,33 @@ def _r6(c: str):
     return F.round(F.col(c), 6).alias(c)
 
 
+def cents(col: str):
+    """2dp money column → exact integer cents (long). The parquet doubles
+    are 2dp values, so ×100 lands within ulps of an integer and the
+    round-to-nearest is identical in both engines."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def revenue_sum_dec(prefix: str = "l_"):
+    """Exact money sum via scaled-integer (cents) arithmetic.
+
+    Float SUM order-noise grows with data volume — at sf0.1 it crosses a
+    6dp rounding half-step, and 2dp rounding hits exact .xx5 grid ties —
+    so NO float rounding scale is safe for money sums. Summing
+    price_cents × (100 − discount_cents) is exact int64 math (fits until
+    ~sf10; switch to DECIMAL beyond), stays inside whole-stage codegen
+    (unlike Decimal128 aggregation, measured ~2× slower), and the final
+    ÷10⁴ of identical integers yields identical doubles on both engines."""
+    return (
+        F.sum(
+            cents(prefix + "extendedprice")
+            * (F.lit(100) - cents(prefix + "discount"))
+        )
+        / F.lit(10000.0)
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Sources / cleaning (S*, P*, O6)
 # ---------------------------------------------------------------------------
@@ -471,7 +498,7 @@ def q_supplier_latest_left(spark, sf_dir):
     "revenue_by_nation",
     """
     SELECT r.r_name AS region, n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS lines
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -496,10 +523,7 @@ def q_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
-                2,
-            ).alias("revenue"),
+            revenue_sum_dec().alias("revenue"),
             F.count(F.lit(1)).alias("lines"),
         )
     )
@@ -510,9 +534,9 @@ def q_revenue_by_nation(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT)      AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)       AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0 AS sum_charge,
            ROUND(AVG(l_quantity), 6)            AS avg_qty,
            ROUND(AVG(l_extendedprice), 6)       AS avg_price,
            ROUND(AVG(l_discount), 6)            AS avg_disc,
@@ -526,17 +550,20 @@ def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary — the canonical scan+agg scale probe."""
     li = load_table(spark, sf_dir, "lineitem")
     c = F.col
-    disc_price = c("l_extendedprice") * (F.lit(1.0) - c("l_discount"))
+    disc_cents = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.filter(c("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("bigint").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (F.lit(1.0) + c("l_tax"))), 2).alias(
-                "sum_charge"
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias(
+                "sum_base_price"
             ),
+            (F.sum(disc_cents) / F.lit(10000.0)).alias("sum_disc_price"),
+            (
+                F.sum(disc_cents * (F.lit(100) + cents("l_tax")))
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -585,19 +612,26 @@ _PREDICTIONS_SQL = (
                current_price * (1 + predicted_change_percent / 100) AS predicted_price
         FROM pred1 p
     )
+    -- 6dp output rounding, not the reference's 2dp display rounding:
+    -- these columns live on fine decimal grids (money/20-row averages →
+    -- multiples of 5e-4), so exact .xx5 TIES at 2dp are common and Spark
+    -- (half-up on the shortest decimal repr) and DuckDB (binary scaling)
+    -- resolve the same double differently — first observed at sf0.1.
+    -- 6dp is BELOW the grids' resolution, so rounding there is tie-free.
+    -- 2dp is presentation-layer formatting (F13, out of engine scope).
     SELECT symbol,
            ROUND(current_price, 2)  AS current_price,
-           ROUND(predicted_price, 2) AS predicted_price,
-           ROUND(predicted_price - current_price, 2) AS predicted_change,
-           ROUND(predicted_change_percent, 2) AS predicted_change_percent,
+           ROUND(predicted_price, 6) AS predicted_price,
+           ROUND(predicted_price - current_price, 6) AS predicted_change,
+           ROUND(predicted_change_percent, 6) AS predicted_change_percent,
            trend,
-           ROUND(trend_strength, 2) AS trend_strength,
+           ROUND(trend_strength, 6) AS trend_strength,
            CASE WHEN trend_strength > 5.0 AND COALESCE(recent_volatility, 1e308) < 2.0 THEN 'HIGH'
                 WHEN trend_strength > 2.0 AND COALESCE(recent_volatility, 1e308) < 4.0 THEN 'MEDIUM'
                 ELSE 'LOW' END AS confidence,
-           ROUND(ma_5, 2)  AS ma_5,
-           ROUND(ma_20, 2) AS ma_20,
-           ROUND(recent_volatility, 2) AS recent_volatility,
+           ROUND(ma_5, 6)  AS ma_5,
+           ROUND(ma_20, 6) AS ma_20,
+           ROUND(recent_volatility, 6) AS recent_volatility,
            STRFTIME(latest_date + 1, '%Y-%m-%d') AS prediction_date,
            STRFTIME(latest_date, '%Y-%m-%d')     AS asof_date
     FROM pred

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry import register, revenue_sum_dec
 from .sources.tables import load_table
 from .sources.events import load_events
 from .sources.ticks import ticks
@@ -135,7 +135,7 @@ def q_describe_stats(spark, sf_dir):
     """
     WITH rev AS (
         SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
         FROM lineitem GROUP BY l_orderkey
     )
     SELECT o.o_orderkey, c.c_name, CAST(o.o_orderdate AS DATE) AS order_date,
@@ -156,11 +156,9 @@ def q_top_revenue_orders(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    rev = li.groupBy("l_orderkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
-        ).alias("revenue")
-    )
+    from .registry import revenue_sum_dec
+
+    rev = li.groupBy("l_orderkey").agg(revenue_sum_dec().alias("revenue"))
     return (
         rev.join(F.broadcast(orders), rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -467,13 +465,13 @@ def q_price_anomalies(spark, sf_dir):
     """
     WITH nrev AS (
         SELECT n.n_name AS nation,
-               SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n   ON s.s_nationkey = n.n_nationkey
         GROUP BY 1
     )
-    SELECT nation, ROUND(revenue, 2) AS revenue,
+    SELECT nation, revenue,
            ROUND(revenue / SUM(revenue) OVER (), 6) AS revenue_share
     FROM nrev
     """,
@@ -489,16 +487,12 @@ def q_nation_revenue_share(spark, sf_dir):
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.sum(
-                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-            ).alias("revenue")
-        )
+        .agg(revenue_sum_dec().alias("revenue"))
     )
     w = Window.partitionBy()
     return nrev.select(
         "nation",
-        F.round("revenue", 2).alias("revenue"),
+        "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
             "revenue_share"
         ),

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from .operators.asof import asof_join
 from .operators.clean import clean_quotes
 from .oracles import WITH_TICKS
-from .registry import register
+from .registry import register, revenue_sum_dec
 from .sources.tables import load_table
 from .sources.ticks import ticks
 
@@ -145,7 +145,7 @@ def q_clean_raw_quotes(spark, sf_dir):
     """
     SELECT p.p_type,
            CAST(COUNT(*) AS BIGINT) AS lines,
-           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
            ROUND(AVG(p.p_retailprice), 6) AS avg_retail
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_type
@@ -160,12 +160,7 @@ def q_part_type_revenue(spark, sf_dir):
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("lines"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                ),
-                2,
-            ).alias("revenue"),
+            revenue_sum_dec().alias("revenue"),
             F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
         )
     )
@@ -176,7 +171,7 @@ def q_part_type_revenue(spark, sf_dir):
     """
     SELECT r.r_name AS region, n.n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS lines,
-           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -198,12 +193,7 @@ def q_revenue_rollup(spark, sf_dir):
         .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("lines"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                ),
-                2,
-            ).alias("revenue"),
+            revenue_sum_dec().alias("revenue"),
         )
     )
 
@@ -215,7 +205,7 @@ def q_revenue_rollup(spark, sf_dir):
            CAST(GROUPING(r.r_name) AS INTEGER)       AS is_region_total,
            CAST(GROUPING(l.l_returnflag) AS INTEGER) AS is_flag_total,
            CAST(COUNT(*) AS BIGINT) AS lines,
-           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -240,12 +230,7 @@ def q_revenue_cube(spark, sf_dir):
             F.grouping("r_name").cast("int").alias("is_region_total"),
             F.grouping("l_returnflag").cast("int").alias("is_flag_total"),
             F.count(F.lit(1)).alias("lines"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                ),
-                2,
-            ).alias("revenue"),
+            revenue_sum_dec().alias("revenue"),
         )
         .select(
             F.col("r_name").alias("region"),
@@ -350,7 +335,7 @@ def q_set_ops_symbols(spark, sf_dir):
     SELECT o.o_orderpriority,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -367,12 +352,7 @@ def q_priority_revenue(spark, sf_dir):
         .agg(
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                ),
-                2,
-            ).alias("revenue"),
+            revenue_sum_dec().alias("revenue"),
         )
     )
 
