@@ -902,3 +902,85 @@ def q_sample_k_per_group(spark, sf_dir):
         .filter(F.col("__rn") <= _K_PER_GROUP)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "token_frequencies",
+    "WITH " + _TOKS_CTE + """,
+    tok AS (
+        SELECT lower(u.tk) AS token FROM toks, UNNEST(t) AS u(tk)
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+    ),
+    ranked AS (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk,
+               SUM(n) OVER () AS total
+        FROM counts
+    )
+    SELECT token, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS INTEGER) AS freq_rank,
+           ROUND(n * 1.0 / total, 6) AS share
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def q_token_frequencies(spark, sf_dir):
+    """Corpus unigram statistics: top-100 lowercased tokens with counts and
+    corpus share — the vocabulary-head profile a tokenizer-training or
+    quality pass starts from. The share denominator rides the same 100-row
+    post-aggregate (window SUM over counts), not a second corpus scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(ws_tokens(F.col("text"))).alias("tk")
+    ).select(F.lower("tk").alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    ranked = counts.select(
+        "token", "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.filter(F.col("rnk") <= 100).select(
+        "token",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rnk").cast("int").alias("freq_rank"),
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+    )
+
+
+_HIST_WIDTH = 50
+
+
+@register(
+    "doc_length_histogram",
+    "WITH " + _TOKS_CTE + f"""
+    SELECT CAST(len(t) // {_HIST_WIDTH} AS INTEGER) AS bucket,
+           CAST(len(t) // {_HIST_WIDTH} * {_HIST_WIDTH} AS INTEGER) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(len(t)) AS INTEGER) AS min_tokens,
+           CAST(MAX(len(t)) AS INTEGER) AS max_tokens
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def q_doc_length_histogram(spark, sf_dir):
+    """Document-length histogram (50-token buckets): the length
+    distribution every corpus-prep threshold decision reads. Integer
+    floor-division bucketing, one aggregate pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(ws_tokens(F.col("text")))
+    return (
+        docs.select(
+            F.floor(n / _HIST_WIDTH).cast("int").alias("bucket"),
+            (F.floor(n / _HIST_WIDTH) * _HIST_WIDTH).cast("int").alias("bucket_lo"),
+            n.alias("__n"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("__n").cast("int").alias("min_tokens"),
+            F.max("__n").cast("int").alias("max_tokens"),
+        )
+    )
