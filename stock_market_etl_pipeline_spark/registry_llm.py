@@ -984,3 +984,62 @@ def q_doc_length_histogram(spark, sf_dir):
             F.max("__n").cast("int").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "doc_keywords",
+    "WITH " + _TOKS_CTE + """,
+    tok AS (
+        SELECT doc_id, lower(u.tk) AS token FROM toks, UNNEST(t) AS u(tk)
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    docfreq AS (
+        SELECT token, COUNT(*) AS n_docs_with
+        FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.token, t.tf, d.n_docs_with,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * 1.0 / d.n_docs_with DESC, t.token) AS rnk
+        FROM tf t JOIN docfreq d USING (token)
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           CAST(n_docs_with AS BIGINT) AS n_docs_with,
+           CAST(rnk AS INTEGER) AS kw_rank,
+           ROUND(tf * 1.0 / n_docs_with, 6) AS score
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def q_doc_keywords(spark, sf_dir):
+    """Per-document keywords: top-3 tokens by tf/df (term frequency over
+    document frequency — the rank-equivalent of tf-idf without log(), which
+    is deliberately avoided: libm ln() differs across engines at the ulp
+    level and would break hash-exact comparison; tf/df is a ratio of
+    identical integers → identical doubles → identical ranking)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tk")
+    ).select("doc_id", F.lower("tk").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        tok.distinct().groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * 1.0 / F.col("n_docs_with")).desc(), "token"
+    )
+    return (
+        tf.join(docfreq, "token")
+        .withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= 3)
+        .select(
+            "doc_id", "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("n_docs_with").cast("bigint").alias("n_docs_with"),
+            F.col("kw_rank").cast("int").alias("kw_rank"),
+            F.round(F.col("tf") * 1.0 / F.col("n_docs_with"), 6).alias("score"),
+        )
+    )
