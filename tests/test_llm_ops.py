@@ -263,6 +263,18 @@ def test_sequence_packing_budget(spark):
     assert total_in == total_docs  # every token packed exactly once
 
 
+def test_bucket_pairs_mega_bucket(spark):
+    """A single 2000-member bucket must emit all C(2000,2) pairs — the
+    explode fan-out handles quadratic output without a quadratic input
+    join, and the collect_set buffer (2000 ids) stays bounded."""
+    from stock_market_etl_pipeline_spark.operators.dedup import bucket_pairs
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("bucket")
+    )
+    assert bucket_pairs(df, ["bucket"]).count() == 2000 * 1999 // 2
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 4-node chain collapses to one cluster (transitivity across
     multiple propagation rounds); disjoint pairs stay separate."""
