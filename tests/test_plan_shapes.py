@@ -87,6 +87,21 @@ def test_ngram_jaccard_registered_with_doc_freq_cap(spark, qs):
     assert "__df" in plan2
 
 
+def test_dim_broadcasts_are_explicit_not_size_estimated(spark, qs):
+    """Disable auto-broadcast: the dimension joins must STILL broadcast,
+    because they carry explicit broadcast() hints — at 100 TB, size
+    estimation over compressed scans is unreliable and a silent SMJ
+    demotion of a dim join is a multi-TB shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["revenue_by_nation"](spark, SF_DIR))
+        assert count_nodes(plan, "BroadcastHashJoin") == 3
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_band_join_no_nested_loop(spark, qs):
     """The band self-join must plan as bucketized equi-shapes, never the
     O(n²) nested-loop the naive |a-b|<=w condition produces."""
