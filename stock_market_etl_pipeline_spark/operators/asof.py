@@ -72,3 +72,56 @@ def asof_join(
         *[F.col("__left")[c].alias(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Forward as-of: for each left row, the right row with the SMALLEST
+    right_time ≥ left_time (or > if strict) for the same key — the
+    next-event lookup (e.g. "the next order after this tick"). Same
+    one-shuffle union+window formulation, mirrored: ``first(...,
+    ignorenulls)`` over the [current row, unbounded following] frame.
+    """
+    lt = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = lt.unionByName(rt)
+    # left rows sort before right rows at equal time → the frame starting
+    # at the left row still sees a same-time right row ("≥" semantics);
+    # strict ">" puts right rows first so same-time rows fall behind.
+    tie = F.col("__is_left").desc() if not strict else F.col("__is_left").asc()
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), tie)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.withColumns(
+        {
+            f"__r_{c}": F.first(f"__r_{c}", ignorenulls=True).over(w)
+            for c in value_cols
+        }
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(f"asof_next_{c}") for c in value_cols],
+    )

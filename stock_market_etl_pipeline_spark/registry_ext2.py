@@ -553,3 +553,53 @@ def q_gap_fill_forward(spark, sf_dir):
     from .operators.resample import calendar_fill
 
     return calendar_fill(ticks(spark, sf_dir))
+
+
+@register(
+    "asof_next_order_value",
+    WITH_TICKS
+    + """
+    , order_feed AS (
+        SELECT o_custkey AS symbol, CAST(o_orderdate AS DATE) AS odate,
+               MAX(o_totalprice) AS order_value
+        FROM orders GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT symbol, date AS t, 1 AS is_left, date, close,
+               NULL::DATE AS odate, NULL::DOUBLE AS order_value
+        FROM ticks
+        UNION ALL
+        SELECT symbol, odate, 0, NULL, NULL, odate, order_value
+        FROM order_feed
+    ),
+    filled AS (
+        SELECT *,
+            FIRST_VALUE(odate IGNORE NULLS) OVER w        AS nxt_odate,
+            FIRST_VALUE(order_value IGNORE NULLS) OVER w  AS nxt_value
+        FROM u
+        WINDOW w AS (PARTITION BY symbol ORDER BY t, is_left DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT symbol, date, close,
+           nxt_odate AS asof_next_odate,
+           nxt_value AS asof_next_order_value
+    FROM filled WHERE is_left = 1
+    """,
+)
+def q_asof_next_order_value(spark, sf_dir):
+    """Forward as-of join: each tick gets the NEXT order (date + value) of
+    the same key at-or-after the tick date (operators/asof.py::
+    asof_join_forward — union + [current, following) first-value window,
+    one shuffle; the oracle mirrors the same window formulation)."""
+    from .operators.asof import asof_join_forward
+
+    t = ticks(spark, sf_dir).select("symbol", "date", "close")
+    orders = load_table(spark, sf_dir, "orders")
+    feed = orders.groupBy(
+        F.col("o_custkey").alias("symbol"),
+        F.to_date("o_orderdate").alias("odate"),
+    ).agg(F.max("o_totalprice").alias("order_value"))
+    return asof_join_forward(
+        t, feed, key="symbol", left_time="date", right_time="odate",
+        value_cols=["odate", "order_value"],
+    )
