@@ -60,3 +60,29 @@ def test_asof_preserves_left_columns(frames):
                     value_cols=["v", "rt"])
     assert set(out.columns) == {"k", "t", "tag", "asof_v", "asof_rt"}
     assert out.count() == left.count()
+
+
+def test_asof_forward_inclusive(frames):
+    from stock_market_etl_pipeline_spark.operators.asof import asof_join_forward
+
+    left, right = frames
+    out = asof_join_forward(left, right, key="k", left_time="t",
+                            right_time="rt", value_cols=["v"])
+    got = {(r["k"], r["tag"]): r["asof_next_v"] for r in out.collect()}
+    assert got == {
+        (1, "a"): 10.0,   # same-date match counts (>=)
+        (1, "b"): 100.0,  # next right row after Jan 5 is Jan 10
+        (1, "c"): 100.0,  # exact-date tie -> included
+        (2, "d"): 99.0,   # right row is later -> matches forward
+    }
+
+
+def test_asof_forward_strict(frames):
+    from stock_market_etl_pipeline_spark.operators.asof import asof_join_forward
+
+    left, right = frames
+    out = asof_join_forward(left, right, key="k", left_time="t",
+                            right_time="rt", value_cols=["v"], strict=True)
+    got = {(r["k"], r["tag"]): r["asof_next_v"] for r in out.collect()}
+    assert got[(1, "a")] == 40.0    # same-date excluded under ">"
+    assert got[(1, "c")] is None    # Jan 10 tie excluded, nothing later
