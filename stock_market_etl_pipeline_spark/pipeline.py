@@ -48,6 +48,7 @@ class PipelineResult:
     report_path: str | None = None
     checks_passed: int = 0
     checks_total: int = 0
+    corrupt_records: int = 0
 
 
 def health_check(spark: SparkSession) -> bool:
@@ -69,10 +70,30 @@ def run_pipeline(
 ) -> PipelineResult:
     if not health_check(spark):
         raise RuntimeError("Spark session failed the SELECT 1 health probe")
-    reader = spark.read.schema(RAW_QUOTE_SCHEMA)
-    raw = reader.json(input_path) if input_format == "json" else reader.parquet(
-        input_path
-    )
+    corrupt_records = 0
+    if input_format == "json":
+        # PERMISSIVE + corrupt-record column: malformed JSON lines land in
+        # __corrupt instead of silently becoming all-null rows; they are
+        # counted, surfaced on the result, and excluded from the load.
+        # (Spark requires the frame cached to filter on the corrupt column.)
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            RAW_QUOTE_SCHEMA.fields
+            + [T.StructField("__corrupt", T.StringType(), True)]
+        )
+        raw = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "__corrupt")
+            .json(input_path)
+            .cache()
+        )
+        corrupt_records = raw.filter(F.col("__corrupt").isNotNull()).count()
+        raw = raw.filter(F.col("__corrupt").isNull()).drop("__corrupt")
+    else:
+        raw = spark.read.schema(RAW_QUOTE_SCHEMA).parquet(input_path)
     enriched = enrich(
         clean_quotes(raw).drop("extracted_at", "data_source")
     )
@@ -97,9 +118,12 @@ def run_pipeline(
             report_path=report_path,
             checks_passed=sum(1 for r in results if r.success),
             checks_total=len(results),
+            corrupt_records=corrupt_records,
         )
     finally:
         enriched.unpersist()
+        if input_format == "json":
+            raw.unpersist()
 
 
 def main() -> None:

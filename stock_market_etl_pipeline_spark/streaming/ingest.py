@@ -76,6 +76,18 @@ def start_quote_ingest(
     return writer.start()
 
 
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (small,
+    broadcast) dimension snapshot — Spark re-plans the static side per
+    batch, so a refreshed dim table is picked up without restarting the
+    query. The canonical pattern for enriching a quote stream with the
+    company-overview fundamentals at any scale (dim is KB-sized per
+    symbol universe; the stream side never shuffles for the join)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), "symbol", "left")
+
+
 def start_gated_quote_ingest(
     spark: SparkSession,
     landing_dir: str,

@@ -83,3 +83,24 @@ def test_pipeline_rerun_overwrites(spark, tmp_path):
     r2 = run_pipeline(spark, inp, sink)  # idempotent overwrite, no dup rows
     assert r1.records_loaded == r2.records_loaded == 10
     assert spark.read.parquet(sink).count() == 10
+
+
+def test_pipeline_counts_corrupt_json_lines(spark, tmp_path):
+    """Malformed JSON lines are counted and excluded, never silently
+    loaded as all-null rows."""
+    import os
+
+    inp = str(tmp_path / "landing4")
+    sink = str(tmp_path / "warehouse4")
+    df = spark.createDataFrame(make_raw_rows("IBM", 10), RAW_QUOTE_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").json(inp)
+    # a separate malformed drop file (appending to a Spark-written part
+    # file would break its .crc sidecar, a different failure mode)
+    with open(os.path.join(inp, "part-bad-drop.json"), "w") as f:
+        f.write('{"symbol": "BROKEN", "date": \n')   # truncated JSON
+        f.write("not json at all\n")
+
+    result = run_pipeline(spark, inp, sink)
+    assert result.corrupt_records == 2
+    assert result.records_loaded == 10
+    assert spark.read.parquet(sink).count() == 10
