@@ -603,3 +603,28 @@ def q_asof_next_order_value(spark, sf_dir):
         t, feed, key="symbol", left_time="date", right_time="odate",
         value_cols=["odate", "order_value"],
     )
+
+
+@register(
+    "unpivot_ohlc",
+    WITH_TICKS
+    + """
+    SELECT symbol, date, field, value
+    FROM (SELECT symbol, date, open, high, low, close FROM ticks)
+    UNPIVOT (value FOR field IN (open, high, low, close))
+    """,
+)
+def q_unpivot_ohlc(spark, sf_dir):
+    """UNPIVOT/melt: the wide OHLC columns to long (symbol, date, field,
+    value) rows — the wide→long reshape feeding per-field analytics or
+    plotting layers. Spark's native unpivot (= pandas melt); row count
+    grows 4×, no shuffle (pure per-row expansion)."""
+    t = ticks(spark, sf_dir).select(
+        "symbol", "date", "open", "high", "low", "close"
+    )
+    return t.unpivot(
+        ids=["symbol", "date"],
+        values=["open", "high", "low", "close"],
+        variableColumnName="field",
+        valueColumnName="value",
+    )
