@@ -128,7 +128,10 @@ def retain_recent(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    # full-expiry case: a zero-row partitioned write leaves only _SUCCESS, so
+    # a schemaless read of tmp would fail ('Unable to infer schema') before
+    # the swap; reading with the known schema makes count-0 a normal result
+    n = spark.read.schema(df.schema).parquet(tmp).count()
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n

@@ -39,6 +39,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    done = True
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.node)
@@ -64,4 +65,12 @@ def connected_components(
         labels = new_labels
         if done:
             break
+    if not done:
+        # labels still changed on the final iteration: cluster ids may be
+        # unconverged (component diameter > max_iter) — silently returning
+        # them would be wrong data, not slow data
+        raise RuntimeError(
+            f"connected_components: labels still changing after {max_iter} "
+            "iterations (component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -70,13 +70,19 @@ def _pad_feature(vals: list[float], dim: int) -> list[float]:
 def _decode_ppm(payload: bytes, feature_dim: int):
     """Raw PPM (P6): ASCII header `P6\\n<w> <h>\\n<maxval>\\n` + RGB bytes.
     Feature: per-channel means + overall std, normalized to [0, 1]."""
+    import re
+
     import numpy as np
 
-    parts = payload.split(maxsplit=4)
-    if parts[0] != b"P6":
+    # Positional header parse: exactly ONE whitespace byte separates maxval
+    # from the raster (PPM spec) — a split(maxsplit=4) would also eat raster
+    # bytes that happen to be whitespace (first-pixel red of 9/10/13/32),
+    # shifting the raster and corrupting the decode.
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
         raise ValueError("not a P6 PPM payload")
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-    raw = parts[4] if len(parts) > 4 else b""
+    w, h, maxval = (int(g) for g in m.groups())
+    raw = payload[m.end():]
     px = np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
     px = px.astype(np.float64) / maxval
     feature = _pad_feature(

@@ -71,6 +71,7 @@ def run_pipeline(
     if not health_check(spark):
         raise RuntimeError("Spark session failed the SELECT 1 health probe")
     corrupt_records = 0
+    raw_cached: DataFrame | None = None
     if input_format == "json":
         # PERMISSIVE + corrupt-record column: malformed JSON lines land in
         # __corrupt instead of silently becoming all-null rows; they are
@@ -83,15 +84,18 @@ def run_pipeline(
             RAW_QUOTE_SCHEMA.fields
             + [T.StructField("__corrupt", T.StringType(), True)]
         )
-        raw = (
+        # keep a handle to the CACHED frame: unpersist is non-cascading and
+        # matches by sameResult, so unpersisting the filtered/dropped child
+        # would leave the cached full input pinned for the session
+        raw_cached = (
             spark.read.schema(schema)
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "__corrupt")
             .json(input_path)
             .cache()
         )
-        corrupt_records = raw.filter(F.col("__corrupt").isNotNull()).count()
-        raw = raw.filter(F.col("__corrupt").isNull()).drop("__corrupt")
+        corrupt_records = raw_cached.filter(F.col("__corrupt").isNotNull()).count()
+        raw = raw_cached.filter(F.col("__corrupt").isNull()).drop("__corrupt")
     else:
         raw = spark.read.schema(RAW_QUOTE_SCHEMA).parquet(input_path)
     enriched = enrich(
@@ -122,8 +126,8 @@ def run_pipeline(
         )
     finally:
         enriched.unpersist()
-        if input_format == "json":
-            raw.unpersist()
+        if raw_cached is not None:
+            raw_cached.unpersist()
 
 
 def main() -> None:

@@ -103,6 +103,22 @@ def test_retain_recent_drops_old_rows(spark, tmp_path):
     assert out.agg(F.min("date")).collect()[0][0].isoformat() == "2024-01-11"
 
 
+def test_retain_recent_full_expiry(spark, tmp_path):
+    """A cutoff beyond every row is a normal outcome (0 retained), not a
+    crash: the zero-row partitioned rewrite has no files to infer a schema
+    from, so the count must use the known schema."""
+    from stock_market_etl_pipeline_spark.io_sink import retain_recent
+
+    sink = str(tmp_path / "retain_all")
+    df = spark.createDataFrame(
+        [("A", "2024-01-01", 1.0), ("B", "2024-01-02", 2.0)],
+        "symbol string, date string, close double",
+    ).select("symbol", F.to_date("date").alias("date"), "close")
+    df.write.partitionBy("symbol").parquet(sink)
+    n = retain_recent(spark, sink, cutoff_date="2025-01-01")
+    assert n == 0
+
+
 def test_merge_upsert_keep_last(spark, tmp_path):
     from stock_market_etl_pipeline_spark.io_sink import merge_upsert_parquet
 

@@ -293,6 +293,20 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Iteration exhaustion must raise, never return silently-wrong
+    (unconverged) cluster ids — a long chain cannot converge in one round."""
+    from stock_market_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not|still changing"):
+        connected_components(chain, max_iter=1)
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     from stock_market_etl_pipeline_spark.operators.similarity import (
         cosine_topk,

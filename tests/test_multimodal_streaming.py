@@ -134,6 +134,27 @@ def test_real_decode_ppm_and_wav(spark):
     assert got[3]["width"] is None      # null payload passes through
 
 
+def test_real_decode_ppm_whitespace_first_raster_byte(spark):
+    """A raster whose FIRST byte is whitespace (red=10 = 0x0A) must not be
+    eaten as a header separator — the header parse is positional, not
+    split-on-whitespace."""
+    from stock_market_etl_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    pixels = bytes([10, 20, 30])  # 1x1, first raster byte is \n
+    ppm = b"P6\n1 1\n255\n" + pixels
+    media = spark.createDataFrame(
+        [(1, ppm, "image/x-portable-pixmap", len(ppm))], MEDIA_SCHEMA
+    )
+    got = decode_media(media, decode_stub=False).collect()[0]
+    assert (got["width"], got["height"]) == (1, 1)
+    assert got["feature"][0] == pytest.approx(10 / 255, abs=1e-6)
+    assert got["feature"][1] == pytest.approx(20 / 255, abs=1e-6)
+    assert got["feature"][2] == pytest.approx(30 / 255, abs=1e-6)
+
+
 def test_real_decode_codec_format_raises(spark):
     from stock_market_etl_pipeline_spark.operators.multimodal import (
         MEDIA_SCHEMA,
