@@ -113,26 +113,21 @@ def bucket_pairs(
     return pairs.distinct() if distinct else pairs
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+def capped_shingles(
+    docs: DataFrame, k: int = 3, max_doc_freq: int | None = None
 ) -> DataFrame:
-    """Near-duplicate pairs by word-k-gram Jaccard similarity.
+    """(doc_id, shingle) distinct word k-grams, minus stop-shingles.
 
-    Inverted-index join: |A∩B| from a self-join on shingle, |A∪B| from
-    per-doc shingle counts. ``max_doc_freq`` drops shingles appearing in
-    more than N documents — at scale, stop-shingles are the skew bomb; the
-    cap bounds per-key join fan-out. Jaccard is exact integer arithmetic,
-    so the oracle comparison is bit-exact.
+    ``max_doc_freq`` drops shingles appearing in more than N documents — at
+    scale, stop-shingles are the skew bomb; the cap bounds per-key join
+    fan-out. The document frequency is a WINDOW count on the shingle
+    partitioning, not a groupBy+semi-join: the cap then lives on the same
+    Exchange(shingle) a per-shingle consumer (inverted-index join) reads,
+    so Spark's ReuseExchange can share ONE shuffle of the shingle table
+    across the cap and that consumer.
     """
     sh = _doc_shingles(docs, k)
     if max_doc_freq is not None:
-        # document-frequency as a WINDOW count on the shingle partitioning,
-        # not a groupBy+semi-join: the cap then lives on the same
-        # Exchange(shingle) the self-join below consumes, so Spark's
-        # ReuseExchange shares ONE shuffle of the shingle table across the
-        # cap, both join sides, and the sizes branch — instead of
-        # re-scanning and re-exploding the corpus per branch
         from pyspark.sql import Window
 
         sh = (
@@ -142,6 +137,35 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard similarity.
+
+    Inverted-index join: |A∩B| from a self-join on shingle, |A∪B| from
+    per-doc shingle counts. Jaccard is exact integer arithmetic, so the
+    oracle comparison is bit-exact. See :func:`capped_shingles` for the
+    stop-shingle cap.
+    """
+    return jaccard_pairs_from_shingles(
+        capped_shingles(docs, k=k, max_doc_freq=max_doc_freq), threshold
+    )
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs over a prebuilt (doc_id, shingle) table.
+
+    Factored out of :func:`ngram_jaccard_pairs` so a composite plan
+    (corpus_prep) can materialize the shingle table ONCE (localCheckpoint)
+    and share it across the sizes / intersection branches instead of
+    re-exploding the corpus per branch.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # inverted index as bucket_pairs per shingle (one pass over the shingle
     # table, not a two-sided self-join); |A∩B| = how many shingle-buckets
@@ -172,18 +196,21 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 3, num_hashes: int = 16
+    docs: DataFrame, k: int = 3, num_hashes: int = 16,
+    *, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, hash_idx, minhash) MinHash signature, one row per hash fn.
 
     Hash family: md5_hash60(i || '|' || shingle) — k independent hashes by
     seed-prefixing, portable to the DuckDB oracle. One shuffle
     (groupBy doc_id, hash_idx); documents with no shingles drop out.
+    ``shingles`` lets a composite plan pass a pre-materialized
+    (doc_id, shingle) table so the corpus explode isn't recomputed here.
     """
     # num_hashes MIN-aggregates over the shingle rows instead of exploding
     # a hash_idx dimension: same md5 work, but the shuffle carries one row
     # per (doc, shingle) rather than num_hashes× that (measured ~3× faster).
-    sh = _doc_shingles(docs, k)
+    sh = shingles if shingles is not None else _doc_shingles(docs, k)
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -207,7 +234,8 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4,
+    *, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: equal band-signatures in ≥1 of `bands` bands.
 
@@ -216,7 +244,7 @@ def minhash_lsh_candidates(
     bucket, so cost is Σ bucket², not n².
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes)
+    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes, shingles=shingles)
     banded = (
         sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -240,6 +268,7 @@ def jaccard_over_candidates(
     candidates: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
+    *, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification restricted to a candidate-pair set.
 
@@ -248,8 +277,10 @@ def jaccard_over_candidates(
     LSH join (cost Σ bucket²), and the exact shingle-set Jaccard runs only
     on candidates — the full-corpus inverted-index self-join (and its
     stop-shingle skew) never happens. The 100 TB text near-dup path.
+    Pass a pre-materialized ``shingles`` table to share ONE corpus explode
+    between candidate generation and this verify step.
     """
-    sh = _doc_shingles(docs, k)
+    sh = shingles if shingles is not None else _doc_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -23,8 +23,10 @@ from .functions.text import (
 )
 from .operators.dedup import (
     SIMHASH_BITS,
+    capped_shingles,
     exact_duplicate_groups,
     jaccard_over_candidates,
+    jaccard_pairs_from_shingles,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -324,10 +326,17 @@ def q_dedup_jaccard_lsh_verified(spark, sf_dir):
     """Candidates+verify near-dup (the 100 TB text path): MinHash-LSH
     banded candidates, then EXACT shingle-Jaccard ≥ 0.5 computed only on
     candidate pairs — the full-corpus inverted-index self-join (and its
-    stop-shingle skew surface) never exists in the plan."""
+    stop-shingle skew surface) never exists in the plan.
+
+    The shingle table is localCheckpoint-materialized once and shared by
+    the signature, sizes, and both verify-join sides (the r2 plan
+    re-exploded the corpus per branch: 5 scans / 10 shuffles)."""
+    from .operators.dedup import _doc_shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
-    return jaccard_over_candidates(docs, cand, k=3, threshold=0.5)
+    sh = _doc_shingles(docs, 3).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4, shingles=sh)
+    return jaccard_over_candidates(docs, cand, k=3, threshold=0.5, shingles=sh)
 
 
 def _simhash_oracle() -> str:
@@ -847,7 +856,14 @@ def q_corpus_prep(spark, sf_dir):
     (drop the higher id of every Jaccard ≥ 0.5 pair). The flagship
     LLM-data flow: every stage is one of the standalone operators chained
     into a single lazy plan. Near-dup stage runs with the stop-shingle
-    document-frequency cap (NGRAM_MAX_DOC_FREQ) — the scale-safe variant."""
+    document-frequency cap (NGRAM_MAX_DOC_FREQ) — the scale-safe variant.
+
+    The capped shingle table is localCheckpoint-materialized ONCE and
+    shared by the sizes and intersection branches: Catalyst's
+    ReuseExchange requires bit-identical subtrees and column pruning
+    breaks that across the branches, so without the checkpoint the corpus
+    explode+hash+window-cap ran once per branch (5 scans / 11 shuffles in
+    the r2 plan audit; 2 scans / ≤7 shuffles after)."""
     docs = load_table(spark, sf_dir, "documents")
     t = ws_tokens(F.col("text"))
     quality = docs.filter(
@@ -857,10 +873,11 @@ def q_corpus_prep(spark, sf_dir):
         "doc_id", normalized_fingerprint(F.col("text")).alias("f")
     )
     exact_survivors = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    sh = capped_shingles(
+        docs, k=3, max_doc_freq=NGRAM_MAX_DOC_FREQ
+    ).localCheckpoint(eager=True)
     near_dropped = (
-        ngram_jaccard_pairs(
-            docs, k=3, threshold=0.5, max_doc_freq=NGRAM_MAX_DOC_FREQ
-        )
+        jaccard_pairs_from_shingles(sh, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -913,41 +930,56 @@ def q_sample_k_per_group(spark, sf_dir):
     counts AS (
         SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
     ),
+    top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 100
+    ),
+    total AS (SELECT COUNT(*) AS total FROM tok),
     ranked AS (
         SELECT token, n,
-               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk,
-               SUM(n) OVER () AS total
-        FROM counts
+               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+        FROM top
     )
     SELECT token, CAST(n AS BIGINT) AS n,
            CAST(rnk AS INTEGER) AS freq_rank,
            ROUND(n * 1.0 / total, 6) AS share
-    FROM ranked WHERE rnk <= 100
+    FROM ranked, total
     """,
 )
 def q_token_frequencies(spark, sf_dir):
     """Corpus unigram statistics: top-100 lowercased tokens with counts and
     corpus share — the vocabulary-head profile a tokenizer-training or
-    quality pass starts from. The share denominator rides the same 100-row
-    post-aggregate (window SUM over counts), not a second corpus scan."""
-    from pyspark.sql import Window
+    quality pass starts from.
 
+    Scale shape: the top-100 is orderBy+limit — planned as
+    TakeOrderedAndProject (per-partition top-k, tiny merge) — never a
+    row_number window over the full vocabulary, which would funnel hundreds
+    of millions of distinct tokens through ONE partition at corpus scale.
+    Rank is posexplode over the sorted 100-element array; the share
+    denominator is a 1-row corpus-token count broadcast-joined in. No
+    Window node anywhere in the plan (asserted in test_plan_shapes)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(ws_tokens(F.col("text"))).alias("tk")
     ).select(F.lower("tk").alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "token")
-    ranked = counts.select(
-        "token", "n",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
+    top = counts.orderBy(F.col("n").desc(), "token").limit(100)
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("n")).alias("__neg"), F.col("token"), F.col("n"))
+            )
+        ).alias("__ts")
     )
-    return ranked.filter(F.col("rnk") <= 100).select(
-        "token",
-        F.col("n").cast("bigint").alias("n"),
-        F.col("rnk").cast("int").alias("freq_rank"),
-        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+    return (
+        packed.crossJoin(F.broadcast(total))
+        .select(F.col("__total"), F.posexplode("__ts").alias("__pos", "__s"))
+        .select(
+            F.col("__s.token").alias("token"),
+            F.col("__s.n").cast("bigint").alias("n"),
+            (F.col("__pos") + 1).cast("int").alias("freq_rank"),
+            F.round(F.col("__s.n") / F.col("__total"), 6).alias("share"),
+        )
     )
 
 

@@ -83,8 +83,27 @@ def test_ngram_jaccard_registered_with_doc_freq_cap(spark, qs):
     __df document-frequency aggregate appears in the plan)."""
     plan = plan_of(qs["dedup_ngram_jaccard"](spark, SF_DIR))
     assert "__df" in plan
-    plan2 = plan_of(qs["corpus_prep"](spark, SF_DIR))
-    assert "__df" in plan2
+
+
+def test_corpus_prep_shares_one_shingle_materialization(spark, qs):
+    """corpus_prep materializes the capped shingle table ONCE
+    (localCheckpoint → Scan ExistingRDD) shared by the sizes/intersection
+    branches — never the r2 shape that re-exploded the corpus per branch
+    (5 parquet scans / 11 shuffles)."""
+    plan = plan_of(qs["corpus_prep"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") <= 2
+    assert "Scan ExistingRDD" in plan
+    assert count_nodes(plan, "Exchange") <= 7
+
+
+def test_token_frequencies_no_global_window(spark, qs):
+    """Top-100 vocabulary must plan as TakeOrderedAndProject (per-partition
+    top-k), never an unpartitioned row_number/sum window that funnels the
+    full distinct-token table through one partition."""
+    plan = plan_of(qs["token_frequencies"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Window") == 0
+    assert "WindowGroupLimit" not in plan
 
 
 def test_dim_broadcasts_are_explicit_not_size_estimated(spark, qs):
