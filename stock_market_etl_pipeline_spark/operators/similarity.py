@@ -106,6 +106,49 @@ def embedding_near_pairs(
     )
 
 
+def perturbation_constants(dim: int, scale: float = 0.05) -> list[float]:
+    """Deterministic per-dimension additive noise for planting near-dups.
+
+    A fixed rational pattern (no RNG, no libm) so the Spark expression and
+    the generated DuckDB oracle SQL add the SAME double constants — keeps
+    the planted corpus bit-identical across engines. For UNIT-NORM 64-dim
+    vectors (the testdata embeddings) the default scale puts the planted
+    twin at cosine ≈ 0.97 from its original — a realistic near-dup, not a
+    trivially-identical copy (measured 0.9669–0.9751 at sf0.001).
+    """
+    return [scale * (((j * 37) % 11) - 5) / 5.0 for j in range(dim)]
+
+
+def plant_near_duplicates(
+    embeddings: DataFrame,
+    n: int = 100,
+    id_offset: int = 1_000_000,
+    scale: float = 0.05,
+    dim: int | None = None,
+) -> DataFrame:
+    """Corpus ∪ perturbed twins of the first ``n`` vectors.
+
+    The recall harness for near-dup search: every planted twin is a known
+    ground-truth near-pair (original_id, original_id + id_offset), so
+    recall of any candidate scheme can be measured as the fraction of
+    planted pairs it recovers. Derived data only — vec_id arithmetic plus
+    :func:`perturbation_constants` — so it stays oracle-expressible.
+    """
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
+    pert = F.array(*[F.lit(c) for c in perturbation_constants(dim, scale)])
+    base = embeddings.select(
+        "vec_id", _to_double(F.col("embedding")).alias("embedding")
+    )
+    twins = base.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.zip_with(F.col("embedding"), pert, lambda x, c: x + c).alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(twins)
+
+
 def random_projection_buckets(
     embeddings: DataFrame, n_planes: int = 8, seed: int = 42,
     dim: int | None = None,

@@ -38,6 +38,8 @@ from .operators.similarity import (
     embedding_near_pairs_lsh,
     ivf_topk,
     plane_signs,
+    plant_near_duplicates,
+    perturbation_constants,
 )
 from .registry import register
 from .sources.tables import load_table
@@ -757,6 +759,82 @@ def q_embedding_near_pairs_lsh(spark, sf_dir):
         threshold=_LSH_THRESHOLD,
         n_bands=_LSH_BANDS,
         planes_per_band=_LSH_PLANES_PER_BAND,
+        seed=_LSH_SEED,
+        dim=_EMB_DIM,
+    )
+
+
+# --- production-threshold near-dup variant over planted twins --------------
+# The gaussian testdata has no natural cosine ≥ 0.9 pairs, so the registered
+# high-threshold query PLANTS deterministic near-duplicate twins (derived
+# data: vec_id arithmetic + fixed rational noise, oracle-expressible) and
+# searches at the real near-dup operating point: 8 planes per band → 256
+# buckets/band, the selective banding the 0.45-threshold variant's
+# docstring prescribes for cosine ≥ 0.9.
+
+_HI_THRESHOLD = 0.9
+_HI_BANDS = 8
+_HI_PLANES_PER_BAND = 8
+_HI_PLANT_N = 100
+_HI_PLANT_OFFSET = 1_000_000
+
+_HI_PERT_SQL = "[" + ", ".join(
+    repr(c) for c in perturbation_constants(_EMB_DIM)
+) + "]"
+
+_NEAR_PAIRS_LSH_HI_ORACLE = (
+    "WITH " + _EMB_CTE + f""",
+    corpus AS (
+        SELECT vec_id, v FROM emb
+        UNION ALL
+        SELECT vec_id + {_HI_PLANT_OFFSET} AS vec_id,
+               list_transform(v, (x, i) -> x + {_HI_PERT_SQL}[i]) AS v
+        FROM emb WHERE vec_id < {_HI_PLANT_N}
+    ),
+    bb AS (
+        """
+    + "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, {band} AS band, "
+        f"CAST({_bucket_sql(band * _HI_PLANES_PER_BAND, _HI_PLANES_PER_BAND)}"
+        f" AS INTEGER) AS bucket FROM corpus"
+        for band in range(_HI_BANDS)
+    )
+    + f"""
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {_cosine_sql('ea.v', 'eb.v')} AS score
+    FROM cand
+    JOIN corpus ea ON ea.vec_id = id_a
+    JOIN corpus eb ON eb.vec_id = id_b
+    WHERE {_cosine_sql('ea.v', 'eb.v')} >= {_HI_THRESHOLD}
+    """
+)
+
+
+@register("embedding_near_pairs_lsh_hi", _NEAR_PAIRS_LSH_HI_ORACLE)
+def q_embedding_near_pairs_lsh_hi(spark, sf_dir):
+    """Near-dup pairs at the production threshold (cosine ≥ 0.9) over a
+    corpus with planted near-duplicate twins (plant_near_duplicates: the
+    first 100 vectors get a deterministic-noise copy at id+1e6, cosine
+    ≈ 0.97 from the original). Banding runs at the high-similarity
+    operating point — 8 bands × 8 planes (256 buckets/band): per-plane
+    collision probability for a cosine-0.97 pair is ~0.92, so band recall
+    is ~0.52 and 8 OR-bands reach ~0.997 while random gaussian pairs
+    almost never collide on 8 planes. Recall ≥ 0.9 vs the exact all-pairs
+    baseline is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = plant_near_duplicates(
+        emb, n=_HI_PLANT_N, id_offset=_HI_PLANT_OFFSET, dim=_EMB_DIM
+    )
+    return embedding_near_pairs_lsh(
+        corpus,
+        threshold=_HI_THRESHOLD,
+        n_bands=_HI_BANDS,
+        planes_per_band=_HI_PLANES_PER_BAND,
         seed=_LSH_SEED,
         dim=_EMB_DIM,
     )

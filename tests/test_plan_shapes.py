@@ -73,9 +73,10 @@ def test_near_pairs_lsh_no_all_pairs_join(spark, qs):
     """The registered embedding near-pairs scale path must never plan a
     broadcast-nested-loop / cartesian over the corpus — candidates come
     from an equi-join on (band, bucket)."""
-    plan = plan_of(qs["embedding_near_pairs_lsh"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    for q in ("embedding_near_pairs_lsh", "embedding_near_pairs_lsh_hi"):
+        plan = plan_of(qs[q](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
 
 
 def test_ngram_jaccard_registered_with_doc_freq_cap(spark, qs):
