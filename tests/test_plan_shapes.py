@@ -139,6 +139,46 @@ def test_overview_dim_joins_broadcast(spark, qs):
         assert "SortMergeJoin" not in plan, q
 
 
+def test_unpivot_single_scan_no_join(spark, qs):
+    """UNPIVOT is a per-row Expand — one scan, no shuffle beyond the final
+    ordering, never a join or window."""
+    plan = plan_of(qs["unpivot_ohlc"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") <= 1
+    assert "Join" not in plan
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_asof_joins_are_union_window_not_range_join(spark, qs):
+    """Both as-of directions must plan as union + ordered window (ONE
+    linear pass per partition key) — never a physical join, whose non-equi
+    range condition would be a nested-loop at scale."""
+    for q in ("asof_last_order_value", "asof_next_order_value"):
+        plan = plan_of(qs[q](spark, SF_DIR))
+        assert "Join" not in plan, q
+        assert count_nodes(plan, "Union") >= 1, q
+        assert count_nodes(plan, "Window") >= 1, q
+        assert count_nodes(plan, "Exchange") <= 3, q
+
+
+def test_event_funnel_pushes_stage_filters_into_scans(spark, qs):
+    """Each funnel stage reads only its event_type (predicate reaches the
+    parquet scan) and the per-user min-timestamp tables join broadcast —
+    the events fact is never shuffled on the join key."""
+    plan = plan_of(qs["event_funnel"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(plan, "Scan parquet") <= 6
+    assert "EqualTo(event_type," in plan  # pushdown proof
+
+
+def test_retention_cohorts_shuffle_budget(spark, qs):
+    """Cohort triangle: two pushed-down scans of events, everything else
+    rides the user_id partitioning (≤4 exchanges incl. final agg)."""
+    plan = plan_of(qs["user_retention_cohorts"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert count_nodes(plan, "Exchange") <= 4
+
+
 def test_signals_max_date_branch_is_cheap(spark, qs):
     plan = plan_of(qs["trading_signals"](spark, SF_DIR))
     # two scans: the ticks pipeline + the single-column max-date probe
