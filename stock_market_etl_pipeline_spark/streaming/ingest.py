@@ -139,3 +139,62 @@ def start_gated_quote_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    sink_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    validation_threshold: float = 0.90,
+    watermark_delay: str = "2 days",
+    trigger_once: bool = True,
+):
+    """The WHOLE batch pipeline as one streaming composition:
+
+        landing JSON → watermarked cross-batch dedup → clean (incl.
+        within-batch keep-last) → enrich → per-micro-batch quality gate →
+        partitioned parquet sink (failing batches divert to quarantine)
+
+    The streaming twin of ``pipeline.run_pipeline``: for a single
+    availableNow drop the sink contents are row-identical to the batch
+    pipeline's output (asserted in tests/test_streaming_pipeline_e2e.py).
+    Enrichment windows are computed per micro-batch — matching the
+    reference's daily rerun-over-recent-history model, where each drop
+    carries the full lookback window it needs (scheduler.py:110).
+    """
+    from ..operators.clean import clean_quotes
+    from ..operators.enrich import enrich
+    from ..plans.quality import run_quality_suite, stock_quality_checks
+
+    raw = (
+        spark.readStream.schema(RAW_QUOTE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(landing_dir)
+    )
+    deduped = dedup_stream(raw, watermark_delay)
+
+    def pipe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enriched = enrich(
+            clean_quotes(batch_df).drop("extracted_at", "data_source")
+        ).cache()
+        try:
+            ok, _rate, _results = run_quality_suite(
+                enriched,
+                stock_quality_checks(),
+                success_threshold=validation_threshold,
+            )
+            target = sink_dir if ok else f"{quarantine_dir}/batch_id={batch_id}"
+            enriched.write.mode("append").partitionBy("symbol").parquet(target)
+        finally:
+            enriched.unpersist()
+
+    writer = deduped.writeStream.foreachBatch(pipe_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
