@@ -1,0 +1,446 @@
+"""Finance time-series indicator queries over the ticks series.
+
+Extends the reference's indicator surface (reference ``src/transform.py``
+moving averages / volatility, ``dashboard/app.py`` price charts) with the
+standard technical-analysis family a quant user would expect next: max
+drawdown, EMA, RSI, Bollinger bands, market beta, weekly resample, VWAP.
+All are expressed as window/agg plans that share ONE
+HashPartitioning(symbol) exchange with the rest of the enrich spine — no
+self-joins, no per-symbol collects — so the shapes hold at 100 TB.
+
+Float policy (oracles.py): window AVG/STDDEV and cross-row SUM outputs are
+ROUND(..., 6) on both sides; pass-through doubles and exact MIN/MAX stay
+raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .oracles import WITH_TICKS
+from .registry import register
+from .sources.ticks import ticks
+
+_W = lambda: Window.partitionBy("symbol").orderBy("date")  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown
+# ---------------------------------------------------------------------------
+
+@register(
+    "max_drawdown",
+    WITH_TICKS
+    + """,
+    dd AS (
+        SELECT symbol, date, close,
+               MAX(close) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_close
+        FROM ticks
+    ),
+    ranked AS (
+        SELECT symbol, date, close, peak_close,
+               (close / peak_close - 1.0) * 100 AS drawdown_pct,
+               ROW_NUMBER() OVER (PARTITION BY symbol
+                   ORDER BY (close / peak_close - 1.0) * 100 ASC, date ASC) AS rn
+        FROM dd
+    )
+    SELECT symbol, date AS trough_date, close AS trough_close, peak_close,
+           ROUND(drawdown_pct, 6) AS max_drawdown_pct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_max_drawdown(spark, sf_dir):
+    """Per-symbol maximum drawdown: running peak (cumulative max window),
+    per-row drawdown %, then the deterministic trough row (worst drawdown,
+    earliest date as tiebreak).
+
+    Plan: running-max window and row_number share the same
+    HashPartitioning(symbol) — one exchange, no join. Running MAX and the
+    close/peak division are exact doubles on both engines, so the ranking
+    (and the tiebreak) is deterministic; only the output % is rounded.
+    """
+    t = ticks(spark, sf_dir)
+    w_cum = _W().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = t.select(
+        "symbol", "date", "close",
+        F.max("close").over(w_cum).alias("peak_close"),
+    ).withColumn(
+        "drawdown_pct", (F.col("close") / F.col("peak_close") - 1.0) * 100
+    )
+    w_rank = Window.partitionBy("symbol").orderBy(
+        F.col("drawdown_pct").asc(), F.col("date").asc()
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "symbol",
+            F.col("date").alias("trough_date"),
+            F.col("close").alias("trough_close"),
+            "peak_close",
+            F.round("drawdown_pct", 6).alias("max_drawdown_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EMA (finite-window, lag-term formulation)
+# ---------------------------------------------------------------------------
+
+_EMA_SPAN = 10
+_EMA_ALPHA = 2.0 / (_EMA_SPAN + 1)
+# Truncated EMA: weights (1-alpha)^j for the last `span` rows, normalized
+# over the lags that exist (shrinking head, like pandas ewm(adjust=True)).
+_EMA_WEIGHTS = [(1.0 - _EMA_ALPHA) ** j for j in range(_EMA_SPAN)]
+# α = 2/(span+1) = 2/11 ⇒ (1-α)^j = (9/11)^j. Scaling all weights by 11⁹
+# makes them exact integers 9ʲ·11⁹⁻ʲ — the whole weighted sum becomes
+# exact int64 arithmetic over price-cents (max |term| ≈ 1.1e7·11⁹ ≈ 2.6e16,
+# ×10 terms < 2^62), closed by ONE double division that both engines
+# evaluate identically. Float-weight formulations differ by 1 ulp between
+# Spark and DuckDB (observed at every sf), so exactness is load-bearing.
+_EMA_INT_WEIGHTS = [
+    9**j * 11 ** (_EMA_SPAN - 1 - j) for j in range(_EMA_SPAN)
+]
+
+
+def _ema_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(CAST(round(LAG(close, {j}) OVER w * 100) AS BIGINT)"
+        f" * {w}, 0)"
+        for j, w in enumerate(_EMA_INT_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(close, {j}) OVER w IS NULL THEN 0 ELSE {w} END"
+        for j, w in enumerate(_EMA_INT_WEIGHTS)
+    )
+    return (
+        WITH_TICKS
+        + f"""
+    SELECT symbol, date, close,
+           CAST({num} AS BIGINT)
+               / CAST({den} AS BIGINT) / 100.0 AS ema_{_EMA_SPAN}
+    FROM ticks
+    WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    """
+    )
+
+
+@register(f"ema_{_EMA_SPAN}", _ema_oracle())
+def q_ema(spark, sf_dir):
+    """Exponential moving average, span 10, truncated to a 10-row window.
+
+    The recursive EMA definition is not window-expressible; the truncated
+    form is: ema_t = Σⱼ wʲ·close_{t-j} / Σⱼ wʲ over the last 10 rows
+    (w = 1-α, α = 2/(span+1)), normalized over existing lags (pandas
+    ewm(adjust=True) head semantics). Computed in EXACT integer arithmetic
+    (price-cents × 11⁹-scaled integer weights — see _EMA_INT_WEIGHTS) so
+    Spark and DuckDB agree bit-for-bit; emitted unrounded. All 10 lag()
+    terms share one window spec → a single Window node over one exchange,
+    no shuffle growth with span.
+    """
+    t = ticks(spark, sf_dir)
+    w = _W()
+    num = None
+    den = None
+    for j, wt in enumerate(_EMA_INT_WEIGHTS):
+        lg = F.lag("close", j).over(w)
+        cents = F.round(lg * 100, 0).cast("bigint")
+        term_n = F.coalesce(cents * F.lit(wt), F.lit(0).cast("bigint"))
+        term_d = (
+            F.when(lg.isNull(), F.lit(0)).otherwise(F.lit(wt)).cast("bigint")
+        )
+        num = term_n if num is None else num + term_n
+        den = term_d if den is None else den + term_d
+    return t.select(
+        "symbol", "date", "close",
+        (num.cast("bigint") / den.cast("bigint") / 100.0).alias(
+            f"ema_{_EMA_SPAN}"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSI
+# ---------------------------------------------------------------------------
+
+_RSI_N = 14
+
+
+@register(
+    f"rsi_{_RSI_N}",
+    WITH_TICKS
+    + f""",
+    chg AS (
+        SELECT symbol, date, close,
+               close - LAG(close) OVER (PARTITION BY symbol ORDER BY date) AS diff
+        FROM ticks
+    ),
+    gl AS (
+        SELECT symbol, date, close,
+               CASE WHEN diff > 0 THEN diff ELSE 0.0 END  AS gain,
+               CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
+        FROM chg
+    ),
+    av AS (
+        SELECT symbol, date, close,
+               AVG(gain) OVER w AS avg_gain,
+               AVG(loss) OVER w AS avg_loss
+        FROM gl
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date, close,
+           ROUND(CASE WHEN avg_loss = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+                 END, 6) AS rsi_{_RSI_N}
+    FROM av
+    """,
+)
+def q_rsi(spark, sf_dir):
+    """RSI(14), simple-moving-average variant (Cutler's RSI): average gain
+    and loss over a trailing 14-row frame, RSI = 100 − 100/(1+RS); 100 when
+    the window has no losses.
+
+    (Wilder's smoothed RSI is recursive — same reason as EMA — so the SMA
+    variant is the window-expressible form.) Both windows + the lag share
+    HashPartitioning(symbol): one exchange. Sliding-frame AVG is
+    order-sensitive across engines → rounded at 6dp on both sides.
+    """
+    t = ticks(spark, sf_dir)
+    w = _W()
+    wf = _W().rowsBetween(-(_RSI_N - 1), 0)
+    diff = F.col("close") - F.lag("close").over(w)
+    gl = t.select(
+        "symbol", "date", "close",
+        F.when(diff > 0, diff).otherwise(F.lit(0.0)).alias("gain"),
+        F.when(diff < 0, -diff).otherwise(F.lit(0.0)).alias("loss"),
+    )
+    av = gl.select(
+        "symbol", "date", "close",
+        F.avg("gain").over(wf).alias("avg_gain"),
+        F.avg("loss").over(wf).alias("avg_loss"),
+    )
+    rsi = F.when(F.col("avg_loss") == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss"))
+    )
+    return av.select(
+        "symbol", "date", "close",
+        F.round(rsi, 6).alias(f"rsi_{_RSI_N}"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands
+# ---------------------------------------------------------------------------
+
+@register(
+    "bollinger_bands",
+    WITH_TICKS
+    + """,
+    cents AS (
+        SELECT symbol, date, close,
+               CAST(round(close * 100) AS BIGINT) AS c
+        FROM ticks
+    ),
+    st AS (
+        SELECT symbol, date, close,
+               SUM(c)     OVER w AS s1,
+               SUM(c * c) OVER w AS s2,
+               COUNT(*)   OVER w AS n
+        FROM cents
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    bands AS (
+        SELECT symbol, date, close,
+               s1 / (n * 100.0) AS mid,
+               CASE WHEN n < 2 THEN NULL
+                    ELSE sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0))
+                         / 100.0 END AS sd
+        FROM st
+    )
+    SELECT symbol, date, close,
+           mid          AS bb_mid,
+           mid + 2 * sd AS bb_upper,
+           mid - 2 * sd AS bb_lower,
+           CASE WHEN sd = 0 THEN NULL
+                ELSE (close - (mid - 2 * sd)) / (4 * sd) END AS pct_b
+    FROM bands
+    """,
+)
+def q_bollinger_bands(spark, sf_dir):
+    """Bollinger bands (20, 2): trailing mean ± 2×sample-stddev and %B.
+
+    Built-in sliding AVG/STDDEV accumulate in engine-specific order, which
+    flips 6dp rounding ties between Spark and DuckDB (NOTES rule 9) — so
+    the moments are computed EXACTLY instead: closes sit on a 2-decimal
+    money grid, so Σcents and Σcents² over the 20-row frame are exact
+    int64 (≤2e15 < 2^53) in ANY accumulation order, and mean/variance
+    derive from them with an identical per-row IEEE expression tree on
+    both engines — bit-identical outputs, no rounding needed. NULL sd for
+    <2 obs (stddev_samp semantics), NULL %B for zero-width bands.
+    One window spec → one Window node over the shared symbol exchange.
+    """
+    t = ticks(spark, sf_dir)
+    wf = _W().rowsBetween(-19, 0)
+    cents = t.select(
+        "symbol", "date", "close",
+        F.round(F.col("close") * 100, 0).cast("bigint").alias("c"),
+    )
+    st = cents.select(
+        "symbol", "date", "close",
+        F.sum("c").over(wf).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(wf).alias("s2"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    )
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n")
+    mid = s1 / (n * 100.0)
+    sd = F.when(n < 2, F.lit(None).cast("double")).otherwise(
+        F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))) / 100.0
+    )
+    bands = st.select(
+        "symbol", "date", "close", mid.alias("mid"), sd.alias("sd")
+    )
+    mid, sd = F.col("mid"), F.col("sd")
+    pct_b = F.when(sd == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("close") - (mid - 2 * sd)) / (4 * sd)
+    )
+    return bands.select(
+        "symbol", "date", "close",
+        mid.alias("bb_mid"),
+        (mid + 2 * sd).alias("bb_upper"),
+        (mid - 2 * sd).alias("bb_lower"),
+        pct_b.alias("pct_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market beta
+# ---------------------------------------------------------------------------
+
+@register(
+    "beta_vs_market",
+    WITH_TICKS
+    + """,
+    ret AS (
+        SELECT symbol, date,
+               close / LAG(close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
+        FROM ticks
+    ),
+    mkt AS (
+        SELECT date, AVG(ret) AS mret
+        FROM ret WHERE ret IS NOT NULL GROUP BY date
+    )
+    SELECT r.symbol,
+           CAST(COUNT(*) AS BIGINT)                       AS n_days,
+           ROUND(COVAR_SAMP(r.ret, m.mret)
+                 / VAR_SAMP(m.mret), 6)                   AS beta,
+           ROUND(CORR(r.ret, m.mret), 6)                  AS mkt_corr
+    FROM ret r JOIN mkt m USING (date)
+    WHERE r.ret IS NOT NULL
+    GROUP BY r.symbol
+    """,
+)
+def q_beta_vs_market(spark, sf_dir):
+    """CAPM beta per symbol against an equal-weight market factor:
+    β = cov(ret, mkt_ret) / var(mkt_ret), plus the return correlation.
+
+    Plan: per-symbol returns ride the symbol exchange; the market factor is
+    a tiny per-date aggregate (one row per trading day — thousands of rows
+    at any corpus size) broadcast back onto the return rows, then one
+    groupBy(symbol) agg. No date-keyed shuffle of the fact. Covariance /
+    variance accumulate order-sensitively → β and ρ rounded at 6dp.
+    """
+    t = ticks(spark, sf_dir)
+    w = _W()
+    ret = t.select(
+        "symbol", "date",
+        (F.col("close") / F.lag("close").over(w) - 1.0).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = ret.groupBy("date").agg(F.avg("ret").alias("mret"))
+    return (
+        ret.join(F.broadcast(mkt), "date")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.covar_samp("ret", "mret") / F.var_samp("mret"), 6
+            ).alias("beta"),
+            F.round(F.corr("ret", "mret"), 6).alias("mkt_corr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly resample + VWAP
+# ---------------------------------------------------------------------------
+
+@register(
+    "weekly_ohlcv",
+    WITH_TICKS
+    + """
+    SELECT symbol,
+           CAST(date_trunc('week', date) AS DATE) AS week_start,
+           arg_min(open, date)                    AS open,
+           MAX(high)                              AS high,
+           MIN(low)                               AS low,
+           arg_max(close, date)                   AS close,
+           CAST(SUM(volume) AS BIGINT)            AS volume,
+           CAST(COUNT(*) AS BIGINT)               AS trading_days
+    FROM ticks GROUP BY 1, 2
+    """,
+)
+def q_weekly_ohlcv(spark, sf_dir):
+    """ISO-week resample (pandas resample('W') equivalent): both engines
+    truncate to the Monday of the week; open/close are first/last-by-date
+    (min_by/max_by — exact, order-independent)."""
+    t = ticks(spark, sf_dir)
+    return t.groupBy(
+        "symbol",
+        F.date_trunc("week", F.col("date")).cast("date").alias("week_start"),
+    ).agg(
+        F.min_by("open", "date").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "date").alias("close"),
+        F.sum("volume").cast("bigint").alias("volume"),
+        F.count(F.lit(1)).alias("trading_days"),
+    )
+
+
+@register(
+    "vwap_monthly",
+    WITH_TICKS
+    + """
+    SELECT symbol,
+           CAST(year(date) AS INTEGER)  AS year,
+           CAST(month(date) AS INTEGER) AS month,
+           CAST(SUM(CAST(round(close * 100) AS BIGINT) * volume) AS BIGINT)
+               / CAST(SUM(volume) AS BIGINT) / 100.0 AS vwap,
+           CAST(SUM(volume) AS BIGINT)  AS volume
+    FROM ticks GROUP BY 1, 2, 3
+    """,
+)
+def q_vwap_monthly(spark, sf_dir):
+    """Volume-weighted average price per symbol-month.
+
+    SUM(close·volume) as doubles is order-sensitive and its 6dp rounding
+    flips at scale (NOTES rule 10) — so the numerator is summed as exact
+    integer price-CENTS × volume (int64, headroom to ~sf10), and vwap is
+    one deterministic double division — bit-identical on both engines with
+    no rounding."""
+    t = ticks(spark, sf_dir)
+    cents = F.round(F.col("close") * 100, 0).cast("bigint")
+    return t.groupBy(
+        "symbol",
+        F.year("date").cast("int").alias("year"),
+        F.month("date").cast("int").alias("month"),
+    ).agg(
+        (
+            F.sum(cents * F.col("volume")).cast("bigint")
+            / F.sum("volume").cast("bigint") / 100.0
+        ).alias("vwap"),
+        F.sum("volume").cast("bigint").alias("volume"),
+    )

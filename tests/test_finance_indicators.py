@@ -1,0 +1,212 @@
+"""Finance-indicator family (registry_fin.py): semantics + plan shapes.
+
+Oracle parity is covered by tools/verify_oracle.py; these tests pin the
+indicator MATH on a hand-computed series and freeze the one-exchange plan
+shapes that make the family scale.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_etl_pipeline_spark import registry
+from stock_market_etl_pipeline_spark.registry_fin import (
+    _EMA_SPAN,
+    _EMA_WEIGHTS,
+)
+
+from conftest import SF_DIR
+from test_plan_shapes import count_nodes, plan_of
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return registry.queries()
+
+
+# ---------------------------------------------------------------------------
+# Semantics on tiny hand-built series
+# ---------------------------------------------------------------------------
+
+
+def _series(spark, closes, symbol="S"):
+    rows = [
+        (symbol, f"2024-01-{d + 1:02d}", float(c)) for d, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(rows, "symbol string, date string, close double").select(
+        "symbol", F.to_date("date").alias("date"), "close"
+    )
+
+
+def test_max_drawdown_hand_case(spark, qs, tmp_path, monkeypatch):
+    # peak 100 → trough 60: -40%; later partial recovery must not matter
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    closes = [100, 90, 95, 60, 80, 85]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _series(s, closes))
+    row = fin.q_max_drawdown(spark, SF_DIR).collect()[0]
+    assert row.peak_close == 100.0 and row.trough_close == 60.0
+    assert row.max_drawdown_pct == -40.0
+    assert str(row.trough_date) == "2024-01-04"
+
+
+def test_max_drawdown_tie_breaks_to_earliest_date(spark, monkeypatch):
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    # two equal troughs (50 twice): earliest date wins deterministically
+    monkeypatch.setattr(
+        fin, "ticks", lambda s, d: _series(s, [100, 50, 80, 50])
+    )
+    row = fin.q_max_drawdown(spark, SF_DIR).collect()[0]
+    assert str(row.trough_date) == "2024-01-02"
+
+
+def test_ema_matches_pandas_ewm_adjust(spark, monkeypatch):
+    import pandas as pd
+
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    closes = [10.0, 12.0, 11.0, 13.0, 14.0, 12.5, 13.5, 15.0]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _series(s, closes))
+    got = {
+        str(r.date): r.ema_10
+        for r in fin.q_ema(spark, SF_DIR).collect()
+    }
+    # pandas ewm(adjust=True) equals the truncated form exactly while
+    # len(series) <= span
+    exp = pd.Series(closes).ewm(span=_EMA_SPAN, adjust=True).mean()
+    for i, e in enumerate(exp):
+        assert got[f"2024-01-{i + 1:02d}"] == pytest.approx(e, abs=1e-6)
+
+
+def test_ema_weights_are_geometric(spark):
+    alpha = 2.0 / (_EMA_SPAN + 1)
+    for j, w in enumerate(_EMA_WEIGHTS):
+        assert w == pytest.approx((1 - alpha) ** j)
+
+
+def test_rsi_all_gains_is_100_all_losses_0(spark, monkeypatch):
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    monkeypatch.setattr(
+        fin, "ticks", lambda s, d: _series(s, [10, 11, 12, 13, 14])
+    )
+    rows = fin.q_rsi(spark, SF_DIR).collect()
+    assert all(r.rsi_14 == 100.0 for r in rows)
+
+    monkeypatch.setattr(
+        fin, "ticks", lambda s, d: _series(s, [14, 13, 12, 11, 10])
+    )
+    rows = sorted(fin.q_rsi(spark, SF_DIR).collect(), key=lambda r: r.date)
+    # first row: no diff yet → gain=loss=0 → RSI 100 by the zero-loss rule
+    assert rows[0].rsi_14 == 100.0
+    assert all(r.rsi_14 == 0.0 for r in rows[1:])
+
+
+def test_bollinger_constant_series_degenerate_band(spark, monkeypatch):
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _series(s, [50.0] * 6))
+    rows = sorted(
+        fin.q_bollinger_bands(spark, SF_DIR).collect(), key=lambda r: r.date
+    )
+    assert rows[0].pct_b is None  # n=1 → sd NULL
+    for r in rows[1:]:
+        assert r.bb_mid == 50.0 and r.bb_upper == 50.0 and r.bb_lower == 50.0
+        assert r.pct_b is None  # zero-width band
+
+
+def test_bollinger_exact_moments_match_statistics(spark, monkeypatch):
+    import statistics
+
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    closes = [10.25, 11.75, 9.5, 12.0, 10.0]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _series(s, closes))
+    last = sorted(
+        fin.q_bollinger_bands(spark, SF_DIR).collect(), key=lambda r: r.date
+    )[-1]
+    mid = statistics.mean(closes)
+    sd = statistics.stdev(closes)
+    assert last.bb_mid == pytest.approx(mid, abs=1e-9)
+    assert last.bb_upper == pytest.approx(mid + 2 * sd, abs=1e-9)
+    assert last.pct_b == pytest.approx(
+        (closes[-1] - (mid - 2 * sd)) / (4 * sd), abs=1e-9
+    )
+
+
+def test_beta_of_market_average_is_centered(spark, qs):
+    # equal-weight construction: volume-weighted mean of betas isn't fixed,
+    # but each symbol's beta must be finite and the market's own beta ~1 on
+    # average across symbols (Σ w_i β_i = 1 for the equal-weight factor).
+    rows = qs["beta_vs_market"](spark, SF_DIR).collect()
+    assert rows and all(r.beta is not None for r in rows)
+    assert all(abs(r.mkt_corr) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_weekly_ohlcv_week_starts_are_mondays(spark, qs):
+    wk = qs["weekly_ohlcv"](spark, SF_DIR)
+    bad = wk.filter(F.dayofweek("week_start") != 2).count()  # 2 = Monday
+    assert bad == 0
+
+
+def test_vwap_bounded_by_low_high_of_closes(spark, monkeypatch):
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    closes = [10.0, 20.0, 30.0]
+
+    def fake_ticks(s, d):
+        df = _series(s, closes)
+        return df.withColumn(
+            "volume", F.when(F.col("close") == 20.0, 100).otherwise(1).cast("bigint")
+        )
+
+    monkeypatch.setattr(fin, "ticks", fake_ticks)
+    row = fin.q_vwap_monthly(spark, SF_DIR).collect()[0]
+    # dominated by the 100-lot at 20
+    assert 19.5 < row.vwap < 20.5
+    assert row.volume == 102
+    exp = (10 * 1 + 20 * 100 + 30 * 1) / 102
+    assert row.vwap == pytest.approx(exp, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes: the whole family rides ONE symbol exchange
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["max_drawdown", "ema_10", "rsi_14", "bollinger_bands"]
+)
+def test_indicator_single_scan_single_exchange(spark, qs, name):
+    plan = plan_of(qs[name](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_ema_all_lags_in_one_window_node(spark, qs):
+    # 10 lag terms must share one window spec — not 10 Window nodes
+    plan = plan_of(qs["ema_10"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_max_drawdown_rank_pushes_window_group_limit(spark, qs):
+    # rn=1 filter must push a WindowGroupLimit below the rank window
+    plan = plan_of(qs["max_drawdown"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_beta_market_factor_is_broadcast(spark, qs):
+    plan = plan_of(qs["beta_vs_market"](spark, SF_DIR))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["weekly_ohlcv", "vwap_monthly"])
+def test_resamples_single_exchange_partial_agg(spark, qs, name):
+    plan = plan_of(qs[name](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    # map-side partial aggregation must be present
+    assert plan.count("HashAggregate") >= 2
