@@ -1153,3 +1153,168 @@ def q_doc_keywords(spark, sf_dir):
             F.round(F.col("tf") * 1.0 / F.col("n_docs_with"), 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document quality scoring + edit-distance dedup verify
+# ---------------------------------------------------------------------------
+
+# Union of all language stopword lists — the quality filter must not
+# penalize non-English documents, so hits count against every known list.
+_ALL_SW = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+_ALL_SW_SQL = ", ".join(f"'{w}'" for w in _ALL_SW)
+
+# Gopher-style repetition/quality thresholds (Rae et al. 2021, table A1
+# spirit — bounds adapted to the synthetic corpus's length profile).
+_QF_MIN_TOKENS, _QF_MAX_TOKENS = 20, 100_000
+_QF_MIN_AVG_LEN, _QF_MAX_AVG_LEN = 2.0, 12.0
+_QF_MIN_STOPWORD = 0.05
+_QF_MAX_SYMBOL = 0.25
+_QF_MIN_DISTINCT = 0.2
+
+
+@register(
+    "doc_quality_score",
+    "WITH " + _TOKS_CTE + rf""",
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               list_sum(list_transform(t, x -> length(x))) * 1.0
+                   / len(t) AS avg_token_len,
+               len(list_filter(t, x -> lower(x) IN ({_ALL_SW_SQL}))) * 1.0
+                   / len(t) AS stopword_ratio,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                   / length(text) AS symbol_ratio,
+               len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio
+        FROM toks
+    ),
+    f AS (
+        SELECT *,
+            n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS} AS ok_n_tokens,
+            avg_token_len BETWEEN {_QF_MIN_AVG_LEN!r} AND {_QF_MAX_AVG_LEN!r}
+                AS ok_avg_token_len,
+            stopword_ratio >= {_QF_MIN_STOPWORD!r} AS ok_stopword,
+            symbol_ratio <= {_QF_MAX_SYMBOL!r}     AS ok_symbol,
+            distinct_ratio >= {_QF_MIN_DISTINCT!r} AS ok_distinct
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           avg_token_len, stopword_ratio, symbol_ratio, distinct_ratio,
+           ok_n_tokens, ok_avg_token_len, ok_stopword, ok_symbol, ok_distinct,
+           (CAST(ok_n_tokens AS INTEGER) + CAST(ok_avg_token_len AS INTEGER)
+            + CAST(ok_stopword AS INTEGER) + CAST(ok_symbol AS INTEGER)
+            + CAST(ok_distinct AS INTEGER)) / 5.0 AS quality_score,
+           ok_n_tokens AND ok_avg_token_len AND ok_stopword AND ok_symbol
+               AND ok_distinct AS keep
+    FROM f
+    """,
+)
+def q_doc_quality_score(spark, sf_dir):
+    """Gopher-style document quality filter (Rae et al. 2021): token count,
+    mean token length, stopword ratio (union of all known language lists,
+    so non-English docs aren't penalized), symbol-character ratio, and
+    distinct-token ratio, each gated by a fixed bound; quality_score is the
+    fraction of checks passed and `keep` their conjunction.
+
+    All ratios are single integer÷integer divisions — bit-identical on both
+    engines, emitted UNROUNDED (6dp rounding flips on exact ties like
+    k/128, NOTES rule 9). Pure JVM expressions, one scan, zero shuffles —
+    embarrassingly parallel at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = ws_tokens(F.col("text"))
+    tok_lens = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        (tok_lens * 1.0 / F.size(t)).alias("avg_token_len"),
+        (stopword_hits(t, _ALL_SW) * 1.0 / F.size(t)).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) * 1.0
+            / F.length("text")
+        ).alias("symbol_ratio"),
+        (F.size(F.array_distinct(t)) * 1.0 / F.size(t)).alias("distinct_ratio"),
+    )
+    f = m.select(
+        "*",
+        F.col("n_tokens").between(_QF_MIN_TOKENS, _QF_MAX_TOKENS).alias(
+            "ok_n_tokens"
+        ),
+        F.col("avg_token_len").between(_QF_MIN_AVG_LEN, _QF_MAX_AVG_LEN).alias(
+            "ok_avg_token_len"
+        ),
+        (F.col("stopword_ratio") >= _QF_MIN_STOPWORD).alias("ok_stopword"),
+        (F.col("symbol_ratio") <= _QF_MAX_SYMBOL).alias("ok_symbol"),
+        (F.col("distinct_ratio") >= _QF_MIN_DISTINCT).alias("ok_distinct"),
+    )
+    oks = ["ok_n_tokens", "ok_avg_token_len", "ok_stopword", "ok_symbol",
+           "ok_distinct"]
+    score = None
+    for c in oks:
+        term = F.col(c).cast("int")
+        score = term if score is None else score + term
+    keep = None
+    for c in oks:
+        keep = F.col(c) if keep is None else keep & F.col(c)
+    return f.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "avg_token_len", "stopword_ratio", "symbol_ratio", "distinct_ratio",
+        *oks,
+        (score / 5.0).alias("quality_score"),
+        keep.alias("keep"),
+    )
+
+
+_EDIT_PREFIX_LEN = 80
+_EDIT_MAX_DIST = 20
+
+
+@register(
+    "dedup_edit_distance",
+    "WITH " + _MINHASH_CTES + """,
+    cand AS (""" + _MINHASH_CAND_SELECT + f""")
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(substr(da.text, 1, {_EDIT_PREFIX_LEN}),
+                            substr(db.text, 1, {_EDIT_PREFIX_LEN}))
+                AS INTEGER) AS edit_distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(substr(da.text, 1, {_EDIT_PREFIX_LEN}),
+                      substr(db.text, 1, {_EDIT_PREFIX_LEN}))
+          <= {_EDIT_MAX_DIST}
+    """,
+)
+def q_dedup_edit_distance(spark, sf_dir):
+    """Edit-distance dedup verify: exact Levenshtein over MinHash-LSH
+    candidate pairs only (the fuzzy-match analogue of
+    dedup_jaccard_lsh_verified). Levenshtein is O(m·n) per pair, so two
+    guards make it scale: it runs on banded candidates (Σ bucket², never
+    n²) and on a fixed 80-char prefix (constant per-pair cost). Both
+    engines implement classic unit-cost insert/delete/substitute DP —
+    integer-exact, no float policy needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+    prefix = docs.select(
+        "doc_id", F.substring("text", 1, _EDIT_PREFIX_LEN).alias("prefix")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+    )
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= _EDIT_MAX_DIST)
+    )
