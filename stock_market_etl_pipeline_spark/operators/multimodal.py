@@ -187,6 +187,176 @@ def decode_media(media: DataFrame, decode_stub: bool = True,
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+def _encode_ppm(px, maxval: int = 255) -> bytes:
+    """Minimal P6 writer: header + raw RGB raster (the format _decode_ppm
+    reads back — resize round-trips through it)."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n%d\n" % (w, h, maxval) + px.tobytes()
+
+
+def _encode_wav(x16, n_channels: int, sample_rate: int) -> bytes:
+    """Minimal PCM16 RIFF/WAVE writer (fmt + data chunks), the inverse of
+    _decode_wav's chunk walk."""
+    import struct
+
+    data = x16.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor image resize: decode P6 PPM → numpy index-sample →
+    re-encode P6. A REAL binary→binary media transform (no codec library
+    needed); JPEG/PNG rows raise NotImplementedError at the same libjpeg
+    slot as decode_media. Runs as Arrow-batched mapInPandas — payload bytes
+    stay columnar end-to-end, rows process independently (embarrassingly
+    parallel; partition count, not driver state, sets the parallelism).
+    """
+
+    def _resize(payload: bytes) -> tuple[bytes, int, int]:
+        import numpy as np
+
+        if payload[:2] != b"P6":
+            raise NotImplementedError(
+                "codec-backed image formats need libjpeg; container path "
+                "resizes raw PPM"
+            )
+        w0, h0, _, _ = _decode_ppm(payload, 0)[:4]
+        import re
+
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        maxval = int(m.group(3))
+        raw = payload[m.end():]
+        px = np.frombuffer(raw[: w0 * h0 * 3], dtype=np.uint8).reshape(
+            h0, w0, 3
+        )
+        rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+        cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+        out = np.ascontiguousarray(px[rows][:, cols])
+        return _encode_ppm(out, maxval), width, height
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            payloads, ws, hs, lens = [], [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    payloads.append(None), ws.append(None)
+                    hs.append(None), lens.append(None)
+                else:
+                    p, w, h = _resize(bytes(payload))
+                    payloads.append(p), ws.append(w), hs.append(h)
+                    lens.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "byte_len": lens,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+
+def downsample_audio(media: DataFrame, factor: int) -> DataFrame:
+    """Integer-stride audio decimation: decode PCM16 WAV → keep every
+    `factor`-th frame (all channels) → re-encode WAV at rate/factor.
+    Same tiering as resize_images: real numpy for PCM, NotImplementedError
+    at the ffmpeg slot for codec formats; Arrow-batched mapInPandas.
+    (Proper decimation needs an anti-aliasing low-pass first — out of
+    scope without scipy; stride-only is the documented semantic here.)
+    """
+
+    def _down(payload: bytes) -> tuple[bytes, int, int]:
+        import struct
+
+        import numpy as np
+
+        if payload[:4] != b"RIFF":
+            raise NotImplementedError(
+                "codec-backed audio formats need ffmpeg; container path "
+                "decimates PCM WAV"
+            )
+        pos, n_channels, sample_rate, data = 12, 1, 0, b""
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                _, n_channels, sample_rate = struct.unpack("<HHI", body[:8])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size % 2)
+        x = np.frombuffer(data, dtype=np.int16)
+        n_frames = len(x) // max(n_channels, 1)
+        frames = x[: n_frames * n_channels].reshape(n_frames, n_channels)
+        kept = np.ascontiguousarray(frames[::factor])
+        rate = max(sample_rate // factor, 1)
+        return _encode_wav(kept, n_channels, rate), len(kept), rate
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            payloads, frames, rates, lens = [], [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    payloads.append(None), frames.append(None)
+                    rates.append(None), lens.append(None)
+                else:
+                    p, n, r = _down(bytes(payload))
+                    payloads.append(p), frames.append(n), rates.append(r)
+                    lens.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "byte_len": lens,
+                    "n_frames": frames,
+                    "sample_rate": rates,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_nth: int = 5) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled frame
     index — pure explode/sequence, no Python."""
