@@ -36,8 +36,9 @@ def get_spark(app_name: str = "stock-market-etl-pipeline-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet uses TIMESTAMP(NANOS); read as int64 ns and convert
-        # in sources/events.py (Spark has no ns timestamp type).
+        # Older testdata generations ship events.ts as TIMESTAMP(NANOS);
+        # read as int64 ns and convert in sources/events.py (Spark has no
+        # ns timestamp type). Harmless for µs files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
