@@ -1,0 +1,283 @@
+"""Round-3 extension queries: cross-sectional ranking, event-rate rollups,
+market-basket co-occurrence, grouping-sets margins, and fulfilment lag.
+
+These widen the analytics surface along axes a reference user (quant
+dashboards over the per-symbol series, ops dashboards over the events
+stream, reference ``dashboard/app.py`` summary panels) would reach for
+next. Every query is a (Spark builder, DuckDB oracle) pair registered for
+the driver's hash gate; float policy follows oracles.py (order-sensitive
+aggregates rounded 6dp on both sides, integer ratios and pass-through
+doubles raw).
+
+Scale notes are per-query; none introduces a global sort or an
+unpartitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .oracles import WITH_TICKS
+from .registry import register
+from .sources.events import load_events
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Cross-sectional deciles (per-date factor ranking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_sectional_deciles",
+    WITH_TICKS
+    + """,
+    chg AS (
+        SELECT symbol, date,
+               (close / LAG(close) OVER (PARTITION BY symbol ORDER BY date)
+                - 1) * 100 AS change_pct
+        FROM ticks
+    )
+    SELECT date, symbol, change_pct,
+           NTILE(10) OVER (PARTITION BY date
+                           ORDER BY change_pct, symbol) AS decile
+    FROM chg WHERE change_pct IS NOT NULL
+    """,
+)
+def q_cross_sectional_deciles(spark, sf_dir):
+    """Per-date cross-sectional decile assignment of daily returns — the
+    ranking step of a factor portfolio (rank all symbols each day, long
+    decile 10 / short decile 1). Mirrors the reference's per-symbol change
+    computation (reference ``src/transform.py`` daily change) turned 90°:
+    ranks ACROSS symbols within a date.
+
+    Plan: one exchange on symbol for the lag window, then one exchange on
+    date for the ntile window. Both keys are high-cardinality and
+    unskewed; the per-date partition is bounded by the universe size
+    (#symbols), so the sort inside each date partition is trivially
+    small at any corpus scale. change_pct is per-row IEEE arithmetic on
+    pass-through doubles — bit-identical in both engines, emitted raw;
+    the (change_pct, symbol) order key makes NTILE deterministic.
+    """
+    from .sources.ticks import ticks
+
+    w = Window.partitionBy("symbol").orderBy("date")
+    chg = ticks(spark, sf_dir).select(
+        "symbol",
+        "date",
+        ((F.col("close") / F.lag("close").over(w) - 1) * 100).alias(
+            "change_pct"
+        ),
+    )
+    wd = Window.partitionBy("date").orderBy("change_pct", "symbol")
+    return (
+        chg.filter(F.col("change_pct").isNotNull())
+        .select(
+            "date", "symbol", "change_pct", F.ntile(10).over(wd).alias("decile")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly event rates (ops rollup over the events stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_event_rates",
+    """
+    SELECT date_trunc('hour', ts)       AS hour,
+           event_type,
+           COUNT(*)                     AS n_events,
+           COUNT(DISTINCT user_id)      AS n_users,
+           ROUND(SUM(value), 6)         AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly_event_rates(spark, sf_dir):
+    """Events per (hour, type) with distinct users and summed value — the
+    batch twin of streaming/windows.py's tumbling counts, as an ops
+    dashboard feed.
+
+    Plan: single groupBy shuffle on (hour, event_type); COUNT DISTINCT
+    expands via Spark's two-phase distinct aggregate, still one logical
+    exchange family. Multi-row float SUM is order-sensitive → 6dp both
+    sides (oracles.py policy). Time-bucketed keys are uniformly
+    distributed, so no skew at any scale.
+    """
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket part co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_cooccurrence",
+    """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_part_cooccurrence(spark, sf_dir):
+    """Market-basket analysis: pairs of parts appearing together in ≥2
+    orders (the support-counting core of frequent-itemset mining).
+
+    Plan: dedup to (order, part), self-join co-partitioned on l_orderkey —
+    ONE shuffle key shared by both sides, so AQE plans a single exchange
+    per side and the join is local. Pair expansion per order is bounded by
+    order size squared (TPC-H orders have ≤7 lines), NOT by data volume,
+    so the intermediate grows linearly with row count. The pair-count
+    groupBy shuffles on (part_a, part_b) — high-cardinality, unskewed.
+    The ≥2 support filter bounds the result to genuinely co-bought pairs.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets revenue margins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT COALESCE(n_name, 'ALL')          AS nation,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2)       AS total_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    """,
+)
+def q_revenue_grouping_sets(spark, sf_dir):
+    """One-pass marginal totals by nation, by priority, and grand total —
+    GROUPING SETS instead of three scans+union (the reference's summary
+    panels each re-query; reference ``dashboard/app.py`` stat rows).
+
+    Plan: fact joins two broadcast dims (customer at sf counts as a dim
+    here — if it outgrows the broadcast threshold AQE falls back to
+    shuffle join on the high-cardinality custkey), then Spark's Expand
+    node emits one row per grouping set per input row and a single
+    hash aggregate shuffles on the composite key. No union of subqueries,
+    one scan of the fact.
+
+    o_totalprice is a 2dp money column summed once per group; grand-total
+    order-noise at the driver's gate scale stays below the 2dp half-step
+    (verified at sf0.01 and sf0.1), and group keys keep per-group sums
+    small — ROUND(..., 2) both sides. NULL grouping keys are COALESCEd to
+    'ALL' so the margin rows are self-describing (n_name/o_orderpriority
+    are never NULL in-data, so no collision).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.groupingSets(
+            [["n_name"], ["o_orderpriority"], []],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order → ship fulfilment lag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_ship_lag",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))), 6) AS avg_lag_days,
+           MIN(datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE))) AS min_lag_days,
+           MAX(datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE))) AS max_lag_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_order_ship_lag(spark, sf_dir):
+    """Fulfilment-lag distribution per order priority: days between order
+    placement and line shipment (AVG/MIN/MAX per priority class).
+
+    Plan: fact-to-fact equijoin on l_orderkey/o_orderkey — both sides
+    shuffle on the SAME key, the canonical co-partitioned join (with
+    bucketed storage via io_sink.write_bucketed the exchanges disappear
+    entirely). Five-group aggregate is a broadcast-sized result. Integer
+    datediff; AVG of integers is the only float → 6dp both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_date")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    lag = F.datediff("ship_date", "order_date")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg(lag), 6).alias("avg_lag_days"),
+            F.min(lag).alias("min_lag_days"),
+            F.max(lag).alias("max_lag_days"),
+        )
+    )

@@ -1318,3 +1318,67 @@ def q_dedup_edit_distance(spark, sf_dir):
         )
         .filter(F.col("edit_distance") <= _EDIT_MAX_DIST)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (word-bigram duplication)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_stats",
+    "WITH " + _TOKS_CTE + r""",
+    b AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM toks WHERE len(t) >= 2
+    ),
+    g AS (SELECT doc_id, gram, COUNT(*) AS n FROM b GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT)   AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+           CAST(MAX(n) AS BIGINT)   AS top_n,
+           MAX(n) * 1.0 / SUM(n)        AS top_share,
+           1.0 - COUNT(*) * 1.0 / SUM(n) AS dup_fraction
+    FROM g GROUP BY doc_id
+    """,
+)
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-doc
+    word-bigram duplication — the share of the single most frequent bigram
+    (top_share) and the fraction of bigram occurrences that are repeats
+    (dup_fraction). High values mark boilerplate/spam that the
+    length/stopword checks in doc_quality_score miss.
+
+    Plan: bigrams via a sequence/transform higher-order function (pure
+    JVM, no UDF), explode, then a TWO-LEVEL aggregate — count per
+    (doc_id, gram), then per doc — each a hash aggregate with map-side
+    partial. Cost is O(tokens log tokens) per doc via shuffle, NOT the
+    O(tokens²) of an array-only distinct/filter formulation, so
+    million-token documents don't quadratically blow up a task. Ratios
+    are small-int divisions → bit-exact, emitted raw (NOTES rule 9).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = ws_tokens(F.col("text"))
+    grams = docs.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    g = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return g.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+        F.max("n").alias("top_n"),
+        (F.max("n") * 1.0 / F.sum("n")).alias("top_share"),
+        (F.lit(1.0) - F.count(F.lit(1)) * 1.0 / F.sum("n")).alias(
+            "dup_fraction"
+        ),
+    )
