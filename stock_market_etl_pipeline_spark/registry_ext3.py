@@ -281,3 +281,71 @@ def q_order_ship_lag(spark, sf_dir):
             F.max(lag).alias("max_lag_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window) vs gap-islands oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_stats",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts)                          AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE     AS session_end,
+           CAST(COUNT(*) AS BIGINT)         AS n_events,
+           ROUND(SUM(value), 6)             AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_stats(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window operator (30-min
+    inactivity gap), cross-checked against an independent gap-islands SQL
+    formulation — the two compute session boundaries by entirely different
+    algorithms (Spark merges candidate [ts, ts+gap) intervals per group;
+    the oracle numbers islands with lag + running sum), so a hash match
+    validates the operator's merge semantics, not just our arithmetic.
+
+    Boundary parity: session_window half-open windows mean an event at
+    EXACTLY prev_ts + gap starts a new session → the oracle's island break
+    is `diff >= gap` (the hand-rolled sessionize_events variant uses the
+    reference's `> gap` convention; both are registered, deliberately).
+
+    Plan: ONE shuffle on user_id, then Spark's SessionWindow aggregation
+    sorts within each partition and merges in a single pass — same
+    exchange discipline as the hand-rolled variant, with the merge loop
+    in native code instead of two window passes. This is also the exact
+    operator the streaming path uses (streaming/windows.py), so batch and
+    stream share semantics by construction.
+    """
+    ev = load_events(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

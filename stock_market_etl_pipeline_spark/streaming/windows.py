@@ -56,3 +56,33 @@ def sliding_user_activity(
             "n_events",
         )
     )
+
+
+def session_event_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows (inactivity gap) — counts + value sums.
+
+    The SAME session_window expression as the batch-registered
+    `session_window_stats` query (registry_ext3.py), so batch and stream
+    share merge semantics by construction. In streaming mode Spark keeps
+    one open session per (user, window) in state and emits it when the
+    watermark passes session end — bounded state at any scale.
+    """
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -54,3 +54,41 @@ def test_window_bounds_are_aligned(spark):
     for r in out:
         assert r["window_start"].minute == 0 and r["window_start"].second == 0
         assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    from stock_market_etl_pipeline_spark.streaming.windows import (
+        session_event_stats,
+    )
+
+    ev = load_events(spark, SF_DIR)
+    src = str(tmp_path / "events_sessions")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("session_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM session_stats")
+    batch = session_event_stats(ev)
+
+    # append mode emits only watermark-closed sessions; each emitted row
+    # must agree exactly with the batch session_window computation
+    joined = got.alias("s").join(
+        batch.alias("b"), ["user_id", "session_start", "session_end"], "left"
+    )
+    mism = joined.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.col("s.total_value") != F.col("b.total_value"))
+        | F.col("b.n_events").isNull()
+    )
+    assert got.count() > 0
+    assert mism.count() == 0
