@@ -406,20 +406,13 @@ def q_change_quartile_box(spark, sf_dir):
 )
 def q_monthly_ohlcv(spark, sf_dir):
     """Calendar resample (pandas resample('M') equivalent): monthly OHLCV
-    bars — open/close are first/last-by-date aggregates, no window needed."""
-    t = ticks(spark, sf_dir)
-    return t.groupBy(
-        "symbol",
-        F.year("date").cast("int").alias("year"),
-        F.month("date").cast("int").alias("month"),
-    ).agg(
-        F.min_by("open", "date").alias("open"),
-        F.max("high").alias("high"),
-        F.min("low").alias("low"),
-        F.max_by("close", "date").alias("close"),
-        F.sum("volume").cast("bigint").alias("volume"),
-        F.count(F.lit(1)).alias("trading_days"),
-    )
+    bars — open/close are first/last-by-date aggregates, no window needed.
+    Shares its aggregate definition with the incremental streaming
+    maintainer (streaming/rollup.py) so batch query and continuous rollup
+    cannot drift."""
+    from .streaming.rollup import monthly_bars
+
+    return monthly_bars(ticks(spark, sf_dir))
 
 
 @register(
