@@ -349,3 +349,116 @@ def q_session_window_stats(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quarterly close pivot (wide calendar matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quarterly_close_pivot",
+    WITH_TICKS
+    + """
+    SELECT symbol,
+           CAST(year(date) AS INTEGER) AS year,
+           ROUND(AVG(close) FILTER (WHERE quarter(date) = 1), 6) AS q1_close,
+           ROUND(AVG(close) FILTER (WHERE quarter(date) = 2), 6) AS q2_close,
+           ROUND(AVG(close) FILTER (WHERE quarter(date) = 3), 6) AS q3_close,
+           ROUND(AVG(close) FILTER (WHERE quarter(date) = 4), 6) AS q4_close
+    FROM ticks GROUP BY 1, 2
+    """,
+)
+def q_quarterly_close_pivot(spark, sf_dir):
+    """Calendar pivot: average close per quarter as wide columns, one row
+    per (symbol, year) — the reporting-matrix shape of the reference's
+    price panels. Spark's pivot() with an EXPLICIT value list compiles to
+    conditional aggregates in ONE shuffle — no distinct-values pre-scan,
+    no Expand; the oracle states the same thing as FILTER aggregates.
+    Multi-row float AVG → 6dp both sides.
+    """
+    from .sources.ticks import ticks
+
+    t = ticks(spark, sf_dir).withColumn("quarter", F.quarter("date"))
+    out = (
+        t.groupBy("symbol", F.year("date").cast("int").alias("year"))
+        .pivot("quarter", [1, 2, 3, 4])
+        .agg(F.round(F.avg("close"), 6))
+    )
+    return out.select(
+        "symbol",
+        "year",
+        *[F.col(str(q)).alias(f"q{q}_close") for q in (1, 2, 3, 4)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized returns (outlier clipping at per-symbol percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_returns",
+    WITH_TICKS
+    + """,
+    chg AS (
+        SELECT symbol, date,
+               (close / LAG(close) OVER (PARTITION BY symbol ORDER BY date)
+                - 1) * 100 AS change_pct
+        FROM ticks
+    ),
+    b AS (
+        SELECT symbol,
+               ROUND(quantile_cont(change_pct, 0.01), 6) AS lo,
+               ROUND(quantile_cont(change_pct, 0.99), 6) AS hi
+        FROM chg WHERE change_pct IS NOT NULL GROUP BY symbol
+    )
+    SELECT c.symbol, c.date, c.change_pct, b.lo, b.hi,
+           LEAST(GREATEST(c.change_pct, b.lo), b.hi) AS winsorized,
+           (c.change_pct < b.lo OR c.change_pct > b.hi) AS clipped
+    FROM chg c JOIN b USING (symbol)
+    WHERE c.change_pct IS NOT NULL
+    """,
+)
+def q_winsorized_returns(spark, sf_dir):
+    """Winsorization: clip each symbol's daily returns at its own
+    1st/99th percentile — the standard outlier treatment before factor
+    regressions (beta_vs_market upstream). Same quartile-join-back shape
+    as enriched_categories (A7/J2): per-symbol exact percentiles
+    aggregated once, broadcast back onto the rows.
+
+    Float discipline: the interpolated percentile is order-sensitive →
+    ROUNDED 6dp on both sides BEFORE the comparison, so the clip decision
+    is made against identical bounds in both engines; the un-clipped
+    change_pct is per-row IEEE arithmetic (bit-identical, raw), and the
+    clipped value is the agreed rounded bound — every output path exact.
+    """
+    from .sources.ticks import ticks
+
+    w = Window.partitionBy("symbol").orderBy("date")
+    chg = (
+        ticks(spark, sf_dir)
+        .select(
+            "symbol",
+            "date",
+            ((F.col("close") / F.lag("close").over(w) - 1) * 100).alias(
+                "change_pct"
+            ),
+        )
+        .filter(F.col("change_pct").isNotNull())
+    )
+    b = chg.groupBy("symbol").agg(
+        F.round(F.percentile("change_pct", 0.01), 6).alias("lo"),
+        F.round(F.percentile("change_pct", 0.99), 6).alias("hi"),
+    )
+    return chg.join(F.broadcast(b), "symbol").select(
+        "symbol",
+        "date",
+        "change_pct",
+        "lo",
+        "hi",
+        F.least(F.greatest("change_pct", "lo"), "hi").alias("winsorized"),
+        ((F.col("change_pct") < F.col("lo")) | (F.col("change_pct") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )

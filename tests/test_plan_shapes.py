@@ -241,3 +241,21 @@ def test_doc_repetition_stats_no_udf_two_level_agg(spark, qs):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 3  # partial+final × two levels
+
+
+def test_quarterly_pivot_single_aggregate_no_expand(spark, qs):
+    """Explicit-values pivot compiles to conditional aggregates — one
+    scan, one keyed exchange, no Expand node, no distinct-values
+    pre-scan."""
+    plan = plan_of(qs["quarterly_close_pivot"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "Expand" not in plan
+    assert count_nodes(plan, "Exchange") <= 2
+
+
+def test_winsorized_returns_broadcast_joinback(spark, qs):
+    """Per-symbol percentile bounds join back via broadcast — the fact
+    rows never reshuffle for the join."""
+    plan = plan_of(qs["winsorized_returns"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
