@@ -462,3 +462,117 @@ def q_winsorized_returns(spark, sf_dir):
             "clipped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market share by year (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_share_by_year",
+    """
+    WITH agg AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+               n_name AS nation,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                   AS rev_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT year, nation,
+           ROUND(rev_cents / 10000.0, 6) AS revenue,
+           ROUND(rev_cents * 1.0
+                 / SUM(rev_cents) OVER (PARTITION BY year), 6) AS share
+    FROM agg
+    """,
+)
+def q_market_share_by_year(spark, sf_dir):
+    """TPC-H Q8 shape: each supplier-nation's share of total revenue per
+    order year. Fact⋈fact on orderkey (co-partitioned), supplier/nation
+    broadcast, then a per-year share via SUM-over-window ON THE AGGREGATED
+    result (#years × #nations rows — the window input is post-aggregate
+    and tiny at any corpus scale, unlike the r2 token_frequencies flaw).
+
+    Money discipline: revenue is the exact scaled-integer cents sum
+    (registry.revenue_sum_dec — int64, order-independent); the share is a
+    ratio of those exact integers, rounded 6dp on both sides.
+    """
+    from .registry import revenue_sum_dec, cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("year")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents_rev = F.sum(
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("year", F.col("n_name").alias("nation"))
+        .agg(cents_rev.alias("rev_cents"))
+    )
+    wy = Window.partitionBy("year")
+    return agg.select(
+        "year",
+        "nation",
+        F.round(F.col("rev_cents") / 10000.0, 6).alias("revenue"),
+        F.round(
+            F.col("rev_cents") * 1.0 / F.sum("rev_cents").over(wy), 6
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decorrelated subquery: suppliers above their nation's average balance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "suppliers_above_nation_avg",
+    """
+    SELECT s_suppkey, s_name, n_name AS nation, s_acctbal,
+           ROUND(nation_avg, 6) AS nation_avg
+    FROM (
+        SELECT s.*, n_name,
+               AVG(s_acctbal) OVER (PARTITION BY s_nationkey) AS nation_avg
+        FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+    )
+    WHERE s_acctbal > nation_avg
+    """,
+)
+def q_suppliers_above_nation_avg(spark, sf_dir):
+    """The classic correlated-subquery question ("rows above their group's
+    average") expressed decorrelated: ONE pass with a partitioned window
+    instead of a per-row rescan — the shape Catalyst's subquery
+    decorrelation targets, stated directly.
+
+    The comparison uses the RAW window average on both sides (bit-exact
+    here would not hold for multi-row float AVG — but the filter decision
+    only needs the same rows to pass, and the displayed nation_avg is
+    rounded 6dp; at the driver's scales the per-nation AVG agrees well
+    within 5e-7, verified at sf0.001/sf0.01).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("s_nationkey")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", F.col("n_name").alias("nation"), "s_acctbal",
+        F.avg("s_acctbal").over(w).alias("nation_avg"),
+    )
+    return joined.filter(F.col("s_acctbal") > F.col("nation_avg")).select(
+        "s_suppkey", "s_name", "nation", "s_acctbal",
+        F.round("nation_avg", 6).alias("nation_avg"),
+    )
