@@ -1382,3 +1382,98 @@ def q_doc_repetition_stats(spark, sf_dir):
             "dup_fraction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-health reporting + decontamination screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_rate_by_source",
+    r"""
+    WITH fp AS (
+        SELECT source, lang,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT)  AS n_unique,
+           1.0 - COUNT(DISTINCT f) * 1.0 / COUNT(*) AS dup_rate
+    FROM fp GROUP BY 1, 2
+    """,
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Corpus-health report: exact-duplicate rate per (source, lang) slice
+    — the rollup a data curator reads before deciding which feed needs the
+    expensive near-dup pass. One groupBy over fingerprints; COUNT DISTINCT
+    runs Spark's two-phase distinct aggregate (partial on (keys, f), final
+    on keys) — no slice ever needs to fit in memory whole. dup_rate is an
+    integer÷integer division — bit-exact, raw (NOTES rule 9).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", "lang", normalized_fingerprint(F.col("text")).alias("f")
+    )
+    return fp.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_unique"),
+        (
+            F.lit(1.0) - F.countDistinct("f") * 1.0 / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
+
+
+# Benchmark needles screened against the corpus. In production this list is
+# the n-gram inventory of held-out eval sets (thousands of entries,
+# broadcast); the mechanism — substring containment on the normalized text,
+# ANY-semantics across needles — is identical at either list size.
+_CONTAMINATION_NEEDLES = (
+    "the quick brown fox",
+    "hash join build side",
+    "stream stream stream",
+)
+
+
+@register(
+    "benchmark_contamination",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+        FROM documents
+    )
+    SELECT doc_id, source,
+           (ntext LIKE '%the quick brown fox%')   AS hit_1,
+           (ntext LIKE '%hash join build side%')  AS hit_2,
+           (ntext LIKE '%stream stream stream%')  AS hit_3
+    FROM norm
+    WHERE ntext LIKE '%the quick brown fox%'
+       OR ntext LIKE '%hash join build side%'
+       OR ntext LIKE '%stream stream stream%'
+    """,
+)
+def q_benchmark_contamination(spark, sf_dir):
+    """Decontamination screen: flag documents whose normalized text
+    contains any benchmark/eval needle phrase (the training-data hygiene
+    step that keeps held-out sets out of the corpus). Pure JVM `contains`
+    predicates over one scan — embarrassingly parallel, no shuffle, no
+    UDF; per-needle hit flags let the curator distinguish which eval set
+    leaked. The needle list broadcasts as literals; at thousands of
+    needles the same plan swaps LIKE-chains for an Aho-Corasick-style
+    multi-pattern regexp, still one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntext = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = docs.select("doc_id", "source", ntext.alias("ntext"))
+    hits = [
+        F.col("ntext").contains(n).alias(f"hit_{i + 1}")
+        for i, n in enumerate(_CONTAMINATION_NEEDLES)
+    ]
+    out = norm.select("doc_id", "source", *hits)
+    keep = None
+    for i in range(len(_CONTAMINATION_NEEDLES)):
+        c = F.col(f"hit_{i + 1}")
+        keep = c if keep is None else keep | c
+    return out.filter(keep)
