@@ -576,3 +576,86 @@ def q_suppliers_above_nation_avg(spark, sf_dir):
         "s_suppkey", "s_name", "nation", "s_acctbal",
         F.round("nation_avg", 6).alias("nation_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-interval join: error events inside user sessions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "errors_in_sessions",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    ),
+    sessions AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    ),
+    err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT sn.user_id, sn.session_start, sn.session_end, sn.n_events,
+           CAST(COUNT(e.ts) AS BIGINT) AS n_errors
+    FROM sessions sn
+    LEFT JOIN err e
+      ON e.user_id = sn.user_id
+     AND e.ts BETWEEN sn.session_start AND sn.session_end
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_errors_in_sessions(spark, sf_dir):
+    """Point-in-interval join: count error events falling inside each user
+    session — the ops question ("which sessions degraded?") that needs a
+    range predicate ON TOP of an equi-key.
+
+    Scale shape: the join is an EQUI-join on user_id with the BETWEEN as a
+    residual filter — both sides hash-partition on user_id, so the range
+    never degenerates into a nested loop over the corpus; per-key
+    candidate fan-out is bounded by one user's sessions × that user's
+    errors. The error side is a pushed-down event_type scan. Session
+    bounds reuse the islands formulation shared with sessionize_events
+    (>= gap convention matching session_window_stats).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = ev.select("user_id", "ts", "event_id").withColumn(
+        "new_session", new_session
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    joined = sessions.join(
+        err,
+        (F.col("user_id") == F.col("e_user"))
+        & F.col("e_ts").between(F.col("session_start"), F.col("session_end")),
+        "left",
+    )
+    return joined.groupBy(
+        "user_id", "session_start", "session_end", "n_events"
+    ).agg(F.count("e_ts").alias("n_errors"))

@@ -19,9 +19,16 @@ def test_partitioned_parquet_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == t.count()
     assert set(back.columns) == set(t.columns)
-    # partition pruning: reading one symbol touches one partition dir
+    # partition pruning: the symbol predicate must land in the scan's
+    # PartitionFilters (directory-level pruning — at 100 TB this is the
+    # difference between reading one partition dir and the whole dataset),
+    # NOT survive as a post-scan Filter over all partitions
     one = back.filter(F.col("symbol") == 1)
     plan = one._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "= 1" in m.group(1), plan
     assert one.count() > 0
 
 

@@ -259,3 +259,14 @@ def test_winsorized_returns_broadcast_joinback(spark, qs):
     plan = plan_of(qs["winsorized_returns"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_errors_in_sessions_equijoin_with_residual_range(spark, qs):
+    """The point-in-interval join must bind on the user_id equi-key with
+    the BETWEEN as residual — never a nested loop over sessions×errors."""
+    plan = plan_of(qs["errors_in_sessions"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+    # pushed-down error-type scan on the probe side
+    assert "EqualTo(event_type,error)" in plan
