@@ -1359,7 +1359,9 @@ def q_doc_repetition_stats(spark, sf_dir):
     million-token documents don't quadratically blow up a task. Ratios
     are small-int divisions → bit-exact, emitted raw (NOTES rule 9).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     t = ws_tokens(F.col("text"))
     grams = docs.filter(F.size(t) >= 2).select(
         "doc_id",
