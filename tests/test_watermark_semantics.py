@@ -1,0 +1,92 @@
+"""Watermark semantics proof: in append mode, events arriving LATER than
+the watermark allows are dropped — a finalized window's result never
+changes — while in-order arrivals keep flowing. This is the bounded-state
+contract the 100 TB streaming story rests on: state for a (window, key)
+can be freed exactly because no late row may reopen it."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stock_market_etl_pipeline_spark.streaming.windows import (
+    tumbling_event_counts,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _rows(spark, specs):
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    data = [
+        (base + dt.timedelta(minutes=m), et, float(v)) for m, et, v in specs
+    ]
+    return spark.createDataFrame(data, _SCHEMA)
+
+
+def _run(spark, landing, sink, ckpt):
+    stream = spark.readStream.schema(_SCHEMA).parquet(landing)
+    q = (
+        tumbling_event_counts(stream, "1 hour", "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: hour-0 window gets 2 clicks; the 300-minute event pushes the
+    # watermark to 270 min (4.5 h), far past hour-0's end -> hour 0 closes
+    _rows(
+        spark,
+        [(5, "click", 1), (10, "click", 1), (300, "view", 1)],
+    ).write.mode("append").parquet(landing)
+    _run(spark, landing, sink, ckpt)
+
+    out1 = spark.read.parquet(sink)
+    h0 = out1.filter(
+        (F.col("event_type") == "click")
+        & (F.minute("window_start") == 0)
+        & (F.hour("window_start") == 0)
+    )
+    assert h0.count() == 1
+    assert h0.first()["n_events"] == 2
+
+    # batch 2: one event 15 min into hour 0 — hours late, beyond the
+    # watermark — plus one fresh in-order event that opens hour 6
+    _rows(
+        spark,
+        [(15, "click", 1), (390, "view", 1)],
+    ).write.mode("append").parquet(landing)
+    _run(spark, landing, sink, ckpt)
+
+    out2 = spark.read.parquet(sink)
+    h0_after = out2.filter(
+        (F.col("event_type") == "click") & (F.hour("window_start") == 0)
+    ).collect()
+    # the finalized hour-0 result is unchanged: still ONE row, still 2
+    # events — the late click was dropped, not appended or re-aggregated
+    assert len(h0_after) == 1
+    assert h0_after[0]["n_events"] == 2
+    # while the in-order hour-5 view from batch 1 (now closed by the
+    # batch-2 watermark advance) did flow through
+    assert (
+        out2.filter(
+            (F.col("event_type") == "view") & (F.hour("window_start") == 5)
+        ).count()
+        == 1
+    )
