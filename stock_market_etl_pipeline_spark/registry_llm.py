@@ -896,6 +896,40 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_full_probe",
+    "WITH " + _EMB_CTE + f""",
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               {_cosine_sql('qv', 'v')} AS score
+        FROM emb e, q WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS nn_rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def q_ann_ivf_full_probe(spark, sf_dir):
+    """IVF ANN in its EXHAUSTIVE configuration (n_probe = n_clusters):
+    every cluster is probed, so the candidate set is the whole corpus and
+    the exact rerank must reproduce brute-force top-k bit-for-bit — which
+    makes the whole IVF machinery (KMeans quantizer, centroid probe
+    selection, candidate union, rerank) hash-checkable against the plain
+    SQL top-k oracle. The approximate operating point keeps its rows-only
+    entry (`ann_ivf_topk`); this full-probe twin is the correctness
+    certificate that the plumbing between quantizer and rerank loses no
+    candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_ids=list(range(5)), k=10, n_clusters=8, n_probe=8
+    ).select("query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank"))
+
+
+@register(
     "corpus_prep",
     "WITH " + _CAPPED_SHINGLES_CTE + r""",
     quality AS (
