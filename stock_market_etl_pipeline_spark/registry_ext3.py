@@ -294,7 +294,7 @@ def q_order_ship_lag(spark, sf_dir):
     WITH gaps AS (
         SELECT user_id, ts, event_id, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -321,10 +321,11 @@ def q_session_window_stats(spark, sf_dir):
     the oracle numbers islands with lag + running sum), so a hash match
     validates the operator's merge semantics, not just our arithmetic.
 
-    Boundary parity: session_window half-open windows mean an event at
-    EXACTLY prev_ts + gap starts a new session → the oracle's island break
-    is `diff >= gap` (the hand-rolled sessionize_events variant uses the
-    reference's `> gap` convention; both are registered, deliberately).
+    Boundary parity: Spark MERGES an event arriving at exactly
+    prev_ts + gap (empirically frozen in
+    tests/test_streaming_windows.py::test_session_window_exact_gap_boundary),
+    so the oracle's island break is strictly `diff > gap` — the same
+    convention as the hand-rolled sessionize_events.
 
     Plan: ONE shuffle on user_id, then Spark's SessionWindow aggregation
     sorts within each partition and merges in a single pass — same
@@ -589,7 +590,7 @@ def q_suppliers_above_nation_avg(spark, sf_dir):
     WITH gaps AS (
         SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -626,13 +627,14 @@ def q_errors_in_sessions(spark, sf_dir):
     candidate fan-out is bounded by one user's sessions × that user's
     errors. The error side is a pushed-down event_type scan. Session
     bounds reuse the islands formulation shared with sessionize_events
-    (>= gap convention matching session_window_stats).
+    (strict > gap convention — the same boundary Spark's native
+    session_window implements, see test_session_window_exact_gap_boundary).
     """
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
-        gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     s = ev.select("user_id", "ts", "event_id").withColumn(
         "new_session", new_session

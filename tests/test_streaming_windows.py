@@ -92,3 +92,43 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
     )
     assert got.count() > 0
     assert mism.count() == 0
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """An event EXACTLY gap after the previous one MERGES into the
+    session (Spark's merge condition is ts <= prev_end inclusive); one
+    microsecond beyond splits. Freezes the strict-> convention the
+    session_window_stats oracle mirrors."""
+    import datetime as dt
+    from pyspark.sql import types as T
+
+    from stock_market_etl_pipeline_spark.streaming.windows import (
+        session_event_stats,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    eps = dt.timedelta(microseconds=1)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        # user 1: second event exactly at +gap -> still ONE session
+        (1, base, 1.0),
+        (1, base + gap, 1.0),
+        # user 2: second event at +gap+1µs -> two sessions
+        (2, base, 1.0),
+        (2, base + gap + eps, 1.0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    per_user = {}
+    for r in session_event_stats(df).collect():
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 1  # exact-gap merges
+    assert per_user[1][0]["n_events"] == 2
+    assert len(per_user[2]) == 2  # gap+1µs splits
+    assert all(r["n_events"] == 1 for r in per_user[2])
