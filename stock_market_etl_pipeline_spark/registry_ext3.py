@@ -661,3 +661,111 @@ def q_errors_in_sessions(spark, sf_dir):
     return joined.groupBy(
         "user_id", "session_start", "session_end", "n_events"
     ).agg(F.count("e_ts").alias("n_errors"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                        (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                   AS monetary
+        FROM orders GROUP BY 1
+    ),
+    th AS (
+        SELECT
+            ROUND(quantile_cont(recency_days, 0.25), 6) AS r1,
+            ROUND(quantile_cont(recency_days, 0.50), 6) AS r2,
+            ROUND(quantile_cont(recency_days, 0.75), 6) AS r3,
+            ROUND(quantile_cont(frequency, 0.25), 6)    AS f1,
+            ROUND(quantile_cont(frequency, 0.50), 6)    AS f2,
+            ROUND(quantile_cont(frequency, 0.75), 6)    AS f3,
+            ROUND(quantile_cont(monetary, 0.25), 6)     AS m1,
+            ROUND(quantile_cont(monetary, 0.50), 6)     AS m2,
+            ROUND(quantile_cont(monetary, 0.75), 6)     AS m3
+        FROM per_cust
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(4 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+                     + (recency_days > r3)::INT) AS INTEGER) AS r_score,
+           CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+                  + (frequency > f3)::INT AS INTEGER)        AS f_score,
+           CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT
+                  + (monetary > m3)::INT AS INTEGER)         AS m_score
+    FROM per_cust, th
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer Recency (days since last order,
+    relative to the corpus max date), Frequency (order count) and Monetary
+    (exact cents total), each scored 1-4 against the corpus quartiles.
+
+    Scale shape: per-customer aggregate (one shuffle on custkey), corpus
+    quartiles via ONE scalar aggregate over that result (a 1-row frame —
+    never a global window over customers), cross-joined back broadcast.
+    Recency scores invert (lower = better = 4). Monetary sums scaled
+    integer cents (exact); quartile thresholds are interpolated →
+    ROUND 6dp on both sides BEFORE the comparisons so bucket decisions
+    are engine-identical (winsorized_returns pattern).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_totalprice"
+    )
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("od").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0
+        ).alias("monetary"),
+    )
+    gmax = o.agg(F.max("od").alias("gmax"))
+    pc = (
+        per_cust.join(F.broadcast(gmax))
+        .select(
+            "custkey",
+            F.datediff("gmax", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    th = pc.agg(
+        F.round(F.percentile("recency_days", 0.25), 6).alias("r1"),
+        F.round(F.percentile("recency_days", 0.50), 6).alias("r2"),
+        F.round(F.percentile("recency_days", 0.75), 6).alias("r3"),
+        F.round(F.percentile("frequency", 0.25), 6).alias("f1"),
+        F.round(F.percentile("frequency", 0.50), 6).alias("f2"),
+        F.round(F.percentile("frequency", 0.75), 6).alias("f3"),
+        F.round(F.percentile("monetary", 0.25), 6).alias("m1"),
+        F.round(F.percentile("monetary", 0.50), 6).alias("m2"),
+        F.round(F.percentile("monetary", 0.75), 6).alias("m3"),
+    )
+
+    def _score_up(col, t1, t2, t3):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(t1)).cast("int")
+            + (F.col(col) > F.col(t2)).cast("int")
+            + (F.col(col) > F.col(t3)).cast("int")
+        )
+
+    return pc.join(F.broadcast(th)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(5) - _score_up("recency_days", "r1", "r2", "r3")).cast(
+            "int"
+        ).alias("r_score"),
+        _score_up("frequency", "f1", "f2", "f3").cast("int").alias("f_score"),
+        _score_up("monetary", "m1", "m2", "m3").cast("int").alias("m_score"),
+    )
