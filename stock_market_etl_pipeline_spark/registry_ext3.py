@@ -769,3 +769,180 @@ def q_rfm_segments(spark, sf_dir):
         _score_up("frequency", "f1", "f2", "f3").cast("int").alias("f_score"),
         _score_up("monetary", "m1", "m2", "m3").cast("int").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-symbol price trend via regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_trend_regression",
+    WITH_TICKS
+    + """,
+    d AS (
+        SELECT symbol, close,
+               datediff('day',
+                        MIN(date) OVER (PARTITION BY symbol), date) AS x
+        FROM ticks
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT)            AS n_days,
+           ROUND(regr_slope(close, x), 6)      AS slope,
+           ROUND(regr_intercept(close, x), 6)  AS intercept,
+           ROUND(regr_r2(close, x), 6)         AS r2
+    FROM d GROUP BY symbol
+    """,
+)
+def q_price_trend_regression(spark, sf_dir):
+    """Per-symbol OLS price trend: slope/intercept/R² of close against
+    trading-day index, via the SQL-standard regression aggregates
+    (regr_slope/regr_intercept/regr_r2) — the declarative, single-pass
+    form of the reference's fitted trend line; no iterative solver, no
+    UDF, map-side partial aggregation like any other agg.
+
+    Plan: the min-date window and the regression aggregate share one
+    HashPartitioning(symbol) exchange. Regression aggregates are
+    order-sensitive float sums internally → 6dp both sides.
+    """
+    from .sources.ticks import ticks
+
+    w = Window.partitionBy("symbol")
+    d = ticks(spark, sf_dir).select(
+        "symbol",
+        "close",
+        F.datediff("date", F.min("date").over(w)).alias("x"),
+    )
+    return d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("close", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("close", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("close", "x"), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase rate (scalar engagement metric)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repeat_purchase_rate",
+    """
+    WITH pu AS (
+        SELECT user_id, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                          AS n_buyers,
+           CAST(COUNT(*) FILTER (WHERE n_purchases >= 2) AS BIGINT)
+                                                             AS n_repeat,
+           COUNT(*) FILTER (WHERE n_purchases >= 2) * 1.0 / COUNT(*)
+                                                             AS repeat_rate
+    FROM pu
+    """,
+)
+def q_repeat_purchase_rate(spark, sf_dir):
+    """Repeat-purchase rate: share of buyers with ≥2 purchase events —
+    pushed-down event_type scan, one user_id aggregate, then a 1-row
+    scalar rollup. The ratio is integer÷integer (bit-exact, raw)."""
+    ev = load_events(spark, sf_dir)
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    repeat = F.sum((F.col("n_purchases") >= 2).cast("long"))
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        repeat.alias("n_repeat"),
+        (repeat * 1.0 / F.count(F.lit(1))).alias("repeat_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance (buy-side vs supply-side revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_balance",
+    """
+    WITH sup AS (
+        SELECT n_name AS nation,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                   AS sell_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1
+    ),
+    buy AS (
+        SELECT n_name AS nation,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                   AS buy_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY 1
+    )
+    SELECT COALESCE(s.nation, b.nation) AS nation,
+           ROUND(COALESCE(s.sell_cents, 0) / 10000.0, 6) AS supply_revenue,
+           ROUND(COALESCE(b.buy_cents, 0) / 10000.0, 6)  AS demand_revenue,
+           ROUND((COALESCE(s.sell_cents, 0) - COALESCE(b.buy_cents, 0))
+                 / 10000.0, 6)                           AS balance
+    FROM sup s FULL OUTER JOIN buy b ON s.nation = b.nation
+    """,
+)
+def q_nation_trade_balance(spark, sf_dir):
+    """Per-nation trade balance: revenue attributed to a nation's
+    SUPPLIERS (sell side) vs its CUSTOMERS (buy side), full-outer-joined
+    on nation. Exercises the same fact through two different dim paths in
+    one query — each branch is a broadcast-dim aggregate in exact cents,
+    and the final full-outer join runs over ≤ #nations rows.
+    """
+    from .registry import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount")))
+    sup = (
+        li.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(rev.alias("sell_cents"))
+    )
+    buy = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(rev.alias("buy_cents"))
+    )
+    joined = sup.alias("s").join(
+        buy.alias("b"), F.col("s.nation") == F.col("b.nation"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("s.nation"), F.col("b.nation")).alias("nation"),
+        F.round(F.coalesce(F.col("sell_cents"), F.lit(0)) / 10000.0, 6).alias(
+            "supply_revenue"
+        ),
+        F.round(F.coalesce(F.col("buy_cents"), F.lit(0)) / 10000.0, 6).alias(
+            "demand_revenue"
+        ),
+        F.round(
+            (
+                F.coalesce(F.col("sell_cents"), F.lit(0))
+                - F.coalesce(F.col("buy_cents"), F.lit(0))
+            )
+            / 10000.0,
+            6,
+        ).alias("balance"),
+    )
