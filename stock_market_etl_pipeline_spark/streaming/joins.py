@@ -22,13 +22,21 @@ def view_to_click_attribution(
     clicks: DataFrame,
     max_lag: str = "1 hour",
     watermark_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join clicks to the views they follow within ``max_lag`` for
-    the same user — the attribution join (which impression led to this
+    """Join clicks to the views they follow within ``max_lag`` for the
+    same user — the attribution join (which impression led to this
     click). Works identically on bounded frames (batch parity tests) and
     on streams (state + watermark).
 
-    Output: user_id, view_ts, click_ts, lag_secs.
+    ``how="left_outer"`` additionally emits unmatched views (impressions
+    that never converted) — in streaming mode these rows appear only once
+    the watermark proves no matching click can still arrive (view_ts +
+    max_lag fully below the watermark), i.e. exactly when the view's
+    state row is freed. Unconverted-impression reporting and state expiry
+    are the same event.
+
+    Output: user_id, view_ts, click_ts (null when unconverted), lag_us.
     """
     v = (
         views.select(
@@ -52,6 +60,7 @@ def view_to_click_attribution(
             F.col("click_ts")
             <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag}")
         ),
+        how,
     )
     return joined.select(
         F.col("v_user").alias("user_id"),

@@ -47,3 +47,65 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     # the interval condition really bounds matches
     assert got.filter(F.col("lag_us") < 0).count() == 0
     assert got.filter(F.col("lag_us") > 3600 * 1_000_000).count() == 0
+
+
+def test_outer_join_emits_unconverted_views_on_state_expiry(spark, tmp_path):
+    """left_outer stream-stream join: an unmatched view emits (with null
+    click) only once the watermark proves no click can still arrive —
+    demonstrated across two availableNow runs sharing a checkpoint."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = dt.datetime(2024, 4, 1, 0, 0, 0)
+
+    def write(rows, d):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(d)
+
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    # run 1: user 1 converts (view+click); user 2's view never converts
+    write([(1, base), (2, base)], vdir)
+    write([(1, base + dt.timedelta(minutes=10))], cdir)
+
+    def run():
+        vs = spark.readStream.schema(schema).parquet(vdir)
+        cs = spark.readStream.schema(schema).parquet(cdir)
+        q = (
+            view_to_click_attribution(vs, cs, how="left_outer")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    out1 = spark.read.parquet(sink)
+    # user 2's view may not have emitted yet: watermark hasn't passed
+    # view_ts + max_lag + delay
+    assert out1.filter(F.col("user_id") == 2).count() == 0
+
+    # run 2: far-future events on BOTH streams push the watermark past
+    # user 2's view + 1h lag + 30min delay -> its state expires and the
+    # unconverted row emits with a null click
+    far = base + dt.timedelta(hours=6)
+    write([(9, far)], vdir)
+    write([(9, far + dt.timedelta(minutes=1))], cdir)
+    run()
+    out2 = spark.read.parquet(sink)
+    u2 = out2.filter(F.col("user_id") == 2).collect()
+    assert len(u2) == 1
+    assert u2[0]["click_ts"] is None and u2[0]["lag_us"] is None
+    # and the converted pair from run 1 is present exactly once
+    u1 = out2.filter(F.col("user_id") == 1).collect()
+    assert len(u1) == 1 and u1[0]["lag_us"] == 600 * 1_000_000
