@@ -946,3 +946,158 @@ def q_nation_trade_balance(spark, sf_dir):
             6,
         ).alias("balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (HHI) per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_concentration",
+    """
+    WITH rev AS (
+        SELECT n_name AS nation, l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                   AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, SUM(cents) AS tcents FROM rev GROUP BY 1)
+    SELECT r.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POWER(r.cents * 1.0 / t.tcents, 2)), 6) AS hhi
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY 1
+    """,
+)
+def q_supplier_concentration(spark, sf_dir):
+    """Market-concentration report: Herfindahl-Hirschman index of supplier
+    revenue shares within each nation (1/n = perfectly even, 1 = single
+    supplier). Two stacked aggregates — (nation, supplier) cents, then
+    nation totals joined back — both riding the nation key; shares are
+    ratios of exact cents integers, the squared-share SUM is the one
+    order-sensitive float → 6dp both sides.
+    """
+    from .registry import cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+            ).alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(F.sum("cents").alias("tcents"))
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.pow(F.col("cents") * 1.0 / F.col("tcents"), 2)), 6
+            ).alias("hhi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week return seasonality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dow_returns",
+    WITH_TICKS
+    + """,
+    chg AS (
+        SELECT symbol, date,
+               (close / LAG(close) OVER (PARTITION BY symbol ORDER BY date)
+                - 1) * 100 AS change_pct
+        FROM ticks
+    )
+    SELECT CAST((dayofweek(date) + 6) % 7 AS INTEGER) AS day_of_week,
+           CAST(COUNT(change_pct) AS BIGINT)          AS n_obs,
+           ROUND(AVG(change_pct), 6)                  AS avg_return,
+           ROUND(STDDEV_SAMP(change_pct), 6)          AS std_return,
+           ROUND(AVG(CASE WHEN change_pct > 0 THEN 1.0 ELSE 0.0 END), 6)
+                                                      AS up_ratio
+    FROM chg WHERE change_pct IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_dow_returns(spark, sf_dir):
+    """Day-of-week seasonality: mean/stddev/up-ratio of daily returns per
+    weekday (Monday=0, matching the engine's day_of_week convention from
+    operators/enrich.py). One symbol-window pass then a 7-group aggregate;
+    order-sensitive float aggregates → 6dp both sides.
+    """
+    from .sources.ticks import ticks
+
+    w = Window.partitionBy("symbol").orderBy("date")
+    chg = (
+        ticks(spark, sf_dir)
+        .select(
+            "date",
+            ((F.col("close") / F.lag("close").over(w) - 1) * 100).alias(
+                "change_pct"
+            ),
+        )
+        .filter(F.col("change_pct").isNotNull())
+    )
+    dow = ((F.dayofweek("date") + 5) % 7).cast("int")
+    return chg.groupBy(dow.alias("day_of_week")).agg(
+        F.count("change_pct").alias("n_obs"),
+        F.round(F.avg("change_pct"), 6).alias("avg_return"),
+        F.round(F.stddev_samp("change_pct"), 6).alias("std_return"),
+        F.round(
+            F.avg(F.when(F.col("change_pct") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("up_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-value histogram (power-of-two buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_value_histogram",
+    """
+    SELECT CAST(FLOOR(log2(GREATEST(o_totalprice, 1.0))) AS INTEGER)
+               AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0,
+                 6) AS total_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_order_value_histogram(spark, sf_dir):
+    """Order-value distribution in power-of-two buckets (the same
+    log-bucketing shape as doc_length_histogram): a fixed ~40-bucket
+    histogram whatever the data volume — aggregation cardinality is
+    bounded by the value range, not row count. Bucket totals in exact
+    cents."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.log2(F.greatest(F.col("o_totalprice"), F.lit(1.0)))).cast(
+        "int"
+    )
+    return o.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0,
+            6,
+        ).alias("total_value"),
+    )
