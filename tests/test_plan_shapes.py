@@ -270,3 +270,25 @@ def test_errors_in_sessions_equijoin_with_residual_range(spark, qs):
     assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
     # pushed-down error-type scan on the probe side
     assert "EqualTo(event_type,error)" in plan
+
+
+def test_market_share_window_rides_post_aggregate(spark, qs):
+    """The per-year share window must consume the AGGREGATED
+    (#years × #nations) table — the Window node sits above a final
+    HashAggregate, never over the raw fact."""
+    plan = plan_of(qs["market_share_by_year"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 1
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], (
+        "window should be fed by the aggregate, not the fact scan"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_thresholds_are_scalar_aggregate_not_window(spark, qs):
+    """RFM quartile thresholds come from a 1-row scalar aggregate
+    cross-joined back — never a global percentile window over all
+    customers."""
+    plan = plan_of(qs["rfm_segments"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 0
