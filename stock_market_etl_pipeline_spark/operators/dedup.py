@@ -64,9 +64,36 @@ def _spread(docs: DataFrame) -> DataFrame:
     """Small parquet inputs arrive as ONE split → one task would do all the
     hashing. Fan the rows across the cluster before the per-row expression
     work; at real scale the input has many splits and this is a no-op cost
-    (one narrow-ish shuffle of raw docs vs serial md5 of every shingle)."""
+    (one narrow-ish shuffle of raw docs vs serial md5 of every shingle).
+
+    Floored at the input's current partition count so this single-file fix
+    can never REPARTITION A LARGE INPUT DOWN: a 200-split scan on a small
+    cluster keeps its 200 partitions (`getNumPartitions` is plan metadata —
+    no job runs)."""
     sc = docs.sparkSession.sparkContext
-    return docs.repartition(sc.defaultParallelism)
+    target = max(sc.defaultParallelism, docs.rdd.getNumPartitions())
+    return docs.repartition(target)
+
+
+def plant_exact_duplicates(
+    docs: DataFrame, n: int = 25, id_offset: int = 10_000_000
+) -> DataFrame:
+    """Corpus ∪ byte-identical copies of the first ``n`` documents.
+
+    The testdata corpus has no natural exact duplicates at any verify
+    scale, so the registered exact-dedup query over raw documents would be
+    vacuously green (both engines agree the answer is empty). This plants
+    deterministic ground truth: every doc with ``doc_id < n`` gains a twin
+    at ``doc_id + id_offset`` with the SAME text, so every distinct
+    normalized text among the first ``n`` ids becomes a known duplicate
+    group whose survivor is the original id. Derived data only (id
+    arithmetic, no RNG) — mirrored verbatim in the oracle CTE.
+    """
+    twins = docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    return docs.unionByName(twins)
 
 
 def _doc_shingles(docs: DataFrame, k: int) -> DataFrame:

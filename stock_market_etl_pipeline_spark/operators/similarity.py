@@ -25,8 +25,11 @@ def _to_double(arr: Column) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Single-split parquet inputs would put every dot product on one task;
-    fan rows across the cluster first (no-op at real multi-split scale)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    fan rows across the cluster first (no-op at real multi-split scale).
+    Floored at the current partition count so it can never shrink a
+    many-split input down to defaultParallelism."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(max(sc.defaultParallelism, df.rdd.getNumPartitions()))
 
 
 def dot(a: Column, b: Column) -> Column:

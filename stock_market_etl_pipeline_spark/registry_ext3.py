@@ -545,37 +545,52 @@ def q_market_share_by_year(spark, sf_dir):
     "suppliers_above_nation_avg",
     """
     SELECT s_suppkey, s_name, n_name AS nation, s_acctbal,
-           ROUND(nation_avg, 6) AS nation_avg
+           ROUND(sum_cents / (100.0 * n_sup), 6) AS nation_avg
     FROM (
         SELECT s.*, n_name,
-               AVG(s_acctbal) OVER (PARTITION BY s_nationkey) AS nation_avg
+               SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY s_nationkey) AS sum_cents,
+               COUNT(*) OVER (PARTITION BY s_nationkey) AS n_sup
         FROM supplier s JOIN nation ON s_nationkey = n_nationkey
     )
-    WHERE s_acctbal > nation_avg
+    WHERE CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) * n_sup >= sum_cents
     """,
 )
 def q_suppliers_above_nation_avg(spark, sf_dir):
-    """The classic correlated-subquery question ("rows above their group's
-    average") expressed decorrelated: ONE pass with a partitioned window
-    instead of a per-row rescan — the shape Catalyst's subquery
+    """The classic correlated-subquery question ("rows at or above their
+    group's average") expressed decorrelated: ONE pass with a partitioned
+    window instead of a per-row rescan — the shape Catalyst's subquery
     decorrelation targets, stated directly.
 
-    The comparison uses the RAW window average on both sides (bit-exact
-    here would not hold for multi-row float AVG — but the filter decision
-    only needs the same rows to pass, and the displayed nation_avg is
-    rounded 6dp; at the driver's scales the per-nation AVG agrees well
-    within 5e-7, verified at sf0.001/sf0.01).
+    The comparison is EXACT integer arithmetic: ``bal ≥ avg`` rewritten as
+    ``cents(bal) × n ≥ Σ cents(bal)`` over scaled-int64 cents, so the
+    filter decision is order-independent and bit-identical across engines
+    (a float window AVG differs in the last ulp between Spark's and
+    DuckDB's partial-aggregate orders — a balance between the two averages
+    would pass in one engine only). At-or-above (≥, not >) keeps the query
+    non-vacuous at every verify scale: sf0.001 has exactly one supplier
+    per nation, where each supplier IS its nation average. The displayed
+    nation_avg divides the same exact integers, identically on both sides.
     """
+    from .registry import cents
+
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     w = Window.partitionBy("s_nationkey")
+    bal_cents = cents("s_acctbal")
     joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", "s_name", F.col("n_name").alias("nation"), "s_acctbal",
-        F.avg("s_acctbal").over(w).alias("nation_avg"),
+        bal_cents.alias("bal_cents"),
+        F.sum(bal_cents).over(w).alias("sum_cents"),
+        F.count(F.lit(1)).over(w).alias("n_sup"),
     )
-    return joined.filter(F.col("s_acctbal") > F.col("nation_avg")).select(
+    return joined.filter(
+        F.col("bal_cents") * F.col("n_sup") >= F.col("sum_cents")
+    ).select(
         "s_suppkey", "s_name", "nation", "s_acctbal",
-        F.round("nation_avg", 6).alias("nation_avg"),
+        F.round(F.col("sum_cents") / (F.lit(100.0) * F.col("n_sup")), 6).alias(
+            "nation_avg"
+        ),
     )
 
 

@@ -25,6 +25,7 @@ from .operators.dedup import (
     SIMHASH_BITS,
     capped_shingles,
     exact_duplicate_groups,
+    plant_exact_duplicates,
     jaccard_over_candidates,
     jaccard_pairs_from_shingles,
     minhash_lsh_candidates,
@@ -214,20 +215,36 @@ def q_doc_fingerprints(spark, sf_dir):
 @register(
     "dedup_exact_groups",
     r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM documents WHERE doc_id < 25
+    )
     SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS keep_doc_id
     FROM (
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        FROM documents
+        FROM corpus
     )
     GROUP BY fingerprint HAVING COUNT(*) > 1
     """,
 )
 def q_dedup_exact_groups(spark, sf_dir):
-    """Exact dedup: fingerprint groups with >1 member + survivor id."""
+    """Exact dedup: fingerprint groups with >1 member + survivor id.
+
+    Runs over the corpus ∪ planted byte-identical twins of the first 25
+    doc_ids (operators/dedup.plant_exact_duplicates, mirrored in the
+    oracle CTE): the raw testdata has ZERO natural exact duplicates at
+    every verify scale, so without planting this query would be vacuously
+    green on an empty result. With planting it returns ≥1 group with the
+    original id as survivor at every sf — the positive path is
+    oracle-checked, not just pytest-fixtured.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicate_groups(docs).select(
+    corpus = plant_exact_duplicates(docs, n=25, id_offset=10_000_000)
+    return exact_duplicate_groups(corpus).select(
         "fingerprint", "n_docs", "keep_doc_id"
     )
 

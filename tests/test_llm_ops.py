@@ -359,3 +359,37 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     ]
     # probing half the clusters should recover well over half the true top-k
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_spread_never_shrinks_partitioning(spark):
+    """_spread() exists to fan out SINGLE-split local inputs; at scale the
+    input already has many splits and the guard must keep them: a
+    200-partition input stays >= 200 through both the dedup and the
+    similarity fan-out (it must never repartition a large input DOWN to
+    defaultParallelism)."""
+    from stock_market_etl_pipeline_spark.operators import dedup, similarity
+
+    docs = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc text "), F.col("id")).alias("text"),
+        )
+        .repartition(200)
+    )
+    assert dedup._spread(docs).rdd.getNumPartitions() >= 200
+
+    emb = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+        )
+        .repartition(200)
+    )
+    assert similarity._spread(emb).rdd.getNumPartitions() >= 200
+
+    # and the small-input fan-out behavior is preserved
+    one = docs.coalesce(1)
+    dp = spark.sparkContext.defaultParallelism
+    assert dedup._spread(one).rdd.getNumPartitions() >= dp
