@@ -181,7 +181,8 @@ def q_part_cooccurrence(spark, sf_dir):
     SELECT COALESCE(n_name, 'ALL')          AS nation,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2)       AS total_revenue
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+               AS total_revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -200,13 +201,16 @@ def q_revenue_grouping_sets(spark, sf_dir):
     hash aggregate shuffles on the composite key. No union of subqueries,
     one scan of the fact.
 
-    o_totalprice is a 2dp money column summed once per group; grand-total
-    order-noise at the driver's gate scale stays below the 2dp half-step
-    (verified at sf0.01 and sf0.1), and group keys keep per-group sums
-    small — ROUND(..., 2) both sides. NULL grouping keys are COALESCEd to
-    'ALL' so the margin rows are self-describing (n_name/o_orderpriority
-    are never NULL in-data, so no collision).
+    Money discipline (repo-wide policy, oracles.py): the grand-total row
+    aggregates EVERY order, where float SUM order-noise can cross the 2dp
+    half-step at scale — so revenue is summed as exact scaled-int64 CENTS
+    and divided back at output; both engines divide identical integers,
+    so the 2dp display round is tie-free. NULL grouping keys are COALESCEd
+    to 'ALL' so the margin rows are self-describing (n_name/
+    o_orderpriority are never NULL in-data, so no collision).
     """
+    from .registry import cents
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -221,7 +225,9 @@ def q_revenue_grouping_sets(spark, sf_dir):
         )
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(
+                F.sum(cents("o_totalprice")) / F.lit(100.0), 2
+            ).alias("total_revenue"),
         )
         .select(
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -1090,8 +1096,9 @@ def q_dow_returns(spark, sf_dir):
 @register(
     "order_value_histogram",
     """
-    SELECT CAST(FLOOR(log2(GREATEST(o_totalprice, 1.0))) AS INTEGER)
-               AS log2_bucket,
+    SELECT CAST(length(bin(GREATEST(
+               CAST(FLOOR(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) / 100)
+                    AS BIGINT), 1))) - 1 AS INTEGER) AS log2_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0,
                  6) AS total_value
@@ -1104,15 +1111,21 @@ def q_order_value_histogram(spark, sf_dir):
     log-bucketing shape as doc_length_histogram): a fixed ~40-bucket
     histogram whatever the data volume — aggregation cardinality is
     bounded by the value range, not row count. Bucket totals in exact
-    cents."""
+    cents.
+
+    Bucketing is EXACT integer arithmetic, no libm: floor(log2(x)) for
+    x ≥ 1 equals bit_length(floor(x)) − 1 (no power of two lies strictly
+    between floor(x) and x), and floor(x) is recovered from exact cents.
+    Spark's log2 (ln/ln2) and DuckDB's std::log2 can disagree by 1 ulp at
+    exact power-of-two values and flip FLOOR — binary-string length of the
+    same integer cannot. Spark: conv(base-10→2); DuckDB: bin()."""
     o = load_table(spark, sf_dir, "orders")
-    bucket = F.floor(F.log2(F.greatest(F.col("o_totalprice"), F.lit(1.0)))).cast(
-        "int"
+    cents_val = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    floor_dollars = F.greatest(
+        F.floor(cents_val / F.lit(100)).cast("long"), F.lit(1)
     )
+    bucket = (F.length(F.conv(floor_dollars, 10, 2)) - F.lit(1)).cast("int")
     return o.groupBy(bucket.alias("log2_bucket")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0,
-            6,
-        ).alias("total_value"),
+        F.round(F.sum(cents_val) / 100.0, 6).alias("total_value"),
     )

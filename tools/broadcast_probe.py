@@ -5,9 +5,10 @@ threshold against the measurement.
 Usage:  python tools/broadcast_probe.py [sf_dir]
 
 For geometrically growing dim sizes, times the same lineitem⋈dim join
-twice — once with the dim broadcast-hinted, once with broadcasting
-disabled (threshold=-1 forces the shuffle path) — and prints one line per
-size plus a crossover summary. Single-node local[] understates broadcast's
+twice — once with the dim broadcast-hinted, once with both sides
+merge-hinted (a join-strategy hint outranks the size-based broadcast
+planning, forcing the sort-merge shuffle path without touching session
+conf) — and prints one line per size plus a crossover summary. Single-node local[] understates broadcast's
 advantage (no network between executors), so the crossover printed here is
 a LOWER bound on the cluster crossover: if broadcast wins locally it wins
 harder on a 1000-executor cluster, where the shuffle path pays network for
@@ -31,6 +32,22 @@ from stock_market_etl_pipeline_spark.session import get_spark  # noqa: E402
 from stock_market_etl_pipeline_spark.sources.tables import load_table  # noqa: E402
 
 DIM_ROWS = [1_000, 10_000, 100_000, 1_000_000]
+
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def parse_byte_size(conf_value: str) -> int:
+    """Spark size confs come as '10485760', '10485760b', '10MB', '10m', or
+    '-1' (disabled). rstrip('b') is NOT a suffix strip (it removes a char
+    SET, mangling e.g. '10MB' → error); parse the unit properly and fall
+    back to -1 on anything unrecognized."""
+    s = conf_value.strip().lower()
+    try:
+        num = s.rstrip("kmgtb")
+        unit = s[len(num):] or "b"
+        return int(num) * _UNITS[unit.rstrip("b") or "b"]
+    except (ValueError, KeyError):
+        return -1
 
 
 def time_join(spark, fact, dim, hint: str) -> float:
@@ -56,8 +73,8 @@ def main() -> None:
     fact = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity"
     )
-    threshold = int(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold").rstrip("b")
+    threshold = parse_byte_size(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
     print(f"# session autoBroadcastJoinThreshold = {threshold} bytes")
     crossover = None
