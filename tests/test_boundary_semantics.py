@@ -1,0 +1,334 @@
+"""Boundary-semantics probes: every comparison an operator makes at an
+EXACT edge (equal timestamp, value landing on a quantile, event at the
+watermark cutoff, hamming == threshold) is frozen here at µs/penny
+resolution.
+
+Hash-green at the driver's scales ≠ boundary-correct: the r3 session-gap
+find (an event exactly prev_ts+gap MERGES; the oracle's >= was wrong and
+passed only because testdata had no exact-gap pair) proved that class of
+bug. These fixtures are crafted so the edge value EXISTS in the data, and
+each test states the convention the oracle mirrors.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# As-of join: equal timestamps at µs resolution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    """One left row at T; right rows at T−1µs, T, T+1µs."""
+    t = dt.datetime(2024, 3, 1, 12, 0, 0, 500_000)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, t, "probe")], "k int, t timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, t - us, 1.0), (1, t, 2.0), (1, t + us, 3.0)],
+        "k int, rt timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_equal_timestamp_inclusive_takes_same_instant(spark, asof_frames):
+    """Backward as-of, inclusive (≤): a right row at EXACTLY the left
+    timestamp wins over the one 1µs earlier — the convention registered
+    as asof_last_order_value (operators/asof.py: right rows sort before
+    left at equal __t)."""
+    from stock_market_etl_pipeline_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                    value_cols=["v"]).collect()
+    assert out[0]["asof_v"] == 2.0
+
+
+def test_asof_equal_timestamp_strict_steps_back_one_us(spark, asof_frames):
+    """Backward as-of, strict (<): the same-instant right row is EXCLUDED
+    and the row 1µs earlier wins."""
+    from stock_market_etl_pipeline_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                    value_cols=["v"], strict=True).collect()
+    assert out[0]["asof_v"] == 1.0
+
+
+def test_asof_forward_equal_timestamp_conventions(spark, asof_frames):
+    """Forward as-of: inclusive (≥) matches the same-instant row; strict
+    (>) steps 1µs forward."""
+    from stock_market_etl_pipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    left, right = asof_frames
+    inc = asof_join_forward(left, right, key="k", left_time="t",
+                            right_time="rt", value_cols=["v"]).collect()
+    assert inc[0]["asof_next_v"] == 2.0
+    st = asof_join_forward(left, right, key="k", left_time="t",
+                           right_time="rt", value_cols=["v"],
+                           strict=True).collect()
+    assert st[0]["asof_next_v"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: a return landing EXACTLY on the 1st/99th percentile
+# ---------------------------------------------------------------------------
+
+
+def _winsor_ticks(spark):
+    """102 closes → 101 daily returns, all boundary values exact doubles
+    ON the 6dp grid (dyadic ratios while closes are still exact):
+
+        1024 → 768 (−25%) → 672 (−12.5%) → 756 (+12.5%) → 945 (+25%),
+        then 97 interior days of ×(257/256) (≈ +0.390625%, strictly
+        inside (−12.5, +12.5)).
+
+    n = 101 ⇒ percentile positions (n−1)·0.01 = 1 and (n−1)·0.99 = 99 are
+    integral ⇒ lo/hi land EXACTLY on the −12.5 / +12.5 data points with no
+    interpolation, and ROUND(…, 6) is the identity on them.
+    """
+    closes = [1024.0, 768.0, 672.0, 756.0, 945.0]
+    for _ in range(97):
+        closes.append(closes[-1] * (257.0 / 256.0))
+    rows = [
+        ("S", dt.date(2024, 1, 1) + dt.timedelta(days=i), c)
+        for i, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(rows, "symbol string, date date, close double")
+
+
+def test_winsorized_value_exactly_on_percentile_is_not_clipped(
+    spark, monkeypatch
+):
+    """The clip predicate is STRICT (< lo | > hi): a return EXACTLY equal
+    to the 1st/99th percentile is kept un-clipped, one 1-ulp-class step
+    beyond (here the ±25% extremes) is clipped to the bound. Freezes the
+    convention the winsorized_returns oracle mirrors (registry_ext3)."""
+    import importlib
+
+    from stock_market_etl_pipeline_spark import registry
+
+    # the package re-exports the ticks FUNCTION under the submodule's name,
+    # so fetch the module object itself before patching
+    ticks_mod = importlib.import_module(
+        "stock_market_etl_pipeline_spark.sources.ticks"
+    )
+    monkeypatch.setattr(
+        ticks_mod, "ticks", lambda s, d: _winsor_ticks(spark)
+    )
+    out = registry.queries()["winsorized_returns"](spark, SF_DIR).collect()
+    assert len(out) == 101
+    by_change = {round(r["change_pct"], 6): r for r in out}
+    lo_row, hi_row = by_change[-12.5], by_change[12.5]
+    min_row, max_row = by_change[-25.0], by_change[25.0]
+    assert lo_row["lo"] == -12.5 and lo_row["hi"] == 12.5
+    # exactly ON the percentile → NOT clipped, value passes through
+    assert lo_row["clipped"] is False and lo_row["winsorized"] == -12.5
+    assert hi_row["clipped"] is False and hi_row["winsorized"] == 12.5
+    # beyond → clipped TO the exact bound
+    assert min_row["clipped"] is True and min_row["winsorized"] == -12.5
+    assert max_row["clipped"] is True and max_row["winsorized"] == 12.5
+    n_clipped = sum(1 for r in out if r["clipped"])
+    assert n_clipped == 2  # only the two extremes; all interior rows kept
+
+
+# ---------------------------------------------------------------------------
+# Quartile bucketing: volume exactly AT Q1/Q2/Q3
+# ---------------------------------------------------------------------------
+
+
+def test_volume_quartile_boundaries_are_inclusive_below(spark):
+    """volume_category_expr buckets with ≤: a volume EXACTLY at Q1/Q2/Q3
+    falls in the LOWER bucket (reference src/transform.py:237-257's
+    convention). Five exact-integer volumes put Q1/Q2/Q3 exactly on data
+    points (positions (n−1)/4 integral)."""
+    from stock_market_etl_pipeline_spark.operators.enrich import (
+        with_volume_quartile_category,
+    )
+
+    rows = [
+        ("S", dt.date(2024, 1, d + 1), float(v))
+        for d, v in enumerate([10, 20, 30, 40, 50])
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, date date, volume double"
+    )
+    got = {
+        r["volume"]: r["volume_category"]
+        for r in with_volume_quartile_category(df).collect()
+    }
+    assert got == {
+        10.0: "Low",
+        20.0: "Low",        # == Q1 → Low, not Medium
+        30.0: "Medium",     # == Q2 → Medium, not High
+        40.0: "High",       # == Q3 → High, not Very High
+        50.0: "Very High",
+    }
+
+
+# ---------------------------------------------------------------------------
+# RFM: a customer landing EXACTLY on a quartile threshold
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_exact_quartile_point_falls_in_lower_bucket(spark, monkeypatch):
+    """rfm_segments scores with STRICT > against each quartile: a customer
+    whose frequency/monetary/recency is EXACTLY the 25th-percentile value
+    stays in the bottom bucket (score 1) — and for recency, where lower is
+    better, exactly-at-threshold keeps the TOP score 4. Five customers
+    with freq 1..5 and one $100.00 order each per count put every quartile
+    exactly on a data point (integer percentile positions, penny-exact
+    monetary)."""
+    import stock_market_etl_pipeline_spark.registry_ext3 as ext3
+    from stock_market_etl_pipeline_spark import registry
+
+    last = dt.datetime(2024, 1, 31)
+    rows = []
+    for k in range(1, 6):  # customer k: k orders, last one (k−1) days ago
+        for j in range(k):
+            rows.append(
+                (k, last - dt.timedelta(days=(k - 1) + j * 30), 100.00)
+            )
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    monkeypatch.setattr(ext3, "load_table", lambda s, d, t: orders)
+    got = {
+        r["custkey"]: (r["r_score"], r["f_score"], r["m_score"])
+        for r in registry.queries()["rfm_segments"](spark, SF_DIR).collect()
+    }
+    # quartiles: recency [0..4] → r1=1 r2=2 r3=3; freq [1..5] → f1=2 f2=3
+    # f3=4; monetary [100..500] → m1=200 m2=300 m3=400
+    assert got == {
+        1: (4, 1, 1),  # recency 0 (best)
+        2: (4, 1, 1),  # recency == r1 → still top; freq == f1 → bottom
+        3: (3, 2, 2),  # each value == median → second bucket, not third
+        4: (2, 3, 3),  # == 75th percentile → third bucket, not fourth
+        5: (1, 4, 4),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Watermark: event exactly AT the cutoff; window end exactly == watermark
+# ---------------------------------------------------------------------------
+
+_WM_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_watermark_exact_cutoff_boundary(spark, tmp_path):
+    """Freezes Spark's two watermark edge conventions (probed empirically,
+    asserted here so an engine upgrade that flips them fails loudly):
+
+    1. a window whose end is EXACTLY the watermark is finalized and
+       emitted (emission is window.end ≤ wm, inclusive);
+    2. a late row with event time EXACTLY the watermark survives, while
+       one 1µs earlier is dropped (the late filter is event_time < wm,
+       strict).
+    """
+    from stock_market_etl_pipeline_spark.streaming.windows import (
+        tumbling_event_counts,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(specs):
+        data = [
+            (base + dt.timedelta(minutes=m, microseconds=us), et, 1.0)
+            for m, us, et in specs
+        ]
+        spark.createDataFrame(data, _WM_SCHEMA).write.mode("append").parquet(
+            landing
+        )
+
+    def _run():
+        stream = spark.readStream.schema(_WM_SCHEMA).parquet(landing)
+        q = (
+            tumbling_event_counts(stream, "1 hour", "30 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two hour-0 clicks; max event at minute 90 with a 30-minute
+    # delay puts the watermark at EXACTLY 60:00.000000 = hour-0's end
+    _write([(5, 0, "click"), (10, 0, "click"), (90, 0, "view")])
+    _run()
+    out1 = spark.read.parquet(sink)
+    h0 = out1.filter(
+        (F.col("event_type") == "click") & (F.hour("window_start") == 0)
+    ).collect()
+    assert len(h0) == 1 and h0[0]["n_events"] == 2  # end == wm → emitted
+
+    # batch 2: late clicks at 59:59.999999 (1µs before the wm → dropped;
+    # its hour-0 window is already finalized) and at exactly 60:00.000000
+    # (== wm → kept, lands in hour-1), plus an advancing event
+    _write([(59, 999_999, "click"), (60, 0, "click"), (200, 0, "view")])
+    _run()
+    out2 = spark.read.parquet(sink)
+    h0_after = out2.filter(
+        (F.col("event_type") == "click") & (F.hour("window_start") == 0)
+    ).collect()
+    assert len(h0_after) == 1 and h0_after[0]["n_events"] == 2  # unchanged
+    h1_click = out2.filter(
+        (F.col("event_type") == "click") & (F.hour("window_start") == 1)
+    ).collect()
+    assert len(h1_click) == 1 and h1_click[0]["n_events"] == 1  # == wm kept
+
+
+# ---------------------------------------------------------------------------
+# SimHash: hamming distance exactly == threshold
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_hamming_exactly_at_threshold_is_kept(spark):
+    """simhash_near_pairs verifies with ≤ max_distance: a pair at EXACTLY
+    the threshold is returned; threshold−1 drops it. The two docs below
+    differ by one token and measure hamming 4 on the 60-bit signature
+    (deterministic md5 hashing — stable across runs); 5 bands of 12 bits
+    guarantee candidacy for hamming < 5 by pigeonhole."""
+    from stock_market_etl_pipeline_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    )
+    other = base.replace("papa", "romeo")
+    docs = spark.createDataFrame(
+        [(0, base, "en", "s", len(base)), (2, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs).collect()}
+    h = bin(sigs[0] ^ sigs[2]).count("1")
+    assert h == 4  # the fixture's ground truth; fails if hashing changes
+
+    at = simhash_near_pairs(docs, max_distance=h, bands=5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in at] == [(0, 2, h)]
+    below = simhash_near_pairs(docs, max_distance=h - 1, bands=5).collect()
+    assert below == []
