@@ -102,7 +102,11 @@ def with_volume_quartile_category(df: DataFrame) -> DataFrame:
     )
 
 
-def enrich(df: DataFrame) -> DataFrame:
+def enrich(
+    df: DataFrame,
+    window_partition: tuple[str, ...] = ("symbol",),
+    quartile_cols: tuple[str, str, str] | None = None,
+) -> DataFrame:
     """ticks-shaped (symbol,date,open,high,low,close,volume) → enriched table.
 
     Output columns/order per ENRICHED_COLUMNS (src/transform.py:292-313).
@@ -114,10 +118,18 @@ def enrich(df: DataFrame) -> DataFrame:
     real time at bench scale, pure waste at any scale. The layering is the
     dependency structure: daily_change_percent (lag) must exist before the
     rolling stddev that consumes it; everything else flattens.
+
+    ``window_partition`` / ``quartile_cols`` exist for the skew-safe
+    halo-chunked variant (operators/skewsafe.py): the chunked path windows
+    over (symbol, __chunk) and supplies pre-joined per-symbol volume
+    quartile columns instead of the whole-partition percentile window.
+    Defaults reproduce the standard single-exchange plan unchanged.
+    Extra input columns (chunk/halo markers) flow through and come out
+    AFTER the ENRICHED_COLUMNS block.
     """
     from ..functions.dateparts import pandas_day_of_week
 
-    w = SYMBOL_DATE_WINDOW()
+    w = Window.partitionBy(*window_partition).orderBy("date")
     lag_close = F.lag("close", 1).over(w)
     d = F.col("date")
     rng = F.col("high") - F.col("low")
@@ -133,7 +145,7 @@ def enrich(df: DataFrame) -> DataFrame:
         pandas_day_of_week(d).cast("int").alias("day_of_week"),
         F.weekofyear(d).cast("int").alias("week_of_year"),
     )
-    w2 = SYMBOL_DATE_WINDOW()
+    w2 = Window.partitionBy(*window_partition).orderBy("date")
     window_layer = lag_layer.select(
         "*",
         # pandas: NaN > 0 is False → coalesce nulls to False (SURVEY §7.3)
@@ -145,7 +157,15 @@ def enrich(df: DataFrame) -> DataFrame:
         .over(w2.rowsBetween(-19, 0))
         .alias("volatility_indicator"),
     )
-    wp = Window.partitionBy("symbol")
+    if quartile_cols is None:
+        wp = Window.partitionBy("symbol")
+        q1, q2, q3 = (
+            F.percentile("volume", 0.25).over(wp),
+            F.percentile("volume", 0.50).over(wp),
+            F.percentile("volume", 0.75).over(wp),
+        )
+    else:
+        q1, q2, q3 = (F.col(c) for c in quartile_cols)
     out = window_layer.select(
         "*",
         ((F.col("close") - F.col("ma_5")) / F.col("ma_5") * 100).alias(
@@ -157,12 +177,9 @@ def enrich(df: DataFrame) -> DataFrame:
         categorize_volatility(F.col("volatility_indicator")).alias(
             "volatility_category"
         ),
-        volume_category_expr(
-            F.col("volume"),
-            F.percentile("volume", 0.25).over(wp),
-            F.percentile("volume", 0.50).over(wp),
-            F.percentile("volume", 0.75).over(wp),
-        ).alias("volume_category"),
+        volume_category_expr(F.col("volume"), q1, q2, q3).alias(
+            "volume_category"
+        ),
     )
     extras = [c for c in out.columns if c not in ENRICHED_COLUMNS]
     return out.select(*ENRICHED_COLUMNS, *extras)
