@@ -150,6 +150,7 @@ def start_pipeline_stream(
     validation_threshold: float = 0.90,
     watermark_delay: str = "2 days",
     trigger_once: bool = True,
+    exactly_once: bool = False,
 ):
     """The WHOLE batch pipeline as one streaming composition:
 
@@ -163,6 +164,17 @@ def start_pipeline_stream(
     Enrichment windows are computed per micro-batch — matching the
     reference's daily rerun-over-recent-history model, where each drop
     carries the full lookback window it needs (scheduler.py:110).
+
+    ``exactly_once=True`` makes the sink write REPLAY-IDEMPOTENT: each
+    micro-batch overwrites its own ``batch_id=N`` subdirectory instead of
+    blind-appending to the sink root. foreachBatch gives at-least-once
+    delivery — a crash between the sink write and the checkpoint commit
+    replays the batch on restart, and an append sink would duplicate every
+    row (proven in tests/test_streaming_pipeline_e2e.py). Keyed-by-batch
+    overwrite makes the replay write the SAME directory with the SAME
+    deterministic content: exactly-once by idempotence, the parquet-sink
+    analog of a transactional MERGE. Readers see batch_id as an ordinary
+    partition column.
     """
     from ..operators.clean import clean_quotes
     from ..operators.enrich import enrich
@@ -187,8 +199,22 @@ def start_pipeline_stream(
                 stock_quality_checks(),
                 success_threshold=validation_threshold,
             )
-            target = sink_dir if ok else f"{quarantine_dir}/batch_id={batch_id}"
-            enriched.write.mode("append").partitionBy("symbol").parquet(target)
+            if exactly_once:
+                target = (
+                    f"{sink_dir}/batch_id={batch_id}"
+                    if ok
+                    else f"{quarantine_dir}/batch_id={batch_id}"
+                )
+                enriched.write.mode("overwrite").partitionBy(
+                    "symbol"
+                ).parquet(target)
+            else:
+                target = (
+                    sink_dir if ok else f"{quarantine_dir}/batch_id={batch_id}"
+                )
+                enriched.write.mode("append").partitionBy("symbol").parquet(
+                    target
+                )
         finally:
             enriched.unpersist()
 

@@ -60,3 +60,105 @@ def test_streaming_pipeline_matches_batch_output(spark, tmp_path):
     assert batch_rows == stream_rows
     # healthy data never touches quarantine
     assert not os.path.exists(str(tmp_path / "quarantine"))
+
+
+def _run_to_completion(q, spark) -> None:
+    """availableNow queries self-terminate; also wait until the manager
+    deregisters the run, or an immediate restart on the same checkpoint
+    trips the concurrent-use guard."""
+    import time
+
+    q.awaitTermination(120)
+    q.stop()
+    for _ in range(300):
+        if all(a.id != q.id for a in spark.streams.active):
+            return
+        time.sleep(0.1)
+    raise AssertionError("query did not deregister")
+
+
+def _crash_after_write_before_commit(ckpt: str) -> None:
+    """Simulate dying BETWEEN the foreachBatch sink write and the
+    checkpoint commit: Structured Streaming writes offsets/N before
+    executing batch N and commits/N after, and on restart replays ONLY the
+    latest offsets-known batch (an offsets/N+1 file implies batch N
+    committed). Dying inside data-batch 0's commit window therefore leaves
+    offsets/0 present, commits empty, and NO later offsets — rewind the
+    checkpoint to exactly that state (removing the .crc twins too; a stale
+    CRC makes the metadata-log rewrite trip the concurrent-use guard)."""
+    cdir = os.path.join(ckpt, "commits")
+    odir = os.path.join(ckpt, "offsets")
+    committed = [f for f in os.listdir(cdir) if not f.startswith(".")]
+    assert committed, "stream never committed a batch"
+    for f in os.listdir(cdir):
+        os.remove(os.path.join(cdir, f))
+    for f in os.listdir(odir):
+        if f.lstrip(".").split(".")[0] != "0":
+            os.remove(os.path.join(odir, f))
+
+
+def test_exactly_once_sink_survives_crash_between_write_and_commit(
+    spark, tmp_path
+):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = make_raw_rows("AAA", 30) + make_raw_rows("BBB", 25, base=80.0)
+    spark.createDataFrame(rows, RAW_QUOTE_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).json(landing)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        quarantine_dir=str(tmp_path / "quarantine"), checkpoint_dir=ckpt,
+        exactly_once=True,
+    )
+    q = start_pipeline_stream(spark, landing, sink, **kwargs)
+    _run_to_completion(q, spark)
+    first = spark.read.parquet(sink)
+    n_first = first.count()
+    assert n_first == 55
+
+    _crash_after_write_before_commit(ckpt)
+    q = start_pipeline_stream(spark, landing, sink, **kwargs)
+    _run_to_completion(q, spark)
+
+    after = spark.read.parquet(sink)
+    assert after.count() == n_first  # replayed batch overwrote itself
+    dupes = (
+        after.groupBy("symbol", "date").count().filter("count > 1").count()
+    )
+    assert dupes == 0  # no duplicate (symbol, date) rows after the replay
+
+
+def test_append_sink_duplicates_under_the_same_crash(spark, tmp_path):
+    """The control arm: the SAME crash window with the plain append sink
+    DOES duplicate every replayed row — proving the crash simulation is
+    real and the exactly_once mode is what prevents it."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = make_raw_rows("AAA", 20)
+    spark.createDataFrame(rows, RAW_QUOTE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        quarantine_dir=str(tmp_path / "quarantine"), checkpoint_dir=ckpt,
+        exactly_once=False,
+    )
+    q = start_pipeline_stream(spark, landing, sink, **kwargs)
+    _run_to_completion(q, spark)
+    assert spark.read.parquet(sink).count() == 20
+
+    _crash_after_write_before_commit(ckpt)
+    q = start_pipeline_stream(spark, landing, sink, **kwargs)
+    _run_to_completion(q, spark)
+
+    after = spark.read.parquet(sink)
+    assert after.count() == 40  # every batch-0 row appended twice
+    dupes = (
+        after.groupBy("symbol", "date").count().filter("count > 1").count()
+    )
+    assert dupes == 20
