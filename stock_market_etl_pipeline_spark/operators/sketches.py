@@ -1,0 +1,146 @@
+"""Mergeable-sketch rollups: the 100 TB pre-aggregation pattern.
+
+At 100 TB you cannot rescan the fact table for every distinct-count or
+quantile question. The DataSketches pattern (Agarwal et al., "Mergeable
+Summaries", PODS 2012): build a small sketch per natural partition (per
+day, per source, per file), PERSIST the sketches, and answer queries by
+MERGING them — new data appends new sketches and re-merges; history is
+never rescanned. Spark 4 ships Apache DataSketches aggregates natively
+(``hll_sketch_agg``/``hll_union_agg`` for distinct counts,
+``kll_sketch_*`` for quantiles, ``theta_sketch_*`` for set algebra), all
+JVM-side, mergeable by construction, and a few KB per sketch regardless
+of input size.
+
+This module wires them into two-level rollups. Correctness certificates
+(tests/test_sketches.py):
+
+- **merge-losslessness**: the union of per-day HLL sketches produces the
+  SAME estimate as one sketch over the whole table at the same lgK — the
+  property that makes incremental maintenance exact w.r.t. a one-shot
+  build (HLL union takes the register-wise max; grouping of the inputs
+  cannot change the result).
+- **bounded error**: HLL estimates sit within the published relative
+  standard error of the exact COUNT DISTINCT twin
+  (`distinct_custkeys_by_priority`, hash-green vs DuckDB); KLL merged
+  quantiles honor the rank-error bound vs exact percentiles.
+
+The reference has no sketch surface (its scale tops out at pandas in one
+process — reference ``src/transform.py`` computes exact aggregates only);
+this is the documented 100 TB extension of SURVEY.md §4 alongside
+`approx_stats`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Default HLL precision: 2^12 registers ≈ 1.6% relative standard error,
+#: 4 KB per sketch. Bump to 14-16 for sub-percent error at 64 KB.
+DEFAULT_LGK = 12
+
+
+def hll_daily_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col,
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Level 1: one HLL sketch of ``value_col``'s distinct values per
+    (group, day). This is the table you PERSIST: ~4 KB per (group, day)
+    row, built with one shuffle on (group, day) — partial aggregation
+    means each map task contributes a partial sketch, so the shuffle
+    payload is sketches, not raw values."""
+    return df.groupBy(*group_cols, day_col.alias("day")).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_merged_distinct(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Level 2: answer "distinct over any day range / whole history" by
+    unioning the persisted sketches — never touching the fact table.
+    ``hll_union_agg`` is register-wise max, associative and commutative:
+    any grouping of the inputs yields the identical merged sketch."""
+    return rollup.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll", F.lit(False))).alias(
+            "approx_distinct"
+        )
+    )
+
+
+def kll_daily_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col,
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Per-(group, day) KLL quantile sketch of a double column. k=200 ⇒
+    ~1.65% one-sided rank error at 99% confidence (KLL paper, Karnin et
+    al., FOCS 2016), a few KB per sketch."""
+    return df.groupBy(*group_cols, day_col.alias("day")).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias("kll")
+    )
+
+
+def kll_merged_quantiles(
+    rollup: DataFrame, group_cols: list[str], quantiles: list[float]
+) -> DataFrame:
+    """Merge per-day KLL sketches and read quantiles off the merged
+    sketch. Rank error composes under merge (stays ~eps for same-k
+    inputs), so the merged quantile carries the same guarantee as a
+    one-shot sketch.
+
+    Spark exposes KLL merge as a BINARY scalar (`kll_sketch_merge_double`),
+    not a group aggregate — so the group merge is collect_list + a JVM
+    higher-order reduce over the sketch array. Bounded state: one ~KB
+    sketch per day per group (≤ a few thousand elements for years of
+    history), and the reduce runs inside codegen, not Python."""
+    merged = rollup.groupBy(*group_cols).agg(
+        F.collect_list("kll").alias("sks")
+    ).select(
+        *group_cols,
+        F.reduce(
+            F.slice("sks", 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+            F.col("sks")[0],
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("kll"),
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(
+            f"p{int(q * 100):02d}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*group_cols, *cols)
+
+
+def hll_set_overlap(
+    left: DataFrame, right: DataFrame, value_col: str, lgk: int = DEFAULT_LGK
+) -> DataFrame:
+    """Approximate set overlap between two populations from their sketches
+    alone: |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-exclusion,
+    where est(A∪B) merges the two already-built sketches. At 100 TB this
+    answers audience-overlap / contamination-rate questions without a
+    distinct-join — each side's sketch is built once (or read from the
+    persisted rollup) and the answer is computed from three estimates."""
+    a = left.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("s"))
+    b = right.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("s"))
+    merged = a.unionAll(b).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("s", F.lit(False))).alias("union_est")
+    )
+    est_a = a.select(F.hll_sketch_estimate("s").alias("a_est"))
+    est_b = b.select(F.hll_sketch_estimate("s").alias("b_est"))
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(merged)
+        .select(
+            "a_est",
+            "b_est",
+            "union_est",
+            (F.col("a_est") + F.col("b_est") - F.col("union_est")).alias(
+                "overlap_est"
+            ),
+        )
+    )

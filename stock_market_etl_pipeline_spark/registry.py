@@ -720,3 +720,4 @@ from . import registry_ext2  # noqa: E402,F401
 from . import registry_dim  # noqa: E402,F401
 from . import registry_fin  # noqa: E402,F401
 from . import registry_ext3  # noqa: E402,F401
+from . import registry_sketch  # noqa: E402,F401

@@ -1530,3 +1530,151 @@ def q_benchmark_contamination(spark, sf_dir):
         c = F.col(f"hit_{i + 1}")
         keep = c if keep is None else keep | c
     return out.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (training-mix composition)
+# ---------------------------------------------------------------------------
+
+# sampled_count_s ∝ count_s^α : α=1 keeps natural proportions, α→0 flattens
+# the mix toward uniform. 0.5 is the common multilingual-training compromise.
+MIX_ALPHA = 0.5
+
+
+@register(
+    "source_temperature_mix",
+    """
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY 1
+    ),
+    m AS (SELECT MIN(n_total) AS min_n FROM counts),
+    rates AS (
+        SELECT lang, n_total,
+               SQRT(CAST(min_n AS DOUBLE) / n_total) AS rate
+        FROM counts, m
+    ),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ('0x' || substr(md5('mix|' || d.doc_id), 1, 15))::BIGINT
+              / 1152921504606846976.0 < r.rate
+    )
+    SELECT r.lang, r.n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           ROUND(r.rate, 6) AS rate
+    FROM rates r
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY 1) k
+           USING (lang)
+    """,
+)
+def q_source_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture rebalancing: resample each stratum (here
+    language — the canonical multilingual-pretraining case; the en-heavy
+    corpus gets flattened toward the tail languages) at rate
+    (min_count/count_s)^(1-α), so the kept corpus has per-stratum volume
+    ∝ count_s^α — the standard dial between "natural proportions" (α=1)
+    and "uniform" (α=0). Membership is hash-gated (md5_hash60, never
+    rand()): reproducible across retries, engines, and appends.
+
+    Every float on the decision path is bit-identical cross-engine: the
+    rate is sqrt of a correctly-rounded division of exact ints (IEEE sqrt
+    and division are correctly rounded in both engines), and the uniform
+    u is the shared 60-bit hash over 2^60. Plan: docs scanned TWICE (the
+    honest minimum — once to learn the per-stratum counts, once to apply
+    the gate), with the 5-row rates table localCheckpoint'd so the counts
+    scan is not replayed per branch (corpus_prep's shared-subtree
+    pattern), and every join on it broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n_total",
+        F.sqrt(F.col("min_n").cast("double") / F.col("n_total")).alias("rate"),
+    ).localCheckpoint()
+    u = md5_hash60(F.concat_ws("|", F.lit("mix"), F.col("doc_id"))) / F.lit(
+        _TWO60_F
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        rates.join(F.broadcast(kept), "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch against an existing corpus
+# ---------------------------------------------------------------------------
+
+_INCR_TWIN_OFFSET = 10_000_000
+
+
+@register(
+    "dedup_incremental",
+    rf"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 5 != 0
+    ),
+    newb AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + {_INCR_TWIN_OFFSET}, text, source
+        FROM corpus WHERE doc_id < 40
+    ),
+    cfp AS (
+        SELECT DISTINCT
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM corpus
+    )
+    SELECT n.doc_id, n.source,
+           md5(regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM newb n
+    WHERE md5(regexp_replace(lower(trim(n.text)), '\s+', ' ', 'g'))
+          NOT IN (SELECT fp FROM cfp)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: admit only new-batch documents whose
+    normalized fingerprint is NOT already in the existing corpus — the
+    steady-state dedup shape at 100 TB, where the corpus fingerprint set
+    is a persisted table and each incoming crawl batch anti-joins against
+    it (never re-deduping history against itself).
+
+    Fixture geometry (deterministic, oracle-mirrored): corpus = doc_id %
+    5 != 0; new batch = the held-out %5==0 docs (true new content) plus
+    byte-identical twins of corpus docs with doc_id < 40 (guaranteed
+    duplicates, the plant_exact_duplicates pattern —
+    operators/dedup.py:78-96). The anti-join must keep the former and
+    drop ALL of the latter, so the query is non-vacuous in both
+    directions at every verify scale. Plan: LeftAnti hash join on the
+    16-byte digest — shuffle payload is fingerprints, not text; with the
+    corpus side persisted and bucketed by fingerprint at scale, only the
+    new batch shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    twins = corpus.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + _INCR_TWIN_OFFSET).alias("doc_id"), "text", "source"
+    )
+    newb = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text", "source"
+    ).unionByName(twins)
+    cfp = corpus.select(normalized_fingerprint(F.col("text")).alias("fp")).distinct()
+    nfp = newb.select(
+        "doc_id", "source", normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return nfp.join(cfp, nfp.fingerprint == cfp.fp, "left_anti")

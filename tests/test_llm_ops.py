@@ -393,3 +393,37 @@ def test_spread_never_shrinks_partitioning(spark):
     one = docs.coalesce(1)
     dp = spark.sparkContext.defaultParallelism
     assert dedup._spread(one).rdd.getNumPartitions() >= dp
+
+
+def test_source_temperature_mix_rates_and_counts(spark):
+    """α=0.5 mix: the smallest language keeps everything (rate 1.0), every
+    rate ∈ (0, 1], and the en-heavy head is strictly downsampled."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark import registry
+
+    rows = registry.queries()["source_temperature_mix"](spark, SF_DIR).collect()
+    assert rows
+    rates = {r["lang"]: r["rate"] for r in rows}
+    totals = {r["lang"]: r["n_total"] for r in rows}
+    kept = {r["lang"]: r["n_kept"] for r in rows}
+    assert all(0 < r <= 1.0 for r in rates.values())
+    min_lang = min(totals, key=lambda s: totals[s])
+    assert rates[min_lang] == 1.0 and kept[min_lang] == totals[min_lang]
+    # en-heavy corpus at every verify scale => the mix strictly downsamples
+    assert sum(kept.values()) < sum(totals.values())
+    assert rates["en"] < 1.0 and kept["en"] < totals["en"]
+    assert all(kept[s] <= totals[s] for s in kept)
+
+
+def test_dedup_incremental_drops_all_twins_keeps_new(spark):
+    """Every planted corpus twin must be caught (dropped); the held-out
+    %5==0 batch must survive — non-vacuous in both directions."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark import registry
+    from stock_market_etl_pipeline_spark.registry_llm import _INCR_TWIN_OFFSET
+
+    rows = registry.queries()["dedup_incremental"](spark, SF_DIR).collect()
+    assert rows  # new content admitted
+    assert all(r["doc_id"] < _INCR_TWIN_OFFSET for r in rows)  # twins all caught

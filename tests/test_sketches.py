@@ -1,0 +1,167 @@
+"""Correctness certificates for the mergeable-sketch surface
+(operators/sketches.py, registry_sketch.py).
+
+The sketch queries are rows-only in the driver gate (approximate
+algorithms differ across engines by design), so — per the repo's
+`ann_ivf_full_probe` convention — their correctness evidence lives here:
+
+1. merge-losslessness: the union of per-day HLL sketches yields the SAME
+   estimate as one sketch over the whole table (incremental maintenance
+   is exact w.r.t. a one-shot build);
+2. bounded error vs the exact hash-green twin
+   (`distinct_custkeys_by_priority`);
+3. KLL merged quantiles honor the rank-error bound vs exact percentiles;
+4. inclusion-exclusion overlap from sketches tracks the exact overlap.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from conftest import SF_DIR  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stock_market_etl_pipeline_spark import registry  # noqa: E402
+from stock_market_etl_pipeline_spark.operators.sketches import (  # noqa: E402
+    hll_daily_rollup,
+    hll_merged_distinct,
+    hll_set_overlap,
+)
+from stock_market_etl_pipeline_spark.sources.tables import load_table  # noqa: E402
+
+# 2^12 registers → relative standard error ~1.04/sqrt(4096) ≈ 1.6%; we
+# assert within 5 RSE ≈ 8% (a >5-sigma bound — loose enough to never flake,
+# tight enough to catch a wiring bug, which shows up as orders-of-magnitude
+# error or zero).
+REL_TOL = 0.08
+
+
+def test_hll_merge_is_lossless(spark):
+    """Union of per-day sketches == one-shot sketch, exactly."""
+    o = load_table(spark, SF_DIR, "orders")
+    rollup = hll_daily_rollup(
+        o, ["o_orderpriority"], F.to_date("o_orderdate"), "o_custkey"
+    )
+    merged = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in hll_merged_distinct(rollup, ["o_orderpriority"]).collect()
+    }
+    oneshot = {
+        r["o_orderpriority"]: r["est"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("o_custkey", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert merged == oneshot  # bit-identical estimates, not just close
+
+
+def test_hll_estimate_within_error_of_exact_twin(spark):
+    exact = {
+        r["priority"]: r["n_distinct_cust"]
+        for r in registry.queries()["distinct_custkeys_by_priority"](
+            spark, SF_DIR
+        ).collect()
+    }
+    approx = {
+        r["priority"]: r["approx_distinct_cust"]
+        for r in registry.queries()["sketch_distinct_rollup_merge"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for p, n in exact.items():
+        assert abs(approx[p] - n) <= max(1, REL_TOL * n), (p, approx[p], n)
+
+
+def test_kll_merged_quantiles_within_rank_error(spark):
+    """Merged-KLL p50/p95 land within the ±1.65% rank-error band of the
+    exact distribution: value(p-eps) <= kll(p) <= value(p+eps)."""
+    o = load_table(spark, SF_DIR, "orders")
+    kll = {
+        r["priority"]: (r["p50"], r["p95"])
+        for r in registry.queries()["sketch_price_quantiles"](
+            spark, SF_DIR
+        ).collect()
+    }
+    eps = 0.0165 * 2  # rank error roughly composes under one merge level
+    bands = {
+        r["o_orderpriority"]: r["b"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice",
+                [max(0.0, q) for q in (0.5 - eps, 0.5 + eps, 0.95 - eps, min(1.0, 0.95 + eps))],
+                10_000,
+            ).alias("b")
+        )
+        .collect()
+    }
+    for p, (p50, p95) in kll.items():
+        lo50, hi50, lo95, hi95 = bands[p]
+        assert lo50 <= p50 <= hi50, (p, p50, lo50, hi50)
+        assert lo95 <= p95 <= hi95, (p, p95, lo95, hi95)
+
+
+def test_hll_overlap_tracks_exact_intersection(spark):
+    """Customers ordering in BOTH halves of the date range: sketch-only
+    inclusion-exclusion vs exact distinct-intersection."""
+    o = load_table(spark, SF_DIR, "orders")
+    mid = o.agg(
+        F.date_add(F.min(F.to_date("o_orderdate")), 365).alias("m")
+    ).collect()[0]["m"]
+    early = o.filter(F.to_date("o_orderdate") < F.lit(mid))
+    late = o.filter(F.to_date("o_orderdate") >= F.lit(mid))
+    est = hll_set_overlap(early, late, "o_custkey").collect()[0]
+    exact = (
+        early.select("o_custkey")
+        .intersect(late.select("o_custkey"))
+        .count()
+    )
+    n_union = early.select("o_custkey").union(late.select("o_custkey")).distinct().count()
+    # inclusion-exclusion compounds three estimates; bound by union size
+    assert abs(est["overlap_est"] - exact) <= max(2, 3 * REL_TOL * n_union), (
+        est,
+        exact,
+        n_union,
+    )
+
+
+def test_sketch_rollup_plan_is_two_level_partial_agg(spark):
+    """The level-1 build must partial-aggregate map-side: the physical
+    plan carries HashAggregate(partial) below the exchange, so at 100 TB
+    the shuffle moves sketches, not raw customer keys."""
+    df = registry.queries()["sketch_distinct_rollup_merge"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
+    assert plan.count("Exchange") <= 3  # rollup + merge + final orderBy
+
+
+def test_hll_rollup_survives_parquet_roundtrip(spark, tmp_path):
+    """The 100 TB story requires the level-1 sketch table to be PERSISTED
+    and merged later (possibly by a different job): binary sketches must
+    round-trip through parquet and merge to the same estimates."""
+    o = load_table(spark, SF_DIR, "orders")
+    rollup = hll_daily_rollup(
+        o, ["o_orderpriority"], F.to_date("o_orderdate"), "o_custkey"
+    )
+    path = str(tmp_path / "rollup")
+    rollup.write.parquet(path)
+    live = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in hll_merged_distinct(rollup, ["o_orderpriority"]).collect()
+    }
+    persisted = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in hll_merged_distinct(
+            spark.read.parquet(path), ["o_orderpriority"]
+        ).collect()
+    }
+    assert live == persisted
