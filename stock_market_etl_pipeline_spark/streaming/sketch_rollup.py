@@ -1,0 +1,127 @@
+"""Incrementally-maintained HLL sketch table: streaming distinct-count
+rollups without ever rescanning history.
+
+`streaming/rollup.py` maintains exact aggregates by partition-level
+RECOMPUTE from the landing table (correct for any aggregate, but each
+refresh re-reads the touched partitions from the source of truth). A
+sketch rollup can do strictly better: HLL union is register-wise max —
+associative, commutative, and **idempotent** — so maintenance is PURE
+MERGE: per micro-batch, sketch the batch, union it into the stored
+per-(key, day) sketch, rewrite only the touched day-partitions. History
+is never rescanned; each batch costs O(batch + touched sketches).
+
+Idempotence is the load-bearing property: re-unioning the SAME batch
+sketch is a no-op (max(max(a,b), b) = max(a,b)), so batch replay after a
+crash between sink-write and checkpoint-commit converges to the same
+registers — the sketch sink gets its exactly-once story from the algebra
+instead of from transactional machinery (contrast the dedup gate the
+exact-parquet sink needs in streaming/ingest.py). The replay test in
+tests/test_streaming_sketch.py re-runs a batch deliberately and asserts
+byte-level convergence.
+
+The reference has no streaming or sketch surface (reference
+``src/pipeline.py`` recomputes exact aggregates per scheduled batch);
+this composes the engine's streaming story with operators/sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import DEFAULT_LGK
+
+
+def sketch_batch(
+    df: DataFrame, key_cols: list[str], day_col: str, value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """(keys, day, hll) for one batch of rows."""
+    return df.groupBy(*key_cols, F.to_date(day_col).alias("day")).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll")
+    )
+
+
+def merge_into_store(
+    spark: SparkSession,
+    batch_sk: DataFrame,
+    sketch_dir: str,
+    key_cols: list[str],
+) -> None:
+    """Union a batch's sketches into the persisted sketch table, touching
+    only the day-partitions the batch hit. The merged frame is
+    localCheckpoint'd before the write because it reads from the same
+    path it overwrites (dynamic partition overwrite cannot read its own
+    target mid-write); the materialization is tiny — sketches for the
+    touched days only."""
+    try:
+        stored = spark.read.parquet(sketch_dir)
+        have_store = True
+    except Exception:  # first batch: nothing persisted yet
+        have_store = False
+
+    if have_store:
+        days = [r["day"] for r in batch_sk.select("day").distinct().collect()]
+        relevant = stored.filter(F.col("day").isin(days))
+        merged = (
+            relevant.unionByName(batch_sk)
+            .groupBy(*key_cols, "day")
+            .agg(F.hll_union_agg("hll", F.lit(False)).alias("hll"))
+            .localCheckpoint()
+        )
+    else:
+        merged = batch_sk
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(sketch_dir)
+    )
+
+
+def start_distinct_sketch_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+    schema=None,
+    lgk: int = DEFAULT_LGK,
+):
+    """Maintain ``sketch_dir`` (parquet partitioned by day) as an
+    incrementally-merged HLL sketch table over the rows landing in
+    ``landing_dir``. Returns the started StreamingQuery (availableNow)."""
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = sketch_batch(batch_df, key_cols, day_col, value_col, lgk)
+        if not batch_sk.take(1):
+            return
+        merge_into_store(spark, batch_sk, sketch_dir, key_cols)
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def distinct_estimates(
+    spark: SparkSession, sketch_dir: str, key_cols: list[str]
+) -> DataFrame:
+    """Answer "distinct per key over all history" from the sketch table
+    alone — merge the per-day sketches, never touching the landing data."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy(*key_cols)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll", F.lit(False))).alias(
+                "approx_distinct"
+            )
+        )
+    )
