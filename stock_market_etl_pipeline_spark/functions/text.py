@@ -38,6 +38,15 @@ def word_shingles(tokens: Column, k: int) -> Column:
     )
 
 
+def word_shingles_all(tokens: Column, k: int) -> Column:
+    """ALL word k-gram windows in order (duplicates kept) — the positional
+    variant of `word_shingles` for coverage/repetition measures, where
+    each window position counts once."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of lowercase + collapsed whitespace.
 

@@ -19,6 +19,7 @@ from .functions.text import (
     md5_hash60,
     normalized_fingerprint,
     stopword_hits,
+    word_shingles_all,
     ws_tokens,
 )
 from .operators.dedup import (
@@ -1678,3 +1679,97 @@ def q_dedup_incremental(spark, sf_dir):
         "doc_id", "source", normalized_fingerprint(F.col("text")).alias("fingerprint")
     )
     return nfp.join(cfp, nfp.fingerprint == cfp.fp, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate coverage
+# ---------------------------------------------------------------------------
+
+# a word 3-gram window appearing in >= this many DISTINCT documents is
+# treated as boilerplate vocabulary (headers, footers, license text)
+BOILERPLATE_MIN_DF = 3
+
+
+@register(
+    "boilerplate_ngram_coverage",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS s(i)
+    ),
+    bp AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+    com AS (
+        SELECT grams.doc_id, COUNT(*) AS n_common
+        FROM grams JOIN bp USING (g) GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_boilerplate,
+           ROUND(COALESCE(c.n_common, 0) * 1.0 / t.n_grams, 6)
+               AS boilerplate_frac
+    FROM tot t LEFT JOIN com c USING (doc_id)
+    WHERE t.n_grams > 0
+    """,
+)
+def q_boilerplate_ngram_coverage(spark, sf_dir):
+    """Cross-document boilerplate coverage: the fraction of each doc's
+    word-3-gram POSITIONS covered by n-grams that appear in >=
+    BOILERPLATE_MIN_DF distinct documents — the corpus-level complement
+    of `doc_repetition_stats` (within-doc repetition). High coverage
+    flags template/license/navigation text a training-data curator strips
+    before near-dup passes (boilerplate also poisons MinHash signatures).
+
+    Positional (non-distinct) shingles via `word_shingles_all`: a window
+    duplicated within one doc counts per occurrence, so the fraction is a
+    true coverage measure. The exploded gram table is localCheckpoint'd
+    ONCE and shared by all three consumers (document frequency, per-doc
+    totals, per-doc boilerplate hits) — corpus_prep's shared-subtree
+    pattern, 1 explode instead of 3. The boilerplate vocabulary is
+    broadcast: high-df n-grams are few BY CONSTRUCTION (df >= 3 across a
+    deduped corpus bounds the set far below the gram count), so the
+    coverage join ships the small set, never shuffling the gram table a
+    second time. frac = exact-int division, correctly rounded identically
+    in both engines.
+    """
+    from .operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_shingles_all(ws_tokens(F.col("text")), 3)).alias("g"),
+    ).localCheckpoint()
+    bp = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .select("g")
+    )
+    tot = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    com = (
+        grams.join(F.broadcast(bp), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        tot.join(com, "doc_id", "left")
+        .filter(F.col("n_grams") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)) * F.lit(1.0) / F.col("n_grams"),
+                6,
+            ).alias("boilerplate_frac"),
+        )
+    )

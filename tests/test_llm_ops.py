@@ -427,3 +427,17 @@ def test_dedup_incremental_drops_all_twins_keeps_new(spark):
     rows = registry.queries()["dedup_incremental"](spark, SF_DIR).collect()
     assert rows  # new content admitted
     assert all(r["doc_id"] < _INCR_TWIN_OFFSET for r in rows)  # twins all caught
+
+
+def test_boilerplate_coverage_positive_path(spark):
+    """Cross-doc common 3-grams exist naturally at every verify scale —
+    the coverage fractions must be non-trivially positive and bounded."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark import registry
+
+    rows = registry.queries()["boilerplate_ngram_coverage"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r["boilerplate_frac"] <= 1.0 for r in rows)
+    assert all(r["n_boilerplate"] <= r["n_grams"] for r in rows)
+    assert sum(1 for r in rows if r["n_boilerplate"] > 0) > len(rows) // 2
