@@ -332,3 +332,58 @@ def test_simhash_hamming_exactly_at_threshold_is_kept(spark):
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in at] == [(0, 2, h)]
     below = simhash_near_pairs(docs, max_distance=h - 1, bands=5).collect()
     assert below == []
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate vocabulary: document frequency exactly at the cutoff
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_df_exactly_at_min_df_is_included(spark):
+    """BOILERPLATE_MIN_DF is an inclusive >= : a 3-gram shared by EXACTLY
+    3 documents is boilerplate; shared by 2 is not. The oracle mirrors
+    HAVING COUNT(DISTINCT doc_id) >= 3."""
+    from stock_market_etl_pipeline_spark.functions.text import (
+        word_shingles_all,
+        ws_tokens,
+    )
+    from stock_market_etl_pipeline_spark.registry_llm import BOILERPLATE_MIN_DF
+
+    assert BOILERPLATE_MIN_DF == 3  # fixture geometry below depends on it
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma tail1 x"),
+            (2, "alpha beta gamma tail2 y"),
+            (3, "alpha beta gamma tail3 z"),   # 'alpha beta gamma' df=3 → in
+            (4, "delta epsilon zeta tail4 w"),
+            (5, "delta epsilon zeta tail5 v"), # 'delta epsilon zeta' df=2 → out
+        ],
+        ["doc_id", "text"],
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_shingles_all(ws_tokens(F.col("text")), 3)).alias("g"),
+    )
+    bp = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+    )
+    kept = {r["g"] for r in bp.collect()}
+    assert "alpha beta gamma" in kept
+    assert "delta epsilon zeta" not in kept
+
+
+def test_temperature_mix_uniform_strata_all_rates_exactly_one(spark):
+    """Degenerate edge: equal-count strata ⇒ every rate is EXACTLY 1.0
+    (sqrt(n/n) with exact ints — no float drift may push a rate below 1
+    and silently drop rows)."""
+    rows = [(i, f"lang{i % 4}") for i in range(400)]  # 100 docs per lang
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.sqrt(F.col("min_n").cast("double") / F.col("n_total")).alias("rate"),
+    )
+    assert all(r["rate"] == 1.0 for r in rates.collect())
