@@ -292,3 +292,40 @@ def test_rfm_thresholds_are_scalar_aggregate_not_window(spark, qs):
     customers."""
     plan = plan_of(qs["rfm_segments"](spark, SF_DIR))
     assert count_nodes(plan, "Window") == 0
+
+
+def test_dedup_incremental_anti_join_on_digest(spark, qs):
+    """Steady-state dedup: the admit decision is a LeftAnti hash join on
+    the fingerprint digest — no sort-merge of raw text, no nested loop."""
+    plan = plan_of(qs["dedup_incremental"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_temperature_mix_broadcast_only(spark, qs):
+    """Rates and kept-counts are tiny tables: every join must broadcast
+    (the localCheckpoint'd 5-row rates table is the build side), and the
+    docs scan shuffles once at most (the kept groupBy)."""
+    plan = plan_of(qs["source_temperature_mix"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert count_nodes(plan, "Exchange") <= 2
+
+
+def test_boilerplate_coverage_broadcast_vocab_no_second_gram_shuffle(spark, qs):
+    """The boilerplate vocabulary joins back to the gram table as a
+    broadcast semi-join; the checkpointed gram explode is the only gram
+    materialization (no repeated explode subtrees in the plan)."""
+    plan = plan_of(qs["boilerplate_ngram_coverage"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert count_nodes(plan, "Generate") == 0  # explode hidden behind checkpoint
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_sketch_rollup_partial_aggregates_before_exchange(spark, qs):
+    """Level-1 sketch build partial-aggregates map-side so the shuffle
+    carries sketches, not raw keys."""
+    plan = plan_of(qs["sketch_distinct_rollup_merge"](spark, SF_DIR))
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
+    assert count_nodes(plan, "Exchange") <= 3
