@@ -1773,3 +1773,31 @@ def q_boilerplate_ngram_coverage(spark, sf_dir):
             ).alias("boilerplate_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Global contiguous sample ids (distributed enumeration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_doc_ids",
+    """
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+               AS global_id
+    FROM documents
+    """,
+)
+def q_global_doc_ids(spark, sf_dir):
+    """Contiguous 0-based sample ids in (lang, doc_id) order via the
+    two-phase range-partition enumeration (operators/enumerate.py) — the
+    scalable replacement for an unpartitioned row_number, whose
+    Exchange SinglePartition is a one-task sort of the whole corpus.
+    Ids depend only on the total order, not on partition boundaries, so
+    the distributed result is bit-identical to the oracle's single-node
+    ROW_NUMBER."""
+    from .operators.enumerate import global_sequence_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return global_sequence_ids(docs, ["lang", "doc_id"])

@@ -441,3 +441,28 @@ def test_boilerplate_coverage_positive_path(spark):
     assert all(0 <= r["boilerplate_frac"] <= 1.0 for r in rows)
     assert all(r["n_boilerplate"] <= r["n_grams"] for r in rows)
     assert sum(1 for r in rows if r["n_boilerplate"] > 0) > len(rows) // 2
+
+
+def test_global_sequence_ids_contiguous_and_partition_invariant(spark):
+    """Ids must be exactly 0..N-1 in (lang, doc_id) order and identical
+    under any input partitioning (boundaries move, ranks don't)."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark.operators.enumerate import (
+        global_sequence_ids,
+    )
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    a = global_sequence_ids(docs, ["lang", "doc_id"])
+    rows = sorted(
+        (r["global_id"], r["lang"], r["doc_id"]) for r in a.collect()
+    )
+    n = len(rows)
+    assert [g for g, _, _ in rows] == list(range(n))  # contiguous 0..N-1
+    assert rows == sorted(rows, key=lambda x: (x[1], x[2]))  # order respected
+
+    b = global_sequence_ids(docs.repartition(7), ["lang", "doc_id"])
+    assert sorted(
+        (r["global_id"], r["lang"], r["doc_id"]) for r in b.collect()
+    ) == rows

@@ -329,3 +329,17 @@ def test_sketch_rollup_partial_aggregates_before_exchange(spark, qs):
     plan = plan_of(qs["sketch_distinct_rollup_merge"](spark, SF_DIR))
     assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
     assert count_nodes(plan, "Exchange") <= 3
+
+
+def test_global_doc_ids_no_data_sized_single_partition_sort(spark, qs):
+    """The only SinglePartition exchange allowed is the prefix-sum over
+    per-partition COUNTS (cluster-sized); the data-sized window must be
+    partitioned by _pid."""
+    plan = plan_of(qs["global_doc_ids"](spark, SF_DIR))
+    # exactly one SinglePartition exchange — the prefix-sum over the
+    # per-partition counts, which lives on the BROADCAST (offsets) branch
+    assert plan.count("SinglePartition") == 1
+    assert "BroadcastExchange" in plan  # offsets broadcast back to the data
+    assert "rangepartitioning" in plan.lower()  # phase-1 range exchange
+    # the data-sized window is partitioned by pid, never unpartitioned
+    assert "hashpartitioning(_pid" in plan
