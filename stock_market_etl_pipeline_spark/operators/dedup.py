@@ -110,6 +110,7 @@ def bucket_pairs(
     id_col: str = "doc_id",
     out: tuple[str, str] = ("doc_a", "doc_b"),
     distinct: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Intra-bucket id pairs (id_a < id_b) via ONE grouped pass.
 
@@ -123,12 +124,25 @@ def bucket_pairs(
     by the banding/cap parameters in every caller here (band signatures,
     ``max_doc_freq``). Floods of byte-identical documents belong to EXACT
     dedup, which runs before any near-dup pass in corpus_prep ordering.
+
+    ``max_bucket`` drops buckets larger than N members before pair
+    expansion — the stop-shingle cap's analog for projection buckets.
+    Pair cost is Σ|bucket|²; one bucket holding a corpus-sized slice means
+    the hash geometry stopped discriminating at this scale (round-4 sf1
+    sweep: 4 planes/band over 10× vectors → ×43 wall), and its pairs are
+    overwhelmingly non-duplicates. The cap bounds cost at
+    buckets·cap² and is mirrored in the oracle CTEs; a capped bucket is a
+    SIGNAL to widen the geometry (more planes per band), not silent loss —
+    callers document the verify-scale headroom and test that the cap never
+    trips at oracle scales.
     """
     ids = (
         bucketed.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
+    if max_bucket is not None:
+        ids = ids.filter(F.size("__ids") <= max_bucket)
     pairs = ids.select(
         F.col("__ids"), F.posexplode("__ids").alias("__i", out[0])
     ).select(

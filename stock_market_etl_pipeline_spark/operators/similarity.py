@@ -253,6 +253,7 @@ def embedding_near_pairs_lsh(
     planes_per_band: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-pairs at scale: banded sign-LSH candidates + exact cosine verify.
 
@@ -271,6 +272,13 @@ def embedding_near_pairs_lsh(
     (256–65k buckets per band) — collision probability per plane rises
     with similarity, so selective bands keep both recall AND Σ bucket²
     sub-quadratic on a corpus with real duplicate structure.
+
+    ``max_bucket`` is the hard cost bound when the geometry is outgrown:
+    pair expansion skips buckets above it (dedup.bucket_pairs), so a
+    10×-bigger corpus on unchanged planes degrades recall visibly instead
+    of going quadratic silently (round-4 sf1 sweep measured ×43 wall
+    uncapped). Size it so it never trips at the scale the geometry was
+    tuned for.
     """
     from .dedup import bucket_pairs
 
@@ -282,7 +290,8 @@ def embedding_near_pairs_lsh(
     # subtree (32 hyperplane dot products per vector) is computed once,
     # not once per self-join side (see dedup.bucket_pairs)
     cand = bucket_pairs(
-        bb, ["band", "bucket"], id_col="vec_id", out=("id_a", "id_b")
+        bb, ["band", "bucket"], id_col="vec_id", out=("id_a", "id_b"),
+        max_bucket=max_bucket,
     )
     emb = embeddings.select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")

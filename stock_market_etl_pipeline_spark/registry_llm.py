@@ -718,6 +718,14 @@ _LSH_SEED = 42
 _LSH_BANDS = 16
 _LSH_PLANES_PER_BAND = 4
 _LSH_THRESHOLD = 0.45
+# Candidate-phase bucket cap (dedup.bucket_pairs max_bucket): pair cost is
+# Σ|bucket|², so one non-discriminative bucket is the quadratic hot key —
+# the round-4 sf1 sweep measured ×43 wall on 10× vectors with 4 planes/band
+# before the cap. 512 ≈ 4× the largest bucket observed at sf0.1 (the
+# largest verify scale), so the cap NEVER trips where the oracle gate runs
+# (asserted in tests/test_llm_ops.py) and bounds cost everywhere else; a
+# capped bucket means "widen planes_per_band for this corpus size".
+_LSH_MAX_BUCKET = 512
 
 
 def _signs_sql(plane: int) -> str:
@@ -750,10 +758,16 @@ _NEAR_PAIRS_LSH_ORACLE = (
     )
     + f"""
     ),
+    keepb AS (
+        SELECT band, bucket FROM bb GROUP BY band, bucket
+        HAVING COUNT(*) BETWEEN 2 AND {_LSH_MAX_BUCKET}
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
-                           AND a.vec_id < b.vec_id
+        FROM bb a
+        JOIN keepb k ON k.band = a.band AND k.bucket = a.bucket
+        JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, {_cosine_sql('ea.v', 'eb.v')} AS score
     FROM cand
@@ -779,6 +793,7 @@ def q_embedding_near_pairs_lsh(spark, sf_dir):
         planes_per_band=_LSH_PLANES_PER_BAND,
         seed=_LSH_SEED,
         dim=_EMB_DIM,
+        max_bucket=_LSH_MAX_BUCKET,
     )
 
 
@@ -819,10 +834,16 @@ _NEAR_PAIRS_LSH_HI_ORACLE = (
     )
     + f"""
     ),
+    keepb AS (
+        SELECT band, bucket FROM bb GROUP BY band, bucket
+        HAVING COUNT(*) BETWEEN 2 AND {_LSH_MAX_BUCKET}
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
-                           AND a.vec_id < b.vec_id
+        FROM bb a
+        JOIN keepb k ON k.band = a.band AND k.bucket = a.bucket
+        JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, {_cosine_sql('ea.v', 'eb.v')} AS score
     FROM cand
@@ -855,6 +876,7 @@ def q_embedding_near_pairs_lsh_hi(spark, sf_dir):
         planes_per_band=_HI_PLANES_PER_BAND,
         seed=_LSH_SEED,
         dim=_EMB_DIM,
+        max_bucket=_LSH_MAX_BUCKET,
     )
 
 

@@ -466,3 +466,31 @@ def test_global_sequence_ids_contiguous_and_partition_invariant(spark):
     assert sorted(
         (r["global_id"], r["lang"], r["doc_id"]) for r in b.collect()
     ) == rows
+
+
+def test_lsh_bucket_cap_headroom_at_verify_scales(spark):
+    """_LSH_MAX_BUCKET must never trip at any oracle-verify scale — the
+    cap bounds cost at larger scales WITHOUT touching the hash-gated
+    results. Asserted at sf0.1 (the largest shipped scale; bucket sizes
+    only shrink at smaller sfs)."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        banded_projection_buckets,
+    )
+    from stock_market_etl_pipeline_spark.registry_llm import (
+        _EMB_DIM,
+        _LSH_BANDS,
+        _LSH_MAX_BUCKET,
+        _LSH_PLANES_PER_BAND,
+        _LSH_SEED,
+    )
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    bb = banded_projection_buckets(
+        emb, n_bands=_LSH_BANDS, planes_per_band=_LSH_PLANES_PER_BAND,
+        seed=_LSH_SEED, dim=_EMB_DIM,
+    )
+    biggest = (
+        bb.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest * 2 <= _LSH_MAX_BUCKET, (biggest, _LSH_MAX_BUCKET)

@@ -12,9 +12,13 @@ and similarity benchmarks would measure a pathological 90%-duplicate corpus
 instead of a 10x corpus:
 
 - ``documents``: copy i > 0 stride-permutes each doc's word sequence with a
-  stride coprime to its length. Token multiset (and thus token_frequencies,
-  length stats, lang-id) is preserved EXACTLY; word n-gram shingle sets are
-  destroyed, so copies are not near-duplicates of their originals.
+  stride coprime to its length (destroys word n-gram shingle sets → copies
+  are not near-duplicates for MinHash/Jaccard-family ops) AND tags every
+  8th word with a per-copy suffix (perturbs the token MULTISET → copies are
+  not near-duplicates for multiset-based signatures either; the v1 scaler
+  preserved multisets exactly, which made every copy family a SimHash
+  10-clique and inflated the sf1 dedup_simhash measurement ×16). Token
+  distribution stays ~7/8 intact for frequency/length/lang-id workloads.
 - ``embeddings``: copy i circularly shifts the dimension axis by i. Norms
   are preserved exactly; cosine between a vector and its shifted copy is
   ~0 for random-ish vectors, so near-pair counts scale linearly, not
@@ -90,7 +94,11 @@ def _permute_text(text: str, doc_id: int, copy: int) -> str:
     if n < 4:
         return text + f" cp{copy}"
     s = _coprime_stride(n, doc_id * 31 + copy * 7)
-    return " ".join(words[(j * s) % n] for j in range(n))
+    out = [words[(j * s) % n] for j in range(n)]
+    # multiset-breaking tag on every 8th word (offset varies per copy)
+    for j in range((doc_id + copy) % 8, n, 8):
+        out[j] = f"{out[j]}c{copy}"
+    return " ".join(out)
 
 
 def _scale_table(src: str, dst: str, tbl: str, r: int, strides: dict[str, int]) -> None:

@@ -45,9 +45,11 @@ def main():
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # single-file testdata layout ('<t>.parquet') or the directory-of-
+        # files layout tools/scale_testdata.py writes ('<t>.parquet/part-*')
+        path = Path(sf_dir) / f"{t}.parquet"
+        src = f"'{path}/*.parquet'" if path.is_dir() else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     spark = get_spark("verify-oracle")
     spark.sparkContext.setLogLevel("WARN")
 
