@@ -192,6 +192,26 @@ def random_projection_buckets(
     return emb.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
+def recommended_planes_per_band(
+    n_vectors: int, target_bucket: int = 8, lo: int = 4, hi: int = 16
+) -> int:
+    """Executable form of the geometry advice in
+    :func:`embedding_near_pairs_lsh`'s docstring: the smallest
+    planes-per-band whose 2^planes buckets hold ≤ ``target_bucket``
+    vectors on average, clamped to [lo, hi]. Integer arithmetic only —
+    no log2 — so callers that must mirror the choice in an oracle can
+    reproduce it exactly (cf. ADVICE r3 on cross-engine log2 ulps).
+
+    Sizing, not semantics: rerunning with a different plane count changes
+    which candidates are found (recall), so fix the count per corpus
+    generation, don't auto-resize between incremental batches.
+    """
+    p = lo
+    while p < hi and (n_vectors >> p) > target_bucket:
+        p += 1
+    return p
+
+
 def _md5_parity(seed: int, plane: int, dim: int) -> bool:
     import hashlib
 
