@@ -125,3 +125,91 @@ def distinct_estimates(
             )
         )
     )
+
+
+def start_quantile_sketch_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+    schema=None,
+    k: int = 200,
+):
+    """Maintain a per-(key, day) KLL quantile-sketch table — via
+    PARTITION RECOMPUTE, not pure merge, and deliberately so.
+
+    The contrast with :func:`start_distinct_sketch_rollup` is the point:
+    HLL union is idempotent (register max), so merging a redelivered
+    batch is a no-op and the merge-maintained store is replay-safe for
+    free. KLL merge is NOT idempotent — items accumulate, so re-merging
+    a redelivered batch over-weights its rows relative to the rest of
+    the store and shifts every quantile the batch's distribution
+    differs on. A merge-maintained KLL store would therefore need
+    transactional batch-id fencing; recomputing the touched day
+    partitions from the landing table (streaming/rollup.py's pattern)
+    gets exactly-once from idempotent overwrite instead, at the cost of
+    re-reading only the touched days. tests/test_streaming_sketch.py
+    proves both halves: recompute-rerun is a no-op, while a naive
+    double-merge of the same batch visibly shifts the merged sketch.
+    """
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        days = [
+            r["day"]
+            for r in batch_df.select(
+                F.to_date(day_col).alias("day")
+            ).distinct().collect()  # bounded: touched days, not rows
+        ]
+        if not days:
+            return
+        src = spark.read.parquet(landing_dir).filter(
+            F.to_date(day_col).isin(days)
+        )
+        refreshed = src.groupBy(*key_cols, F.to_date(day_col).alias("day")).agg(
+            F.kll_sketch_agg_double(value_col, F.lit(k)).alias("kll")
+        )
+        (
+            refreshed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantile_estimates(
+    spark: SparkSession, sketch_dir: str, key_cols: list[str], q: float
+) -> DataFrame:
+    """Quantile per key over all history from the persisted KLL table:
+    reduce-merge the per-day sketches (collect_list is bounded by days
+    per key), read the quantile off the merged sketch."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy(*key_cols)
+        .agg(F.collect_list("kll").alias("sks"))
+        .select(
+            *key_cols,
+            F.kll_sketch_get_quantile_double(
+                F.reduce(
+                    F.slice(
+                        "sks", 2, F.greatest(F.size("sks") - 1, F.lit(0))
+                    ),
+                    F.col("sks")[0],
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(q),
+            ).alias("approx_quantile"),
+        )
+    )

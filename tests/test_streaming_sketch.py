@@ -90,3 +90,86 @@ def test_sketch_merge_replay_is_noop(spark, tmp_path):
         spark, sketch_batch(replayed, KEYS, "o_orderdate", "o_custkey"), sketches, KEYS
     )
     assert _maintained(spark, sketches) == before
+
+
+def _stored_p50s(spark, sketch_dir):
+    """Per-(key, day) exact medians read off each stored sketch (all
+    day-groups at test scale hold < k items, so KLL is exact here)."""
+    return {
+        (r["o_orderpriority"], str(r["day"])): r["p50"]
+        for r in spark.read.parquet(sketch_dir)
+        .select(
+            "o_orderpriority",
+            "day",
+            F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+
+
+def test_kll_rollup_recompute_matches_and_rerun_is_noop(spark, tmp_path):
+    from stock_market_etl_pipeline_spark.streaming.sketch_rollup import (
+        start_quantile_sketch_rollup,
+    )
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").cache()
+    landing = str(tmp_path / "landing")
+    sketches = str(tmp_path / "kll")
+
+    cutoff = o.agg(F.percentile_approx("o_orderdate", 0.5)).collect()[0][0]
+    o.filter(F.col("o_orderdate") <= F.lit(cutoff)).write.mode("append").parquet(landing)
+    q = start_quantile_sketch_rollup(
+        spark, landing, sketches, str(tmp_path / "c1"), KEYS,
+        "o_orderdate", "o_totalprice",
+    )
+    q.awaitTermination(120)
+
+    o.filter(F.col("o_orderdate") > F.lit(cutoff)).write.mode("append").parquet(landing)
+    q = start_quantile_sketch_rollup(
+        spark, landing, sketches, str(tmp_path / "c1"), KEYS,
+        "o_orderdate", "o_totalprice",
+    )
+    q.awaitTermination(120)
+    after_incremental = _stored_p50s(spark, sketches)
+
+    # oneshot rebuild over the same landing = ground truth
+    oneshot_dir = str(tmp_path / "kll2")
+    q = start_quantile_sketch_rollup(
+        spark, landing, oneshot_dir, str(tmp_path / "c2"), KEYS,
+        "o_orderdate", "o_totalprice",
+    )
+    q.awaitTermination(120)
+    assert after_incremental == _stored_p50s(spark, oneshot_dir)
+
+    # replay from a FRESH checkpoint: recompute-overwrite must be a no-op
+    q = start_quantile_sketch_rollup(
+        spark, landing, sketches, str(tmp_path / "c3"), KEYS,
+        "o_orderdate", "o_totalprice",
+    )
+    q.awaitTermination(120)
+    assert _stored_p50s(spark, sketches) == after_incremental
+    o.unpersist()
+
+
+def test_kll_naive_double_merge_shifts_quantiles(spark):
+    """Why KLL gets recompute, not merge: re-merging a redelivered batch
+    over-weights it. A(0..99) ∪ B(1000..1099) has median ~550; naively
+    merging B again drags it to ~1000. (HLL's register-max union makes
+    the same replay a no-op — test_sketch_merge_replay_is_noop.)"""
+    a = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    b = spark.createDataFrame([(1000.0 + i,) for i in range(100)], ["v"])
+    sk = lambda df: df.agg(F.kll_sketch_agg_double("v", F.lit(200)).alias("s"))
+    store = sk(a.unionAll(b)).collect()[0]["s"]
+    replayed = sk(b).collect()[0]["s"]
+    one = spark.createDataFrame([(bytearray(store), bytearray(replayed))], ["s1", "s2"])
+    p50_before = spark.createDataFrame([(bytearray(store),)], ["s1"]).select(
+        F.kll_sketch_get_quantile_double("s1", F.lit(0.5))
+    ).collect()[0][0]
+    p50_after = one.select(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_merge_double("s1", "s2"), F.lit(0.5)
+        )
+    ).collect()[0][0]
+    assert p50_before < 600
+    assert p50_after >= 900  # replay visibly corrupts the distribution
