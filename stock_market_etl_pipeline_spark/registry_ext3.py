@@ -369,34 +369,57 @@ def q_session_window_stats(spark, sf_dir):
     + """
     SELECT symbol,
            CAST(year(date) AS INTEGER) AS year,
-           ROUND(AVG(close) FILTER (WHERE quarter(date) = 1), 6) AS q1_close,
-           ROUND(AVG(close) FILTER (WHERE quarter(date) = 2), 6) AS q2_close,
-           ROUND(AVG(close) FILTER (WHERE quarter(date) = 3), 6) AS q3_close,
-           ROUND(AVG(close) FILTER (WHERE quarter(date) = 4), 6) AS q4_close
+           ROUND(SUM(CAST(ROUND(close * 100, 0) AS BIGINT))
+                     FILTER (WHERE quarter(date) = 1)
+                 / (100.0 * COUNT(close) FILTER (WHERE quarter(date) = 1)),
+                 6) AS q1_close,
+           ROUND(SUM(CAST(ROUND(close * 100, 0) AS BIGINT))
+                     FILTER (WHERE quarter(date) = 2)
+                 / (100.0 * COUNT(close) FILTER (WHERE quarter(date) = 2)),
+                 6) AS q2_close,
+           ROUND(SUM(CAST(ROUND(close * 100, 0) AS BIGINT))
+                     FILTER (WHERE quarter(date) = 3)
+                 / (100.0 * COUNT(close) FILTER (WHERE quarter(date) = 3)),
+                 6) AS q3_close,
+           ROUND(SUM(CAST(ROUND(close * 100, 0) AS BIGINT))
+                     FILTER (WHERE quarter(date) = 4)
+                 / (100.0 * COUNT(close) FILTER (WHERE quarter(date) = 4)),
+                 6) AS q4_close
     FROM ticks GROUP BY 1, 2
     """,
 )
 def q_quarterly_close_pivot(spark, sf_dir):
     """Calendar pivot: average close per quarter as wide columns, one row
     per (symbol, year) — the reporting-matrix shape of the reference's
-    price panels. Spark's pivot() with an EXPLICIT value list compiles to
-    conditional aggregates in ONE shuffle — no distinct-values pre-scan,
-    no Expand; the oracle states the same thing as FILTER aggregates.
-    Multi-row float AVG → 6dp both sides.
+    price panels. Stated directly as conditional aggregates (what Spark's
+    pivot() with an explicit value list compiles to anyway): ONE shuffle,
+    no distinct-values pre-scan, no Expand; the oracle uses FILTER.
+
+    The quarterly average is EXACT integer arithmetic — Σcents / (100·n)
+    — not a float AVG rounded 6dp: close is 2dp money, and the round-4
+    sf1 verification caught the float version differing in the last ulp
+    between Spark's and DuckDB's partial-aggregate orders, crossing the
+    6dp half-step at sf1 volume (NOTES rule 10: no float rounding scale
+    is safe for money sums). try_divide keeps an empty quarter NULL under
+    ANSI instead of raising on the 0 count.
     """
+    from .registry import cents
     from .sources.ticks import ticks
 
     t = ticks(spark, sf_dir).withColumn("quarter", F.quarter("date"))
-    out = (
-        t.groupBy("symbol", F.year("date").cast("int").alias("year"))
-        .pivot("quarter", [1, 2, 3, 4])
-        .agg(F.round(F.avg("close"), 6))
-    )
-    return out.select(
-        "symbol",
-        "year",
-        *[F.col(str(q)).alias(f"q{q}_close") for q in (1, 2, 3, 4)],
-    )
+    close_cents = cents("close")
+
+    def q_avg(q: int):
+        in_q = F.col("quarter") == q
+        s = F.sum(F.when(in_q, close_cents))
+        n = F.count(F.when(in_q, F.col("close")))
+        return F.round(
+            F.try_divide(s, F.lit(100.0) * n), 6
+        ).alias(f"q{q}_close")
+
+    return t.groupBy(
+        "symbol", F.year("date").cast("int").alias("year")
+    ).agg(*[q_avg(q) for q in (1, 2, 3, 4)])
 
 
 # ---------------------------------------------------------------------------
