@@ -232,12 +232,17 @@ def db_summary(enriched: DataFrame) -> DataFrame:
     keep the reference's ``WHERE close IS NOT NULL`` guard, A4).
     """
     not_null = F.col("close").isNotNull()
+    close_cents = F.round(F.col("close") * 100, 0).cast("long")
     return enriched.agg(
         F.count(F.lit(1)).alias("total_records"),
         F.countDistinct("symbol").alias("unique_symbols"),
         F.min("date").alias("earliest_date"),
         F.max("date").alias("latest_date"),
-        F.avg(F.when(not_null, F.col("close"))).alias("avg_close"),
+        # exact money average (NOTES rule 10): Σcents/(100·n), not float AVG
+        (
+            F.sum(F.when(not_null, close_cents))
+            / (F.lit(100.0) * F.count("close"))
+        ).alias("avg_close"),
         F.avg(F.when(not_null, F.col("volume"))).alias("avg_volume"),
         F.avg(F.when(not_null, F.col("daily_change_percent"))).alias(
             "avg_daily_change_percent"

@@ -67,6 +67,22 @@ def cents(col: str):
     return F.round(F.col(col) * 100, 0).cast("long")
 
 
+def avg_cents(col_name: str):
+    """Exact money average: ROUND(Σcents / (100·COUNT(col)), 6).
+
+    The sf1 oracle run (NOTES round 4) showed float AVG over 2dp money
+    crossing the 6dp half-step once group volume is large enough — and
+    every grouped money average's group GROWS with sf. Σcents is exact
+    int64 (headroom ~sf10000), int→double conversion and the division
+    are correctly rounded identically in both engines, so this is
+    bit-identical at any scale. Oracle twin:
+    ROUND(SUM(CAST(ROUND(x*100, 0) AS BIGINT)) / (100.0*COUNT(x)), 6).
+    """
+    return F.round(
+        F.sum(cents(col_name)) / (F.lit(100.0) * F.count(col_name)), 6
+    )
+
+
 def revenue_sum_dec(prefix: str = "l_"):
     """Exact money sum via scaled-integer (cents) arithmetic.
 
@@ -373,7 +389,9 @@ def q_performance_summary(spark, sf_dir):
            CAST(COUNT(DISTINCT symbol) AS BIGINT) AS unique_symbols,
            MIN(date)                           AS earliest_date,
            MAX(date)                           AS latest_date,
-           ROUND(AVG(CASE WHEN close IS NOT NULL THEN close END), 6)  AS avg_close,
+           ROUND(SUM(CASE WHEN close IS NOT NULL
+                     THEN CAST(ROUND(close * 100, 0) AS BIGINT) END)
+                 / (100.0 * COUNT(close)), 6)                          AS avg_close,
            ROUND(AVG(CASE WHEN close IS NOT NULL THEN volume END), 6) AS avg_volume,
            ROUND(AVG(CASE WHEN close IS NOT NULL
                      THEN daily_change_percent END), 6) AS avg_daily_change_percent
@@ -538,8 +556,10 @@ def q_revenue_by_nation(spark, sf_dir):
            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0 AS sum_charge,
            ROUND(AVG(l_quantity), 6)            AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)       AS avg_price,
-           ROUND(AVG(l_discount), 6)            AS avg_disc,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                 / (100.0 * COUNT(l_extendedprice)), 6) AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                 / (100.0 * COUNT(l_discount)), 6)      AS avg_disc,
            CAST(COUNT(*) AS BIGINT)             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
@@ -565,8 +585,8 @@ def q_pricing_summary(spark, sf_dir):
                 / F.lit(1000000.0)
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            avg_cents("l_extendedprice").alias("avg_price"),
+            avg_cents("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .oracles import WITH_TICKS
-from .registry import register
+from .registry import avg_cents, register
 from .sources.overview import OVERVIEW_CTE, company_overview
 from .sources.ticks import ticks
 
@@ -102,7 +102,8 @@ def q_part_price_band_pairs(spark, sf_dir):
     SELECT o.sector,
            CAST(COUNT(DISTINCT t.symbol) AS BIGINT) AS n_symbols,
            CAST(SUM(t.volume) AS BIGINT)            AS total_volume,
-           ROUND(AVG(t.close), 6)                   AS avg_close
+           ROUND(SUM(CAST(ROUND(t.close * 100, 0) AS BIGINT))
+                 / (100.0 * COUNT(t.close)), 6)         AS avg_close
     FROM ticks t JOIN overview o USING (symbol)
     GROUP BY 1
     """,
@@ -119,6 +120,6 @@ def q_sector_volume_summary(spark, sf_dir):
         .agg(
             F.countDistinct("symbol").cast("bigint").alias("n_symbols"),
             F.sum("volume").cast("bigint").alias("total_volume"),
-            F.round(F.avg("close"), 6).alias("avg_close"),
+            avg_cents("close").alias("avg_close"),
         )
     )

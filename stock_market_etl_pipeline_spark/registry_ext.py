@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import register, revenue_sum_dec
+from .registry import avg_cents, register, revenue_sum_dec
 from .sources.tables import load_table
 from .sources.events import load_events
 from .sources.ticks import ticks
@@ -100,7 +100,8 @@ def q_sessionize_events(spark, sf_dir):
     WITH_TICKS
     + """
     SELECT CAST(COUNT(close) AS BIGINT)     AS close_count,
-           ROUND(AVG(close), 6)             AS close_mean,
+           ROUND(SUM(CAST(ROUND(close * 100, 0) AS BIGINT))
+                 / (100.0 * COUNT(close)), 6) AS close_mean,
            ROUND(STDDEV_SAMP(close), 6)     AS close_std,
            MIN(close)                       AS close_min,
            MAX(close)                       AS close_max,
@@ -118,7 +119,7 @@ def q_describe_stats(spark, sf_dir):
     t = ticks(spark, sf_dir)
     return t.agg(
         F.count("close").alias("close_count"),
-        F.round(F.avg("close"), 6).alias("close_mean"),
+        avg_cents("close").alias("close_mean"),
         F.round(F.stddev_samp("close"), 6).alias("close_std"),
         F.min("close").alias("close_min"),
         F.max("close").alias("close_max"),
@@ -182,7 +183,8 @@ def q_top_revenue_orders(spark, sf_dir):
            CAST(COUNT(o.o_orderkey) AS BIGINT)         AS n_orders,
            CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
                 AS BIGINT)                             AS open_orders,
-           ROUND(AVG(o.o_totalprice), 6)               AS avg_order_value
+           ROUND(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                 / (100.0 * COUNT(o.o_totalprice)), 6)     AS avg_order_value
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -200,7 +202,7 @@ def q_customer_segment_stats(spark, sf_dir):
             F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
             .cast("bigint")
             .alias("open_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_order_value"),
+            avg_cents("o_totalprice").alias("avg_order_value"),
         )
     )
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from .operators.asof import asof_join
 from .operators.clean import clean_quotes
 from .oracles import WITH_TICKS
-from .registry import register, revenue_sum_dec
+from .registry import avg_cents, register, revenue_sum_dec
 from .sources.tables import load_table
 from .sources.ticks import ticks
 
@@ -146,7 +146,8 @@ def q_clean_raw_quotes(spark, sf_dir):
     SELECT p.p_type,
            CAST(COUNT(*) AS BIGINT) AS lines,
            SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
-           ROUND(AVG(p.p_retailprice), 6) AS avg_retail
+           ROUND(SUM(CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT))
+                 / (100.0 * COUNT(p.p_retailprice)), 6) AS avg_retail
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_type
     """,
@@ -161,7 +162,7 @@ def q_part_type_revenue(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("lines"),
             revenue_sum_dec().alias("revenue"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+            avg_cents("p_retailprice").alias("avg_retail"),
         )
     )
 
