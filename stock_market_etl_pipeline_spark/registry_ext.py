@@ -499,3 +499,53 @@ def q_nation_revenue_share(spark, sf_dir):
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (growth curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_active_users",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+)
+def q_cumulative_active_users(spark, sf_dir):
+    """Cumulative-distinct growth curve: users ever seen, by day. The
+    naive spelling — COUNT(DISTINCT user) OVER (ORDER BY day) — needs
+    per-day distinct state and isn't even expressible as a Spark window;
+    the scalable identity is first-seen decomposition: each user counts
+    exactly once, on MIN(day), so the curve is a running SUM over the
+    per-day first-seen counts. Plan: one shuffle on user_id (the min),
+    one on day (tiny), and the only unpartitioned window runs over the
+    ~days-sized daily table — cluster-bounded, like the enumeration
+    prefix-sum (operators/enumerate.py)."""
+    from .sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
