@@ -154,3 +154,48 @@ def test_merge_upsert_keep_last(spark, tmp_path):
     assert got[("A", "2024-01-02")] == 99.0   # later batch wins
     assert got[("A", "2024-01-01")] == 10.0   # untouched rows survive
     assert ("A", "2024-01-03") in got
+
+
+def test_bucketed_corpus_fingerprints_anti_join_shuffles_only_the_batch(spark):
+    """The dedup_incremental scale story made concrete: with the corpus
+    fingerprint set persisted as a table bucketed on the digest, the
+    steady-state anti-join hashes ONLY the incoming batch — the corpus
+    side reads bucket-aligned with no exchange."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark.functions.text import (
+        normalized_fingerprint,
+    )
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(normalized_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    write_bucketed(corpus_fp, "corpus_fp_bucketed", bucket_by="fp")
+    try:
+        stored = spark.table("corpus_fp_bucketed")
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", normalized_fingerprint(F.col("text")).alias("fp")
+        )
+        # merge-hint both sides: at test scale the tiny corpus would
+        # broadcast (also exchange-free, but that proves nothing about
+        # the bucketed layout); at 100 TB the corpus cannot broadcast and
+        # the sort-merge path below is the one that runs
+        admitted = batch.hint("merge").join(
+            stored.hint("merge"), "fp", "left_anti"
+        )
+        full = admitted._jdf.queryExecution().executedPlan().toString()
+        # AQE toString repeats the tree under "== Initial Plan =="; count
+        # exchanges in the current plan section only
+        plan = full.split("== Initial Plan ==")[0]
+        # exactly one exchange: the batch side; the bucketed corpus scan
+        # satisfies the join's distribution requirement from storage
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert admitted.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_fp_bucketed")
