@@ -52,6 +52,8 @@ DEFAULT_QUERIES = [
     "rfm_segments",
     "market_share_by_year",
     "errors_in_sessions",
+    "cumulative_active_users",
+    "quarterly_close_pivot",
 ]
 
 
