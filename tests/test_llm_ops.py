@@ -509,3 +509,36 @@ def test_recommended_planes_tracks_corpus_size():
     for n in (5_000, 123_456, 7_777_777):
         p = recommended_planes_per_band(n)
         assert n / (1 << p) <= 8 or p == 16
+
+
+def test_bucket_cap_degrades_recall_visibly_and_widening_restores_it(spark):
+    """The cap→widen contract at test scale: with buckets forced over a
+    tiny cap, the under-planed geometry loses planted pairs (visible
+    degradation, bounded cost); widening planes per the sizing helper
+    restores recall on the SAME cap. Mirrors the sf10 experiment in
+    NOTES (47/100 → 95/100 at 200k vectors)."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        embedding_near_pairs_lsh,
+        plant_near_duplicates,
+    )
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = plant_near_duplicates(emb, n=40, id_offset=1_000_000, dim=64)
+    tiny_cap = 8  # forces the 16-buckets/band geometry over the cap here
+
+    def planted_recall(planes):
+        pairs = embedding_near_pairs_lsh(
+            corpus, threshold=0.9, n_bands=8, planes_per_band=planes,
+            seed=42, dim=64, max_bucket=tiny_cap,
+        )
+        return pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 40)
+        ).count()
+
+    narrow = planted_recall(4)   # 16 buckets/band: most exceed tiny_cap
+    widened = planted_recall(8)  # 256 buckets/band: under the cap
+    assert widened > narrow, (narrow, widened)
+    assert widened >= 36  # ≥90% of the planted pairs recovered
