@@ -549,3 +549,36 @@ def q_cumulative_active_users(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-fanout distribution (skew diagnosis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_fanout_distribution",
+    """
+    WITH per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_lines AS INTEGER) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY 1
+    """,
+)
+def q_order_fanout_distribution(spark, sf_dir):
+    """Lines-per-order histogram — the skew-diagnosis query behind every
+    join-strategy decision at scale: its tail tells you whether the
+    orders⋈lineitem key needs salting and what AQE's skew threshold
+    should be (SCALING.md join strategy). Two-level combinable aggregate:
+    both groupBys partial-aggregate map-side, the second over at most a
+    few hundred distinct fanout values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return per_order.groupBy(
+        F.col("n_lines").cast("int").alias("n_lines")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
