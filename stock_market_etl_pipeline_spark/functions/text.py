@@ -25,26 +25,39 @@ def bpe_ish_tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
 
 
+def _shingle_windows(tokens: Column, k: int) -> Column:
+    """All k-token windows as space-joined strings; EMPTY array when the
+    document has fewer than k tokens.
+
+    The n >= k guard is load-bearing: ``sequence(1, greatest(n-k+1, 0))``
+    alone yields the DESCENDING array [1, 0] when n < k (Spark defaults
+    step to -1 when start > stop) and ``slice(tokens, 0, k)`` then throws
+    INVALID_PARAMETER_VALUE.START at runtime. The DuckDB oracles'
+    ``generate_series(1, n-k+1)`` is empty in that case, so without the
+    guard Spark crashes where the oracle returns rows.
+    """
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    windows = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+    return F.when(n >= k, windows).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(tokens: Column, k: int) -> Column:
     """Distinct word k-grams: array of space-joined k-token windows.
 
     ``transform(sequence(1, n-k+1), i -> array_join(slice(tokens, i, k)))``;
-    documents shorter than k produce an empty array.
+    documents shorter than k produce an empty array (guard in
+    `_shingle_windows`).
     """
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
-    )
+    return F.array_distinct(_shingle_windows(tokens, k))
 
 
 def word_shingles_all(tokens: Column, k: int) -> Column:
     """ALL word k-gram windows in order (duplicates kept) — the positional
     variant of `word_shingles` for coverage/repetition measures, where
-    each window position counts once."""
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+    each window position counts once. Empty array for docs shorter than
+    k tokens (guard in `_shingle_windows`)."""
+    return _shingle_windows(tokens, k)
 
 
 def normalized_fingerprint(text: Column) -> Column:

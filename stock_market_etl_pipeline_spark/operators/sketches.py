@@ -124,17 +124,27 @@ def hll_set_overlap(
     where est(A∪B) merges the two already-built sketches. At 100 TB this
     answers audience-overlap / contamination-rate questions without a
     distinct-join — each side's sketch is built once (or read from the
-    persisted rollup) and the answer is computed from three estimates."""
-    a = left.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("s"))
-    b = right.agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("s"))
-    merged = a.unionAll(b).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("s", F.lit(False))).alias("union_est")
-    )
-    est_a = a.select(F.hll_sketch_estimate("s").alias("a_est"))
-    est_b = b.select(F.hll_sketch_estimate("s").alias("b_est"))
+    persisted rollup) and the answer is computed from three estimates.
+
+    The two one-row sketch frames are localCheckpoint'd before fan-out:
+    without it, lazy re-evaluation would rescan + re-sketch each input
+    once for the union estimate and once for its own estimate — doubling
+    the dominant cost at the scale this function targets. All three
+    estimates then come from ONE 1×1 crossJoin of the materialized
+    sketch rows, via the scalar ``hll_union``."""
+    a = left.agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sa")
+    ).localCheckpoint()
+    b = right.agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sb")
+    ).localCheckpoint()
     return (
-        est_a.crossJoin(est_b)
-        .crossJoin(merged)
+        a.crossJoin(b)
+        .select(
+            F.hll_sketch_estimate("sa").alias("a_est"),
+            F.hll_sketch_estimate("sb").alias("b_est"),
+            F.hll_sketch_estimate(F.hll_union("sa", "sb")).alias("union_est"),
+        )
         .select(
             "a_est",
             "b_est",

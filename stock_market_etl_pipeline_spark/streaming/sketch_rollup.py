@@ -26,10 +26,29 @@ this composes the engine's streaming story with operators/sketches.py.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import DEFAULT_LGK
+
+
+def _read_store_if_exists(spark: SparkSession, sketch_dir: str):
+    """Read the persisted sketch table, or None iff the path does not
+    exist yet (first batch). Any OTHER read failure (FS hiccup,
+    permissions, corrupt footer) must propagate and fail the micro-batch
+    so the checkpoint retries — swallowing it would silently overwrite
+    the touched day-partitions with batch-only sketches and permanently
+    under-count history."""
+    try:
+        return spark.read.parquet(sketch_dir)
+    except AnalysisException as e:
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        if getter() == "PATH_NOT_FOUND":
+            return None
+        raise
 
 
 def sketch_batch(
@@ -54,13 +73,9 @@ def merge_into_store(
     path it overwrites (dynamic partition overwrite cannot read its own
     target mid-write); the materialization is tiny — sketches for the
     touched days only."""
-    try:
-        stored = spark.read.parquet(sketch_dir)
-        have_store = True
-    except Exception:  # first batch: nothing persisted yet
-        have_store = False
+    stored = _read_store_if_exists(spark, sketch_dir)
 
-    if have_store:
+    if stored is not None:
         days = [r["day"] for r in batch_sk.select("day").distinct().collect()]
         relevant = stored.filter(F.col("day").isin(days))
         merged = (

@@ -374,6 +374,45 @@ def test_boilerplate_df_exactly_at_min_df_is_included(spark):
     assert "delta epsilon zeta" not in kept
 
 
+def test_shingles_on_docs_shorter_than_k_are_empty(spark):
+    """Documents with fewer than k tokens yield an EMPTY shingle array —
+    not a crash. Without the n >= k guard, sequence(1, greatest(n-k+1,0))
+    produces the descending [1, 0] (Spark defaults step to -1 when
+    start > stop) and slice(tokens, 0, k) throws
+    INVALID_PARAMETER_VALUE.START at runtime; the DuckDB oracles'
+    generate_series(1, n-k+1) is empty, so the engines would diverge the
+    moment a short doc enters the corpus (ADVICE r4). Probes n = k-1
+    (the crash case), n = k (exactly one window), empty, and
+    whitespace-only text."""
+    from stock_market_etl_pipeline_spark.functions.text import (
+        word_shingles,
+        word_shingles_all,
+        ws_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),            # n=2 < k=3 → []
+            (2, "a b c"),          # n=3 == k → one window
+            (3, ""),               # split('') → [''] (n=1) → []
+            (4, "   "),            # trim → '' → [''] → []
+            (5, "a b c d"),        # n=4 → two windows
+        ],
+        ["doc_id", "text"],
+    )
+    out = docs.select(
+        "doc_id",
+        word_shingles(ws_tokens(F.col("text")), 3).alias("uniq"),
+        word_shingles_all(ws_tokens(F.col("text")), 3).alias("all_"),
+    ).collect()
+    got = {r["doc_id"]: (r["uniq"], r["all_"]) for r in out}
+    assert got[1] == ([], [])
+    assert got[2] == (["a b c"], ["a b c"])
+    assert got[3] == ([], [])
+    assert got[4] == ([], [])
+    assert got[5] == (["a b c", "b c d"], ["a b c", "b c d"])
+
+
 def test_temperature_mix_uniform_strata_all_rates_exactly_one(spark):
     """Degenerate edge: equal-count strata ⇒ every rate is EXACTLY 1.0
     (sqrt(n/n) with exact ints — no float drift may push a rate below 1
