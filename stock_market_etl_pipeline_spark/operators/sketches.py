@@ -116,6 +116,78 @@ def kll_merged_quantiles(
     return merged.select(*group_cols, *cols)
 
 
+def theta_daily_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col,
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Level 1 for SET-ALGEBRA questions: one theta sketch of
+    ``value_col``'s distinct values per (group, day). Same persisted-
+    rollup shape as `hll_daily_rollup`, but theta sketches keep hashed
+    SAMPLES (not just registers), so the merged sketches support
+    intersection and difference — the questions HLL's inclusion-exclusion
+    can only approximate indirectly, with error compounding per estimate.
+    lgk=12 ⇒ 4096 nominal entries/sketch (exact below that, ~1.6% RSE
+    above), a few KB per row."""
+    return df.groupBy(*group_cols, day_col.alias("day")).agg(
+        F.theta_sketch_agg(value_col, F.lit(lgk)).alias("theta")
+    )
+
+
+def theta_merged_per_group(
+    rollup: DataFrame, group_cols: list[str], lgk: int = DEFAULT_LGK
+) -> DataFrame:
+    """Level 2: one merged sketch per group from the persisted per-day
+    sketches (`theta_union_agg` — associative/commutative/idempotent like
+    HLL union, so incremental maintenance is pure merge)."""
+    return rollup.groupBy(*group_cols).agg(
+        F.theta_union_agg("theta", F.lit(lgk)).alias("theta")
+    )
+
+
+def theta_set_algebra(
+    merged: DataFrame, group_col: str, a, b, lgk: int = DEFAULT_LGK
+) -> DataFrame:
+    """Full set algebra between two groups' populations from their MERGED
+    theta sketches alone: |A|, |B|, |A∪B|, |A∩B|, |A∖B|, |B∖A| — never
+    touching the fact table. This is what theta buys over HLL: the
+    intersection/difference come from the sketches' retained samples
+    (``theta_intersection``/``theta_difference`` scalars), not from
+    inclusion-exclusion arithmetic over three ±RSE estimates.
+
+    The two one-row sketch frames are localCheckpoint'd before the fan-out
+    into five estimates (same rescan hazard `hll_set_overlap` documents);
+    everything downstream is one 1×1 crossJoin."""
+    sa = (
+        merged.filter(F.col(group_col) == a)
+        .select(F.col("theta").alias("ta"))
+        .localCheckpoint()
+    )
+    sb = (
+        merged.filter(F.col(group_col) == b)
+        .select(F.col("theta").alias("tb"))
+        .localCheckpoint()
+    )
+    return sa.crossJoin(sb).select(
+        F.theta_sketch_estimate("ta").alias("a_est"),
+        F.theta_sketch_estimate("tb").alias("b_est"),
+        F.theta_sketch_estimate(
+            F.theta_union("ta", "tb", F.lit(lgk))
+        ).alias("union_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("ta", "tb")
+        ).alias("intersect_est"),
+        F.theta_sketch_estimate(
+            F.theta_difference("ta", "tb")
+        ).alias("a_minus_b_est"),
+        F.theta_sketch_estimate(
+            F.theta_difference("tb", "ta")
+        ).alias("b_minus_a_est"),
+    )
+
+
 def hll_set_overlap(
     left: DataFrame, right: DataFrame, value_col: str, lgk: int = DEFAULT_LGK
 ) -> DataFrame:

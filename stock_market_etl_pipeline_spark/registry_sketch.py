@@ -28,6 +28,9 @@ from .operators.sketches import (
     hll_merged_distinct,
     kll_daily_rollup,
     kll_merged_quantiles,
+    theta_daily_rollup,
+    theta_merged_per_group,
+    theta_set_algebra,
 )
 from .registry import register
 from .sources.tables import load_table
@@ -74,6 +77,95 @@ def q_sketch_distinct_rollup_merge(spark, sf_dir):
             F.col("approx_distinct").cast("long").alias("approx_distinct_cust"),
         )
         .orderBy("priority")
+    )
+
+
+_SET_A, _SET_B = "1-URGENT", "5-LOW"
+
+
+@register(
+    "customer_priority_set_algebra",
+    f"""
+    WITH flags AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderpriority = '{_SET_A}' THEN 1 ELSE 0 END)
+                   AS in_a,
+               MAX(CASE WHEN o_orderpriority = '{_SET_B}' THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT CAST(SUM(in_a) AS BIGINT)                 AS a_cnt,
+           CAST(SUM(in_b) AS BIGINT)                 AS b_cnt,
+           CAST(COUNT(*) AS BIGINT)                  AS union_cnt,
+           CAST(SUM(in_a * in_b) AS BIGINT)          AS intersect_cnt,
+           CAST(SUM(in_a * (1 - in_b)) AS BIGINT)    AS a_minus_b_cnt,
+           CAST(SUM(in_b * (1 - in_a)) AS BIGINT)    AS b_minus_a_cnt
+    FROM flags
+    WHERE in_a = 1 OR in_b = 1
+    """,
+)
+def q_customer_priority_set_algebra(spark, sf_dir):
+    """EXACT set algebra between the urgent and low customer populations
+    — the hash-green anchor for `theta_customer_set_algebra`. One scan,
+    one shuffle on o_custkey (per-customer membership flags), one 1-row
+    final agg: all six set cardinalities (|A|, |B|, |A∪B|, |A∩B|, |A∖B|,
+    |B∖A|) without a single join/intersect/except node. At 100 TB the
+    theta twin replaces it wherever ±1.6% is acceptable and the flag
+    shuffle over every distinct member is not."""
+    o = load_table(spark, sf_dir, "orders")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == _SET_A, 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("o_orderpriority") == _SET_B, 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    return (
+        flags.filter((F.col("in_a") == 1) | (F.col("in_b") == 1))
+        .agg(
+            F.sum("in_a").cast("long").alias("a_cnt"),
+            F.sum("in_b").cast("long").alias("b_cnt"),
+            F.count(F.lit(1)).cast("long").alias("union_cnt"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+                "intersect_cnt"
+            ),
+            F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias(
+                "a_minus_b_cnt"
+            ),
+            F.sum(F.col("in_b") * (1 - F.col("in_a"))).cast("long").alias(
+                "b_minus_a_cnt"
+            ),
+        )
+    )
+
+
+@register("theta_customer_set_algebra")  # rows-only: estimates are engine-specific
+def q_theta_customer_set_algebra(spark, sf_dir):
+    """Sketch-only set algebra between the urgent and low customer
+    populations: per-(priority, day) theta sketches (the persisted
+    level-1 table), union-merged per priority, then
+    intersection/difference/union read off the two merged sketches —
+    history is never rescanned. This is the question family HLL cannot
+    answer natively (its registers support union only; intersection must
+    be inferred by inclusion-exclusion with compounding error): theta
+    sketches retain hashed samples, so A∩B and A∖B are first-class.
+    test_sketches.py certifies merge-losslessness and bounds every
+    estimate against the exact hash-green twin."""
+    o = load_table(spark, sf_dir, "orders")
+    rollup = theta_daily_rollup(
+        o, ["o_orderpriority"], F.to_date("o_orderdate"), "o_custkey"
+    )
+    merged = theta_merged_per_group(rollup, ["o_orderpriority"])
+    est = theta_set_algebra(merged, "o_orderpriority", _SET_A, _SET_B)
+    return est.select(
+        F.round("a_est", 1).alias("a_est"),
+        F.round("b_est", 1).alias("b_est"),
+        F.round("union_est", 1).alias("union_est"),
+        F.round("intersect_est", 1).alias("intersect_est"),
+        F.round("a_minus_b_est", 1).alias("a_minus_b_est"),
+        F.round("b_minus_a_est", 1).alias("b_minus_a_est"),
     )
 
 

@@ -30,6 +30,9 @@ from stock_market_etl_pipeline_spark.operators.sketches import (  # noqa: E402
     hll_daily_rollup,
     hll_merged_distinct,
     hll_set_overlap,
+    theta_daily_rollup,
+    theta_merged_per_group,
+    theta_set_algebra,
 )
 from stock_market_etl_pipeline_spark.sources.tables import load_table  # noqa: E402
 
@@ -132,6 +135,86 @@ def test_hll_overlap_tracks_exact_intersection(spark):
         exact,
         n_union,
     )
+
+
+def test_theta_merge_is_lossless(spark):
+    """theta_union_agg over per-day sketches == one-shot sketch, per
+    group — the property that makes the persisted level-1 theta table
+    maintainable by pure merge (same algebra as HLL's register max:
+    associative, commutative, idempotent)."""
+    o = load_table(spark, SF_DIR, "orders")
+    rollup = theta_daily_rollup(
+        o, ["o_orderpriority"], F.to_date("o_orderdate"), "o_custkey"
+    )
+    merged = {
+        r["o_orderpriority"]: r["est"]
+        for r in theta_merged_per_group(rollup, ["o_orderpriority"])
+        .select(
+            "o_orderpriority",
+            F.theta_sketch_estimate("theta").alias("est"),
+        )
+        .collect()
+    }
+    oneshot = {
+        r["o_orderpriority"]: r["est"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_sketch_agg("o_custkey", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert merged == oneshot
+
+
+def test_theta_set_algebra_within_error_of_exact_twin(spark):
+    """Every sketch-side set cardinality (|A|, |B|, |A∪B|, |A∩B|, |A∖B|,
+    |B∖A|) lands within the RSE band of the exact hash-green twin — and
+    the algebra stays internally CONSISTENT (A∩B + A∖B == A exactly, as
+    identities on the same retained sample set)."""
+    exact = registry.queries()["customer_priority_set_algebra"](
+        spark, SF_DIR
+    ).collect()[0]
+    est = registry.queries()["theta_customer_set_algebra"](
+        spark, SF_DIR
+    ).collect()[0]
+    pairs = [
+        ("a_est", "a_cnt"),
+        ("b_est", "b_cnt"),
+        ("union_est", "union_cnt"),
+        ("intersect_est", "intersect_cnt"),
+        ("a_minus_b_est", "a_minus_b_cnt"),
+        ("b_minus_a_est", "b_minus_a_cnt"),
+    ]
+    # intersection/difference error is bounded by the UNION's sample, so
+    # scale every band by the union cardinality, not the (possibly tiny)
+    # exact value itself
+    band = max(2, 3 * REL_TOL * exact["union_cnt"])
+    for e_col, x_col in pairs:
+        assert abs(est[e_col] - exact[x_col]) <= band, (
+            e_col, est[e_col], exact[x_col], band,
+        )
+    assert est["intersect_est"] + est["a_minus_b_est"] == est["a_est"]
+    assert est["intersect_est"] + est["b_minus_a_est"] == est["b_est"]
+
+
+def test_theta_rollup_survives_parquet_roundtrip(spark, tmp_path):
+    """Persisted theta sketches must merge to the same set-algebra
+    answers as live ones — the 100 TB path reads the level-1 table, not
+    the facts."""
+    o = load_table(spark, SF_DIR, "orders")
+    rollup = theta_daily_rollup(
+        o, ["o_orderpriority"], F.to_date("o_orderdate"), "o_custkey"
+    )
+    path = str(tmp_path / "theta_rollup")
+    rollup.write.parquet(path)
+    def algebra(r):
+        merged = theta_merged_per_group(r, ["o_orderpriority"])
+        return theta_set_algebra(
+            merged, "o_orderpriority", "1-URGENT", "5-LOW"
+        ).collect()[0]
+    assert algebra(rollup) == algebra(spark.read.parquet(path))
 
 
 def test_sketch_rollup_plan_is_two_level_partial_agg(spark):

@@ -39,17 +39,50 @@ def canon_rows(cols, rows):
     return sorted("|".join(canon_cell(r[i]) for i in idx) for r in rows)
 
 
+def duck_connect(sf_dir: str):
+    """DuckDB connection with every engine table registered as a view —
+    the driver's oracle-side setup. Handles both the single-file testdata
+    layout ('<t>.parquet') and the directory-of-files layout
+    tools/scale_testdata.py writes ('<t>.parquet/part-*')."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = Path(sf_dir) / f"{t}.parquet"
+        src = f"'{path}/*.parquet'" if path.is_dir() else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    return con
+
+
+def compare_query(spark, con, sf_dir: str, name: str, fn, sql: str) -> list[str]:
+    """Run one registry query on Spark and its oracle SQL on DuckDB;
+    return the list of mismatch descriptions (empty = parity). Mirrors
+    the driver's row-count + column-name + order-insensitive value
+    comparison. Reused by tests/test_oracle_parity.py (`pytest -m
+    oracle`) so full-registry parity is a pytest invariant, not a
+    round-close ritual."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.sql(sql)
+    ocols = res.columns
+    orows = res.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+    if not problems:
+        a, b = canon_rows(scols, srows), canon_rows(ocols, orows)
+        if a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            problems.append(f"values differ, e.g. {diffs}")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        # single-file testdata layout ('<t>.parquet') or the directory-of-
-        # files layout tools/scale_testdata.py writes ('<t>.parquet/part-*')
-        path = Path(sf_dir) / f"{t}.parquet"
-        src = f"'{path}/*.parquet'" if path.is_dir() else f"'{path}'"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    con = duck_connect(sf_dir)
     spark = get_spark("verify-oracle")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -59,40 +92,26 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
         if name not in oracles:
-            print(f"skip  {name}: no oracle (rows={len(srows)})")
+            try:
+                n = len(fn(spark, sf_dir).collect())
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: spark error: {e}")
+                continue
+            print(f"skip  {name}: no oracle (rows={n})")
             continue
         try:
-            res = con.sql(oracles[name])
-            ocols = res.columns
-            orows = res.fetchall()
+            problems = compare_query(spark, con, sf_dir, name, fn, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: error: {e}")
             continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-        if not problems:
-            a, b = canon_rows(scols, srows), canon_rows(ocols, orows)
-            if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                problems.append(f"values differ, e.g. {diffs}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"ok    {name} ({len(srows)} rows)")
+            print(f"ok    {name}")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
