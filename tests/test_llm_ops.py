@@ -361,6 +361,38 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_ivf_planted_twin_recall_at_production_n_probe(spark):
+    """IVF recall certificate at the PRODUCTION operating point (VERDICT
+    r4 item #3) — the registered `ann_ivf_topk` runs n_clusters=8,
+    n_probe=4; `ann_ivf_full_probe` certifies the machinery exhaustively
+    but says nothing about what sub-exhaustive probing costs. Mirror of
+    the LSH planted-twin pattern: 100 planted cosine≈0.97 twins are
+    ground-truth nearest neighbors; recall = fraction of queries whose
+    twin surfaces in their top-10. Measured curve (sf0.001, 2026-08-14,
+    recorded in NOTES): n_probe=1 → 0.96, n_probe≥2 → 1.00 — a vector
+    this close to its query lands in the query's own cluster, so the
+    FIRST probe almost always recovers it. Bound set at 0.95 (>5 planted
+    twins straying out of all four probed clusters means the quantizer or
+    probe selection broke, not noise — KMeans is seeded/deterministic)."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        plant_near_duplicates,
+    )
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = plant_near_duplicates(emb, n=100, id_offset=1_000_000, dim=64)
+    qids = list(range(100))
+    out = ivf_topk(corpus, query_ids=qids, k=10, n_clusters=8, n_probe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        1 for q in qids if q + 1_000_000 in got.get(q, set())
+    ) / len(qids)
+    assert recall >= 0.95, recall
+
+
 def test_spread_never_shrinks_partitioning(spark):
     """_spread() exists to fan out SINGLE-split local inputs; at scale the
     input already has many splits and the guard must keep them: a
