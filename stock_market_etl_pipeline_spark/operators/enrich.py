@@ -106,6 +106,8 @@ def enrich(
     df: DataFrame,
     window_partition: tuple[str, ...] = ("symbol",),
     quartile_cols: tuple[str, str, str] | None = None,
+    quartiles: str = "exact",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """ticks-shaped (symbol,date,open,high,low,close,volume) → enriched table.
 
@@ -126,6 +128,21 @@ def enrich(
     Defaults reproduce the standard single-exchange plan unchanged.
     Extra input columns (chunk/halo markers) flow through and come out
     AFTER the ENRICHED_COLUMNS block.
+
+    ``quartiles`` is the executable form of the SCALING.md promise "at
+    100 TB switch the exact percentile to mergeable approx_percentile":
+
+    - ``"exact"`` (default): linear-interpolated `percentile` as a
+      whole-partition window aggregate — zero extra shuffles, but the
+      window buffers each symbol's full partition; correct choice while
+      a symbol's history fits one task.
+    - ``"approx"``: per-symbol `approx_percentile` via a grouped
+      aggregate + broadcast join-back. approx_percentile is MERGEABLE
+      (partial-aggregates map-side), so no task ever buffers a whole
+      symbol for the quartiles; rank error ≤ 1/approx_accuracy.
+      Bucket-label agreement vs the exact path is asserted within
+      tolerance in tests/test_enrich.py; disagreements can only sit in
+      the rank-error band around each quartile boundary.
     """
     from ..functions.dateparts import pandas_day_of_week
 
@@ -157,7 +174,17 @@ def enrich(
         .over(w2.rowsBetween(-19, 0))
         .alias("volatility_indicator"),
     )
-    if quartile_cols is None:
+    if quartile_cols is None and quartiles == "approx":
+        qt = df.groupBy("symbol").agg(
+            F.percentile_approx(
+                "volume",
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(approx_accuracy),
+            ).alias("__qs")
+        )
+        window_layer = window_layer.join(F.broadcast(qt), "symbol")
+        q1, q2, q3 = (F.col("__qs")[i].cast("double") for i in range(3))
+    elif quartile_cols is None:
         wp = Window.partitionBy("symbol")
         q1, q2, q3 = (
             F.percentile("volume", 0.25).over(wp),
@@ -181,5 +208,7 @@ def enrich(
             "volume_category"
         ),
     )
-    extras = [c for c in out.columns if c not in ENRICHED_COLUMNS]
+    extras = [
+        c for c in out.columns if c not in ENRICHED_COLUMNS and c != "__qs"
+    ]
     return out.select(*ENRICHED_COLUMNS, *extras)

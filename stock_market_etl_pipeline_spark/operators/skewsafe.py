@@ -81,7 +81,8 @@ def with_global_row_numbers(
 
 
 def enrich_skew_safe(
-    df: DataFrame, n_chunks: int = 8, lookback: int = 19
+    df: DataFrame, n_chunks: int = 8, lookback: int = 19,
+    quartiles: str = "exact", approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Drop-in replacement for ``enrich(df)`` that bounds the largest
     window task at ~1/n_chunks of the hottest symbol. Output is
@@ -90,6 +91,13 @@ def enrich_skew_safe(
 
     ``lookback`` is the deepest window frame the enrich spine uses
     (19 rows for ma_20 / rolling stddev).
+
+    ``quartiles="approx"`` swaps the grouped exact percentile (which
+    still buffers each symbol's full volume column in the aggregation
+    buffer) for mergeable ``approx_percentile`` — the full 100 TB
+    configuration: chunked windows bound the ordered-frame tasks AND no
+    aggregation path buffers a whole hot key (see enrich()'s docstring
+    for the tolerance contract).
     """
     halo = lookback + 1
     rn_df = with_global_row_numbers(df)
@@ -109,11 +117,26 @@ def enrich_skew_safe(
     )
     unioned = main.unionByName(halo_rows).drop("__rn", "__cnt")
 
-    quartiles = df.groupBy("symbol").agg(
-        F.percentile("volume", 0.25).alias("__q1"),
-        F.percentile("volume", 0.50).alias("__q2"),
-        F.percentile("volume", 0.75).alias("__q3"),
-    )
+    if quartiles == "approx":
+        qt = df.groupBy("symbol").agg(
+            F.percentile_approx(
+                "volume",
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(approx_accuracy),
+            ).alias("__qs")
+        )
+        qt = qt.select(
+            "symbol",
+            F.col("__qs")[0].cast("double").alias("__q1"),
+            F.col("__qs")[1].cast("double").alias("__q2"),
+            F.col("__qs")[2].cast("double").alias("__q3"),
+        )
+    else:
+        qt = df.groupBy("symbol").agg(
+            F.percentile("volume", 0.25).alias("__q1"),
+            F.percentile("volume", 0.50).alias("__q2"),
+            F.percentile("volume", 0.75).alias("__q3"),
+        )
     # EXPLICIT repartition, not ENSURE_REQUIREMENTS: hash(symbol) upstream
     # SATISFIES ClusteredDistribution(symbol, __chunk) — a subset clustering
     # is always sufficient — so if any plan change (e.g. AQE broadcasting
@@ -121,7 +144,7 @@ def enrich_skew_safe(
     # elides the finer exchange and the hot symbol silently lands back on
     # ONE window task. A user repartition is a hard requirement Spark keeps.
     prepared = (
-        unioned.join(F.broadcast(quartiles), "symbol")
+        unioned.join(F.broadcast(qt), "symbol")
         .repartition("symbol", "__chunk")
     )
     out = enrich(

@@ -242,6 +242,21 @@ def q_enriched_categories(spark, sf_dir):
     )
 
 
+@register("enriched_volume_approx_quartiles")  # rows-only: approx_percentile is engine-specific
+def q_enriched_volume_approx_quartiles(spark, sf_dir):
+    """The 100 TB configuration of the quartile bucketing: per-symbol
+    volume quartiles via MERGEABLE approx_percentile (grouped aggregate +
+    broadcast join-back — no whole-partition percentile buffer in the
+    plan, asserted in test_plan_shapes.py) instead of the exact
+    whole-partition window percentile. Rows-only by design
+    (approx_percentile's retained samples are engine-specific); the exact
+    twin is hash-green `enriched_categories`, and bucket-label agreement
+    between the two paths is asserted within the rank-error tolerance in
+    tests/test_enrich.py."""
+    e = enrich(ticks(spark, sf_dir), quartiles="approx")
+    return e.select("symbol", "date", "volume", "volume_category")
+
+
 @register(
     "latest_per_symbol",
     WITH_ENRICHED + ", " + RANKED_DESC_CTE

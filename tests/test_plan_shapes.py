@@ -51,6 +51,21 @@ def test_predictions_single_scan(spark, qs):
     assert "weekofyear" not in plan
 
 
+def test_approx_quartile_path_has_no_whole_partition_percentile(spark, qs):
+    """enriched_volume_approx_quartiles (the 100 TB quartile config) must
+    plan the quartiles as a MERGEABLE grouped aggregate + broadcast
+    join-back: no exact-percentile window buffering whole symbol
+    partitions, partial aggregation below the exchange, broadcast (not
+    shuffle) join-back."""
+    plan = plan_of(qs["enriched_volume_approx_quartiles"](spark, SF_DIR))
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan      # no exact whole-partition buffer
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    # mergeable: partial approx-percentile below the exchange
+    assert plan.count("ObjectHashAggregate") >= 2
+
+
 def test_dimension_joins_broadcast_not_shuffle(spark, qs):
     plan = plan_of(qs["revenue_by_nation"](spark, SF_DIR))
     assert count_nodes(plan, "BroadcastHashJoin") == 3

@@ -123,6 +123,29 @@ def test_enrich_skew_safe_exactly_matches_plain_enrich(spark):
                 sym, f, a, b)
 
 
+def test_enrich_skew_safe_approx_matches_plain_approx(spark):
+    """The FULL 100 TB configuration — halo-chunked windows + mergeable
+    approx quartiles — equals the plain approx path row-for-row: both
+    compute per-symbol approx_percentile over the same groups (the
+    deterministic GK sketch sees each symbol's full volume set either
+    way), so the only difference is physical partitioning."""
+    from stock_market_etl_pipeline_spark.operators.clean import clean_quotes
+    from stock_market_etl_pipeline_spark.operators.enrich import enrich
+    from stock_market_etl_pipeline_spark.operators.skewsafe import (
+        enrich_skew_safe,
+    )
+    from stock_market_etl_pipeline_spark.schema import ENRICHED_COLUMNS
+
+    cleaned = clean_quotes(_skewed_raw(spark))
+    plain = enrich(cleaned, quartiles="approx").select(*ENRICHED_COLUMNS)
+    safe = enrich_skew_safe(cleaned, n_chunks=8, quartiles="approx")
+    p_rows = sorted(plain.collect(), key=lambda r: (r["symbol"], r["date"]))
+    s_rows = sorted(safe.collect(), key=lambda r: (r["symbol"], r["date"]))
+    assert len(p_rows) == len(s_rows) == 6000
+    for pr, sr in zip(p_rows, s_rows):
+        assert pr == sr, f"mismatch at ({pr['symbol']}, {pr['date']})"
+
+
 def test_enrich_skew_safe_bounds_hot_partition(spark):
     """Task-size evidence: under the plain window plan the hot symbol's
     3000 rows land on ONE task; the chunked plan bounds the largest
