@@ -66,13 +66,23 @@ def merge_into_store(
     batch_sk: DataFrame,
     sketch_dir: str,
     key_cols: list[str],
+    sketch_col: str = "hll",
+    union_agg=None,
 ) -> None:
     """Union a batch's sketches into the persisted sketch table, touching
     only the day-partitions the batch hit. The merged frame is
     localCheckpoint'd before the write because it reads from the same
     path it overwrites (dynamic partition overwrite cannot read its own
     target mid-write); the materialization is tiny — sketches for the
-    touched days only."""
+    touched days only.
+
+    ``union_agg`` is the mergeable union aggregate for ``sketch_col``
+    (default: HLL register-max). Pure-merge maintenance is only correct
+    for IDEMPOTENT unions (HLL register max, theta retained-hash-set
+    union) — see start_quantile_sketch_rollup's docstring for why KLL
+    must NOT go through this path."""
+    if union_agg is None:
+        union_agg = lambda c: F.hll_union_agg(c, F.lit(False))  # noqa: E731
     stored = _read_store_if_exists(spark, sketch_dir)
 
     if stored is not None:
@@ -81,7 +91,7 @@ def merge_into_store(
         merged = (
             relevant.unionByName(batch_sk)
             .groupBy(*key_cols, "day")
-            .agg(F.hll_union_agg("hll", F.lit(False)).alias("hll"))
+            .agg(union_agg(sketch_col).alias(sketch_col))
             .localCheckpoint()
         )
     else:
@@ -140,6 +150,78 @@ def distinct_estimates(
             )
         )
     )
+
+
+def theta_batch(
+    df: DataFrame, key_cols: list[str], day_col: str, value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """(keys, day, theta) for one batch of rows."""
+    return df.groupBy(*key_cols, F.to_date(day_col).alias("day")).agg(
+        F.theta_sketch_agg(value_col, F.lit(lgk)).alias("theta")
+    )
+
+
+def start_theta_sketch_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+    schema=None,
+    lgk: int = DEFAULT_LGK,
+):
+    """Maintain a per-(key, day) THETA sketch table by pure merge — the
+    set-algebra-capable sibling of :func:`start_distinct_sketch_rollup`.
+
+    Theta union is a union of retained hash samples below the running
+    theta threshold: associative, commutative, and idempotent (re-unioning
+    a redelivered batch adds no new hashes), so it inherits the same
+    replay-safe merge maintenance as HLL. What the theta store buys over
+    the HLL store is the QUESTION SURFACE: the persisted sketches support
+    intersection and difference (operators/sketches.py theta_set_algebra),
+    so "customers active in both X and Y over all history" is answered
+    from KB-size sketches without ever rescanning the landing table."""
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = theta_batch(batch_df, key_cols, day_col, value_col, lgk)
+        if not batch_sk.take(1):
+            return
+        merge_into_store(
+            spark, batch_sk, sketch_dir, key_cols,
+            sketch_col="theta",
+            union_agg=lambda c: F.theta_union_agg(c, F.lit(lgk)),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def set_algebra_from_store(
+    spark: SparkSession,
+    sketch_dir: str,
+    group_col: str,
+    a,
+    b,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Set algebra between two groups' all-history populations from the
+    persisted theta store alone: merge each group's per-day sketches,
+    then |A|, |B|, |A∪B|, |A∩B|, |A∖B|, |B∖A| off the two merged rows."""
+    from ..operators.sketches import theta_merged_per_group, theta_set_algebra
+
+    rollup = spark.read.parquet(sketch_dir)
+    merged = theta_merged_per_group(rollup, [group_col], lgk)
+    return theta_set_algebra(merged, group_col, a, b, lgk)
 
 
 def start_quantile_sketch_rollup(

@@ -92,6 +92,73 @@ def test_sketch_merge_replay_is_noop(spark, tmp_path):
     assert _maintained(spark, sketches) == before
 
 
+def test_theta_rollup_incremental_set_algebra_equals_oneshot(spark, tmp_path):
+    """The merge-maintained THETA store must answer set-algebra questions
+    over ALL landed history identically to sketches built one-shot over
+    the full data — including after a second arrival that merges into
+    existing day partitions, and after a redelivered batch (theta union
+    is a retained-hash-set union: idempotent, so replay is a no-op)."""
+    from stock_market_etl_pipeline_spark.operators.sketches import (
+        theta_merged_per_group,
+        theta_set_algebra,
+    )
+    from stock_market_etl_pipeline_spark.streaming.sketch_rollup import (
+        merge_into_store,
+        set_algebra_from_store,
+        start_theta_sketch_rollup,
+        theta_batch,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").cache()
+    landing = str(tmp_path / "landing")
+    sketches = str(tmp_path / "theta")
+    ckpt = str(tmp_path / "ckpt")
+    A, B = "1-URGENT", "5-LOW"
+
+    def oneshot_algebra(df):
+        rollup = df.groupBy("o_orderpriority").agg(
+            F.theta_sketch_agg("o_custkey", F.lit(12)).alias("theta")
+        )
+        return theta_set_algebra(rollup, "o_orderpriority", A, B).collect()[0]
+
+    cutoff = o.agg(F.percentile_approx("o_orderdate", 0.5)).collect()[0][0]
+    chunk1 = o.filter(F.col("o_orderdate") <= F.lit(cutoff))
+    chunk2 = o.filter(F.col("o_orderdate") > F.lit(cutoff))
+
+    chunk1.write.mode("append").parquet(landing)
+    q = start_theta_sketch_rollup(
+        spark, landing, sketches, ckpt, KEYS, "o_orderdate", "o_custkey"
+    )
+    q.awaitTermination(120)
+    assert set_algebra_from_store(
+        spark, sketches, "o_orderpriority", A, B
+    ).collect()[0] == oneshot_algebra(chunk1)
+
+    chunk2.write.mode("append").parquet(landing)
+    q = start_theta_sketch_rollup(
+        spark, landing, sketches, ckpt, KEYS, "o_orderdate", "o_custkey"
+    )
+    q.awaitTermination(120)
+    full = oneshot_algebra(o)
+    assert set_algebra_from_store(
+        spark, sketches, "o_orderpriority", A, B
+    ).collect()[0] == full
+
+    # redelivery: merging chunk2's batch sketch AGAIN must change nothing
+    merge_into_store(
+        spark,
+        theta_batch(chunk2, KEYS, "o_orderdate", "o_custkey"),
+        sketches,
+        KEYS,
+        sketch_col="theta",
+        union_agg=lambda c: F.theta_union_agg(c, F.lit(12)),
+    )
+    assert set_algebra_from_store(
+        spark, sketches, "o_orderpriority", A, B
+    ).collect()[0] == full
+    o.unpersist()
+
+
 def _stored_p50s(spark, sketch_dir):
     """Per-(key, day) exact medians read off each stored sketch (all
     day-groups at test scale hold < k items, so KLL is exact here)."""
