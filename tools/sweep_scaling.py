@@ -8,7 +8,16 @@ REST of the surface (the LSH dedup family, sketches, grouping sets,
 sessionization, enumeration) also scale sub-linearly? Used for the round-4
 sf0.1-vs-sf1 study (NOTES.md); /tmp/sf1 comes from tools/scale_testdata.py.
 
+A committed per-query sf1 baseline (SF1_BASELINE.json, written with
+``--freeze-baseline``) turns the sweep into a regression gate: every
+measured big-dir time is diffed against the baseline and drift beyond
+DRIFT_FLAG (1.5× — above this host's documented ~2×-total / per-query
+steady-state noise for the swept, multi-second queries) is flagged in the
+output and the exit code. A future scale regression is then caught by a
+diff, not by re-reading NOTES (VERDICT r4 #6).
+
 Usage: python tools/sweep_scaling.py [small_dir] [big_dir] [query ...]
+       python tools/sweep_scaling.py --freeze-baseline [small_dir] [big_dir]
 """
 
 from __future__ import annotations
@@ -43,6 +52,9 @@ DEFAULT_QUERIES = [
     "ann_lsh_topk",
     "sketch_distinct_rollup_merge",
     "sketch_price_quantiles",
+    "theta_customer_set_algebra",
+    "customer_priority_set_algebra",
+    "enriched_volume_approx_quartiles",
     # analytics beyond the headline set
     "session_window_stats",
     "event_funnel",
@@ -66,10 +78,19 @@ def time_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
     return round(best, 3)
 
 
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SF1_BASELINE.json",
+)
+DRIFT_FLAG = 1.5
+
+
 def main() -> None:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-    names = sys.argv[3:] or DEFAULT_QUERIES
+    args = [a for a in sys.argv[1:] if a != "--freeze-baseline"]
+    freeze = "--freeze-baseline" in sys.argv[1:]
+    small = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    big = args[1] if len(args) > 1 else "/tmp/sf1"
+    names = args[2:] or DEFAULT_QUERIES
 
     spark = get_spark("sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -95,7 +116,38 @@ def main() -> None:
             f"{n:32s} {t_small:8.3f} {t_big:8.3f}  x{out[n]['x']}",
             file=sys.stderr,
         )
-    print(json.dumps({"small": small, "big": big, "queries": out}))
+
+    drift_flags = []
+    if freeze:
+        baseline = {
+            "big": big,
+            "frozen_queries": {n: v["big_s"] for n, v in out.items()},
+        }
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(baseline, f, indent=1, sort_keys=True)
+        print(f"froze {len(out)} baselines -> {BASELINE_PATH}", file=sys.stderr)
+    elif os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            frozen = json.load(f)["frozen_queries"]
+        for n, v in out.items():
+            base = frozen.get(n)
+            if base:
+                drift = round(v["big_s"] / base, 2)
+                out[n]["baseline_s"] = base
+                out[n]["drift"] = drift
+                if drift > DRIFT_FLAG:
+                    drift_flags.append(n)
+                    print(
+                        f"DRIFT {n}: {v['big_s']}s vs baseline {base}s "
+                        f"(x{drift} > {DRIFT_FLAG})",
+                        file=sys.stderr,
+                    )
+    print(json.dumps(
+        {"small": small, "big": big, "queries": out,
+         "drift_flags": drift_flags}
+    ))
+    if drift_flags:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
