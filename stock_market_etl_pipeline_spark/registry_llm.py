@@ -1135,6 +1135,114 @@ def q_token_frequencies(spark, sf_dir):
     )
 
 
+_COOC_VOCAB = 40   # top-V tokens by document frequency enter the pair phase
+_COOC_TOPK = 100
+
+
+@register(
+    "token_cooccurrence",
+    "WITH " + _TOKS_CTE + f""",
+    tok AS (
+        SELECT DISTINCT doc_id, lower(u.tk) AS token
+        FROM toks, UNNEST(t) AS u(tk)
+    ),
+    dfc AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
+    vocab AS (SELECT token, df FROM dfc ORDER BY df DESC, token
+              LIMIT {_COOC_VOCAB}),
+    q AS (SELECT t.doc_id, t.token, v.df
+          FROM tok t JOIN vocab v USING (token)),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pc AS (
+        SELECT a.token AS token_a, b.token AS token_b,
+               COUNT(*) AS n_ab, MIN(a.df) AS df_a, MIN(b.df) AS df_b
+        FROM q a JOIN q b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2
+    )
+    SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+           ROUND(n_ab * 1.0 * n_docs / (df_a * df_b), 6) AS lift
+    FROM pc, nd
+    ORDER BY ROUND(n_ab * 1.0 * n_docs / (df_a * df_b), 6) DESC,
+             token_a, token_b
+    LIMIT {_COOC_TOPK}
+    """,
+)
+def q_token_cooccurrence(spark, sf_dir):
+    """Collocation mining: top-100 token pairs by LIFT — the corpus
+    statistic behind multi-word-expression detection and template/spam
+    spotting (pairs that co-occur far above independence). Lift =
+    P(a,b)/(P(a)·P(b)) = n_ab·n_docs/(df_a·df_b), a ratio of exact
+    integers — deliberately NOT log-PMI: libm log() differs across
+    engines at the ulp level (ADVICE r3), while an integer ratio divides
+    to the identical double in both engines and ranks identically.
+
+    Scale shape: the pair phase is gated by a deterministic top-V
+    document-frequency vocabulary (V=40: orderBy+limit →
+    TakeOrderedAndProject, never a full-vocab window), so per-doc pair
+    fan-out is bounded by C(V,2) regardless of corpus size — the stop-
+    shingle/bucket-cap discipline applied to co-occurrence. Pairs are
+    generated from each doc's sorted qualifying-token array with
+    higher-order functions (one doc_id shuffle; no self-join), then one
+    grouped count; df sides join back via broadcast (V rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(ws_tokens(F.col("text")), F.lower)
+            )
+        ).alias("token"),
+    )
+    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfc.orderBy(F.col("df").desc(), "token").limit(_COOC_VOCAB)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
+    per_doc = (
+        tok.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("token")).alias("ts"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pc = (
+        per_doc.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    va = vocab.select(
+        F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    vb = vocab.select(
+        F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    lift = F.round(
+        F.col("n_ab") * F.col("__nd") / (F.col("df_a") * F.col("df_b")), 6
+    )
+    return (
+        pc.join(F.broadcast(va), "token_a")
+        .join(F.broadcast(vb), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "token_a", "token_b")
+        .limit(_COOC_TOPK)
+    )
+
+
 _HIST_WIDTH = 50
 
 

@@ -51,6 +51,18 @@ def test_predictions_single_scan(spark, qs):
     assert "weekofyear" not in plan
 
 
+def test_token_cooccurrence_capped_vocab_no_window(spark, qs):
+    """The pair phase must be gated by the top-V vocabulary via
+    TakeOrderedAndProject (never a full-vocab row_number window), pairs
+    generated without a self-join on the token table, and the df/n_docs
+    sides joined back by broadcast."""
+    plan = plan_of(qs["token_cooccurrence"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Window") == 0
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2  # vocab gate + df sides
+
+
 def test_approx_quartile_path_has_no_whole_partition_percentile(spark, qs):
     """enriched_volume_approx_quartiles (the 100 TB quartile config) must
     plan the quartiles as a MERGEABLE grouped aggregate + broadcast
