@@ -96,6 +96,80 @@ def plant_exact_duplicates(
     return docs.unionByName(twins)
 
 
+def plant_prefix_duplicates(
+    docs: DataFrame, n: int = 25, id_offset: int = 2_000_000,
+    min_keep: int = 8,
+) -> DataFrame:
+    """(doc_id, text) corpus ∪ TRUNCATED twins of the first ``n`` docs:
+    each twin keeps the first ceil(n_tokens/2) tokens (floored at
+    ``min_keep`` so every twin clears the prefix-key length). The planted
+    ground truth for prefix-containment dedup — the truncation-duplicate
+    family scraped corpora accumulate (cut-off re-crawls, pagination
+    tails, summary snippets). Derived data only (token slice + id
+    arithmetic, no RNG) — mirrored verbatim in the oracle CTE."""
+    t = ws_tokens(F.col("text"))
+    keep = F.greatest(
+        F.ceil(F.size(t) / F.lit(2)).cast("int"), F.lit(min_keep)
+    )
+    twins = docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.array_join(F.slice(t, F.lit(1), keep), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+def prefix_containment_pairs(
+    docs: DataFrame, prefix_key_tokens: int = 8
+) -> DataFrame:
+    """Truncation-duplicate pairs: (prefix_id, full_id, len_prefix,
+    len_full) where prefix_id's token sequence is a STRICT prefix of
+    full_id's. Candidates are keyed by the md5 fingerprint of the first
+    ``prefix_key_tokens`` tokens (so the join is an equi-join on a
+    16-byte key — Σ group² cost, the same bound as exact dedup, since
+    prefix-key groups ARE truncation families), then verified with exact
+    array equality over the shorter doc's full length — precision 1.0 by
+    construction.
+
+    Contract: detects containment only for prefixes of at least
+    ``prefix_key_tokens`` tokens (shorter docs hash a shorter first-k
+    string and never collide with a longer doc's key); equal-length
+    (exact) duplicates are excluded by the strict length predicate —
+    they belong to exact_duplicate_groups. No analog in the reference
+    (single-process pandas, reference ``src/transform.py:199-204`` has
+    only keyed drop_duplicates); standard corpus-curation semantics."""
+    keyed = _spread(docs).select(
+        "doc_id", ws_tokens(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.md5(
+            F.array_join(F.slice("t", F.lit(1), F.lit(prefix_key_tokens)), " ")
+        ).alias("k"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("prefix_id"), F.col("t").alias("ta"),
+        F.col("n").alias("len_prefix"), "k",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("full_id"), F.col("t").alias("tb"),
+        F.col("n").alias("len_full"), "k",
+    )
+    return (
+        a.join(b, "k")
+        .filter(
+            (F.col("len_prefix") < F.col("len_full"))
+            & (F.slice("tb", F.lit(1), F.col("len_prefix")) == F.col("ta"))
+        )
+        .select(
+            "prefix_id",
+            "full_id",
+            F.col("len_prefix").cast("long").alias("len_prefix"),
+            F.col("len_full").cast("long").alias("len_full"),
+        )
+    )
+
+
 def _doc_shingles(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, shingle) exploded distinct word k-grams."""
     return _spread(docs).select(

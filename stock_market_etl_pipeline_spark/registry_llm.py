@@ -27,6 +27,8 @@ from .operators.dedup import (
     capped_shingles,
     exact_duplicate_groups,
     plant_exact_duplicates,
+    plant_prefix_duplicates,
+    prefix_containment_pairs,
     jaccard_over_candidates,
     jaccard_pairs_from_shingles,
     minhash_lsh_candidates,
@@ -248,6 +250,51 @@ def q_dedup_exact_groups(spark, sf_dir):
     return exact_duplicate_groups(corpus).select(
         "fingerprint", "n_docs", "keep_doc_id"
     )
+
+
+@register(
+    "dedup_prefix_containment",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    trunc AS (
+        SELECT doc_id + 2000000 AS doc_id,
+               list_slice(t, 1,
+                   GREATEST(CAST(ceil(len(t) / 2.0) AS INT), 8)) AS t
+        FROM toks WHERE doc_id < 25
+    ),
+    corpus AS (
+        SELECT doc_id, t FROM toks UNION ALL SELECT doc_id, t FROM trunc
+    ),
+    keyed AS (
+        SELECT doc_id, t, len(t) AS n,
+               md5(array_to_string(list_slice(t, 1, 8), ' ')) AS k
+        FROM corpus
+    )
+    SELECT a.doc_id AS prefix_id, b.doc_id AS full_id,
+           CAST(a.n AS BIGINT) AS len_prefix,
+           CAST(b.n AS BIGINT) AS len_full
+    FROM keyed a JOIN keyed b
+      ON a.k = b.k AND a.n < b.n AND list_slice(b.t, 1, a.n) = a.t
+    """,
+)
+def q_dedup_prefix_containment(spark, sf_dir):
+    """Truncation-duplicate pairs: docs whose token sequence is a strict
+    prefix of another doc (cut-off re-crawls, pagination tails — the
+    containment family exact/Jaccard dedup both miss: a half-length
+    truncation has Jaccard ≈ 0.5 against its source and a different
+    fingerprint). Runs over the corpus ∪ planted half-length truncations
+    of the first 25 doc_ids (operators/dedup.plant_prefix_duplicates,
+    mirrored in the oracle CTE — guaranteed ground truth at every sf,
+    per the dedup_exact_groups anti-vacuity precedent; the testdata also
+    contains NATURAL containment pairs, found identically by both
+    engines). Candidates keyed by first-8-token fingerprint, verified by
+    exact array equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = plant_prefix_duplicates(docs, n=25, id_offset=2_000_000)
+    return prefix_containment_pairs(corpus, prefix_key_tokens=8)
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,57 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_prefix_containment_semantics(spark):
+    """Strict-prefix detection: a true truncation is found; equal-length
+    exact duplicates are excluded (strict <); a doc diverging after the
+    key prefix is rejected by the exact verify; a prefix shorter than the
+    8-token key is outside the documented contract and not detected."""
+    from stock_market_etl_pipeline_spark.operators.dedup import (
+        prefix_containment_pairs,
+    )
+
+    full = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, full),
+            (2, "a b c d e f g h"),        # strict 8-token prefix of 1, 3, 4
+            (3, full),                     # exact dup of 1 → (1,3) excluded
+            (4, "a b c d e f g h X"),      # shares 1's key, diverges at token 9
+            (5, "a b c"),                  # below key length → not detected
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["prefix_id"], r["full_id"]): (r["len_prefix"], r["len_full"])
+        for r in prefix_containment_pairs(docs).collect()
+    }
+    # (4,1)/(1,4) absent: same candidate bucket, exact verify rejects the
+    # token-9 divergence; (1,3)/(3,1) absent: equal length is not STRICT
+    assert got == {
+        (2, 1): (8, 10), (2, 3): (8, 10), (2, 4): (8, 9),
+    }
+
+
+def test_prefix_containment_registry_not_vacuous(spark):
+    """The registered query must contain ALL 25 planted truncation pairs
+    (missing any means the planting or detection broke). The testdata
+    also holds natural containment pairs — docs sharing a long common
+    prefix and differing by a token of length (64 rows total at
+    sf0.001) — which both engines find identically; every row must honor
+    the strict-containment invariant."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark import registry
+
+    out = registry.queries()["dedup_prefix_containment"](
+        spark, SF_DIR
+    ).collect()
+    pairs = {(r["prefix_id"], r["full_id"]) for r in out}
+    planted = {(i + 2_000_000, i) for i in range(25)}
+    assert planted <= pairs
+    assert all(r["len_prefix"] < r["len_full"] for r in out)
+
+
 def test_ivf_planted_twin_recall_at_production_n_probe(spark):
     """IVF recall certificate at the PRODUCTION operating point (VERDICT
     r4 item #3) — the registered `ann_ivf_topk` runs n_clusters=8,
