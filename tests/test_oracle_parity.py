@@ -9,13 +9,20 @@ column-name + order-insensitive value comparison the driver runs, so
 and a forgotten ritual can't hide a parity break.
 
 Opt-in by marker (registered + excluded-by-default in pytest.ini): the
-full sweep costs ~10 min, too heavy for the default suite. Queries
+full sweep costs minutes, too heavy for the default suite. Queries
 without an oracle (approximate by design — each anchored by a hash-green
 exact twin) get the driver's weaker runs-and-returns-rows check.
+
+Scale is env-selectable — the round-close both-scales ritual is:
+
+    python -m pytest tests/test_oracle_parity.py -m oracle -q
+    SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 \
+        python -m pytest tests/test_oracle_parity.py -m oracle -q
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -23,7 +30,9 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from conftest import SF_DIR  # noqa: E402
+from conftest import SF_DIR as _DEFAULT_SF  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", _DEFAULT_SF)
 
 from stock_market_etl_pipeline_spark import registry  # noqa: E402
 from tools.verify_oracle import compare_query, duck_connect  # noqa: E402
