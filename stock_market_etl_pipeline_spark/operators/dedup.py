@@ -118,6 +118,22 @@ def plant_prefix_duplicates(
     return docs.select("doc_id", "text").unionByName(twins)
 
 
+def plant_near_text_batch(
+    docs: DataFrame, n: int = 25, id_offset: int = 3_000_000
+) -> DataFrame:
+    """An incoming BATCH of near-duplicate arrivals: for each of the
+    first ``n`` docs, a twin that drops the LAST token — shingle-Jaccard
+    ≈ (len−k)/(len−k+2) against its source (≈0.9 at testdata lengths),
+    safely above the 0.5 near-dup threshold but not byte-identical. The
+    planted ground truth for incremental batch-vs-corpus near-dedup;
+    derived data only (token slice + id arithmetic), oracle-mirrored."""
+    t = ws_tokens(F.col("text"))
+    return docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.array_join(F.slice(t, F.lit(1), F.size(t) - 1), " ").alias("text"),
+    )
+
+
 def prefix_containment_pairs(
     docs: DataFrame, prefix_key_tokens: int = 8
 ) -> DataFrame:
@@ -348,19 +364,17 @@ def minhash_signatures(
     ).select("doc_id", F.col("p.hash_idx"), F.col("p.minhash"))
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4,
     *, shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: equal band-signatures in ≥1 of `bands` bands.
-
-    rows-per-band = num_hashes / bands. Banding is the 100 TB path: the
-    self-join key is (band_idx, band_signature) — docs only meet inside a
-    bucket, so cost is Σ bucket², not n².
-    """
+    """(doc_id, band, band_sig): each doc's MinHash signature split into
+    band signatures — the LSH index table. At 100 TB this is what you
+    PERSIST for the corpus (KBs per doc), so incremental batches can
+    probe it without recomputing corpus signatures."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, k=k, num_hashes=num_hashes, shingles=shingles)
-    banded = (
+    return (
         sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -375,7 +389,46 @@ def minhash_lsh_candidates(
             ).alias("band_sig")
         )
     )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4,
+    *, shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: equal band-signatures in ≥1 of `bands` bands.
+
+    rows-per-band = num_hashes / bands. Banding is the 100 TB path: the
+    self-join key is (band_idx, band_signature) — docs only meet inside a
+    bucket, so cost is Σ bucket², not n².
+    """
+    banded = minhash_banded(
+        docs, k=k, num_hashes=num_hashes, bands=bands, shingles=shingles
+    )
     return bucket_pairs(banded, ["band", "band_sig"])
+
+
+def incremental_minhash_candidates(
+    banded: DataFrame, is_new, out: tuple[str, str] = ("doc_a", "doc_b")
+) -> DataFrame:
+    """Candidate pairs between NEW docs and the EXISTING corpus only:
+    equi-join the new side's band signatures against the old side's — the
+    corpus never self-joins, so a daily batch costs |batch|·bands bucket
+    probes against the persisted band index instead of a corpus-wide
+    Σ bucket² pass (the near-dup analog of the exact-fingerprint
+    bucketed anti-join in dedup_incremental). ``is_new`` is a boolean
+    Column over the banded table; ``out`` is (old_id_col, new_id_col)."""
+    old_col, new_col = out
+    new = banded.filter(is_new).select(
+        F.col("doc_id").alias(new_col), "band", "band_sig"
+    )
+    old = banded.filter(~is_new).select(
+        F.col("doc_id").alias(old_col), "band", "band_sig"
+    )
+    return (
+        new.join(old, ["band", "band_sig"])
+        .select(old_col, new_col)
+        .distinct()
+    )
 
 
 def jaccard_over_candidates(

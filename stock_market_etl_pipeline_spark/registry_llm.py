@@ -331,7 +331,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-_MINHASH_CTES = _SHINGLES_CTE + """,
+# MinHash signature chain over an existing `sh` (doc_id, shingle) relation —
+# shared by the whole-corpus oracles below and the incremental batch-vs-
+# corpus oracle (which swaps in its own planted-batch corpus for `sh`)
+_MINHASH_FROM_SH = """
     idx AS (
         SELECT doc_id, shingle, i AS hash_idx
         FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
@@ -351,6 +354,8 @@ _MINHASH_CTES = _SHINGLES_CTE + """,
         FROM sig GROUP BY 1, 2
     )
 """
+
+_MINHASH_CTES = _SHINGLES_CTE + "," + _MINHASH_FROM_SH
 
 _MINHASH_CAND_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -404,6 +409,86 @@ def q_dedup_jaccard_lsh_verified(spark, sf_dir):
     sh = _doc_shingles(docs, 3).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4, shingles=sh)
     return jaccard_over_candidates(docs, cand, k=3, threshold=0.5, shingles=sh)
+
+
+_INC_BATCH_OFFSET = 3_000_000
+
+@register(
+    "dedup_incremental_near",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id,
+               array_to_string(
+                   list_slice(string_split_regex(trim(text), '\s+'), 1,
+                       len(string_split_regex(trim(text), '\s+')) - 1),
+                   ' ') AS text
+        FROM documents WHERE doc_id < 25
+    ),
+    toks2 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM toks2, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),"""
+    + _MINHASH_FROM_SH
+    + """,
+    cand AS (
+        SELECT DISTINCT b.doc_id AS doc_a, a.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id >= 3000000 AND b.doc_id < 3000000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q_dedup_incremental_near(spark, sf_dir):
+    """Incremental NEAR-dedup: an arriving batch checked against the
+    existing corpus without the corpus ever self-joining — the near-dup
+    analog of `dedup_incremental`'s bucketed anti-join, and the op a
+    daily-crawl curation pipeline actually runs at 100 TB (the corpus's
+    banded MinHash index is persisted; each batch costs |batch|·bands
+    bucket probes + exact Jaccard on its own candidates). Batch = planted
+    drop-last-token twins of the first 25 doc_ids
+    (operators/dedup.plant_near_text_batch, mirrored in the oracle CTE:
+    Jaccard ≈ 0.9 vs their sources — near-dups, not exact). Candidates
+    from `incremental_minhash_candidates` (batch→corpus band equi-join
+    only), verified with exact shingle-Jaccard ≥ 0.5; the shared shingle
+    table is localCheckpoint-materialized once across signature and
+    verify stages (the corpus_prep trade, measured winning at sf1)."""
+    from .operators.dedup import (
+        _doc_shingles,
+        incremental_minhash_candidates,
+        minhash_banded,
+        plant_near_text_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = plant_near_text_batch(docs, n=25, id_offset=_INC_BATCH_OFFSET)
+    union = docs.select("doc_id", "text").unionByName(batch)
+    sh = _doc_shingles(union, 3).localCheckpoint(eager=True)
+    banded = minhash_banded(union, k=3, num_hashes=16, bands=4, shingles=sh)
+    cand = incremental_minhash_candidates(
+        banded, F.col("doc_id") >= _INC_BATCH_OFFSET
+    )
+    return jaccard_over_candidates(
+        union, cand, k=3, threshold=0.5, shingles=sh
+    )
 
 
 def _simhash_oracle() -> str:

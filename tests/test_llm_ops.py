@@ -412,6 +412,46 @@ def test_prefix_containment_registry_not_vacuous(spark):
     assert all(r["len_prefix"] < r["len_full"] for r in out)
 
 
+def test_incremental_near_candidates_never_pair_corpus_with_itself(spark):
+    """The batch-vs-corpus candidate join must yield ONLY (old, new)
+    pairs: two byte-identical corpus docs (which any self-join would
+    pair) produce no candidate, while the batch near-dup pairs with both
+    of its corpus sources."""
+    from stock_market_etl_pipeline_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_banded,
+    )
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, text),          # corpus
+            (2, text),          # corpus, exact dup of 1 — must NOT pair
+            (100, text + " kilo"),  # the arriving batch near-dup
+        ],
+        ["doc_id", "text"],
+    )
+    banded = minhash_banded(docs, k=3, num_hashes=16, bands=4)
+    cand = incremental_minhash_candidates(banded, F.col("doc_id") >= 100)
+    got = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert got == {(1, 100), (2, 100)}
+
+
+def test_incremental_near_registry_contains_planted_batch(spark):
+    """Every planted drop-last-token twin must be matched to its source
+    doc with Jaccard >= 0.5, and every result pair must be
+    (corpus, batch) — no corpus-internal pair may appear."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark import registry
+
+    out = registry.queries()["dedup_incremental_near"](spark, SF_DIR).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert {(i, i + 3_000_000) for i in range(25)} <= pairs
+    assert all(r["doc_a"] < 3_000_000 <= r["doc_b"] for r in out)
+    assert all(r["jaccard"] >= 0.5 for r in out)
+
+
 def test_ivf_planted_twin_recall_at_production_n_probe(spark):
     """IVF recall certificate at the PRODUCTION operating point (VERDICT
     r4 item #3) — the registered `ann_ivf_topk` runs n_clusters=8,
