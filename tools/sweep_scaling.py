@@ -55,6 +55,9 @@ DEFAULT_QUERIES = [
     "theta_customer_set_algebra",
     "customer_priority_set_algebra",
     "enriched_volume_approx_quartiles",
+    "token_cooccurrence",
+    "dedup_prefix_containment",
+    "dedup_incremental_near",
     # analytics beyond the headline set
     "session_window_stats",
     "event_funnel",
