@@ -359,8 +359,17 @@ def downsample_audio(media: DataFrame, factor: int) -> DataFrame:
 
 def frame_sample(decoded: DataFrame, every_nth: int = 5) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled frame
-    index — pure explode/sequence, no Python."""
-    frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+    index — pure explode/sequence, no Python.
+
+    The n_frames >= 1 guard is load-bearing: ``sequence(0, n_frames-1,
+    step)`` with an explicit positive step throws "Illegal sequence
+    boundaries" at runtime the moment a zero-frame (or corrupt,
+    negative-count) video row appears — the same crash class as the
+    short-doc shingle bug (ADVICE r4). Zero-frame rows emit no frames."""
+    frames = F.when(
+        F.col("n_frames") >= 1,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth)),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         decoded.filter(F.col("media_type") == "video/mp4")
         .select("media_id", "n_frames", F.explode(frames).alias("frame_idx"))

@@ -54,6 +54,24 @@ def test_frame_sample_explodes_video_rows(media):
         assert r["frame_idx"] < r["n_frames"]
 
 
+def test_frame_sample_zero_frame_video_emits_nothing(spark):
+    """A zero-frame (or corrupt negative-count) video row must yield no
+    sampled frames — not a runtime crash. sequence(0, n_frames-1, step)
+    with an explicit positive step throws 'Illegal sequence boundaries'
+    when n_frames < 1 (empirically confirmed; same crash class as the
+    short-doc shingle ADVICE bug), so the operator guards n_frames >= 1."""
+    rows = [
+        (1, "video/mp4", 0),
+        (2, "video/mp4", -3),
+        (3, "video/mp4", 7),
+    ]
+    decoded = spark.createDataFrame(
+        rows, "media_id long, media_type string, n_frames int"
+    )
+    got = frame_sample(decoded, every_nth=5).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in got} == {(3, 0), (3, 5)}
+
+
 def test_streaming_ingest_dedups_overlap(spark, tmp_path):
     landing = str(tmp_path / "landing")
     sink = str(tmp_path / "sink")
