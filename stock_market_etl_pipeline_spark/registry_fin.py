@@ -444,3 +444,128 @@ def q_vwap_monthly(spark, sf_dir):
         ).alias("vwap"),
         F.sum("volume").cast("bigint").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ATR (average true range, SMA form)
+# ---------------------------------------------------------------------------
+
+_ATR_N = 14
+
+
+@register(
+    f"atr_{_ATR_N}",
+    WITH_TICKS
+    + f""",
+    cents AS (
+        SELECT symbol, date,
+               CAST(round(high * 100) AS BIGINT)  AS hc,
+               CAST(round(low * 100) AS BIGINT)   AS lc,
+               LAG(CAST(round(close * 100) AS BIGINT))
+                   OVER (PARTITION BY symbol ORDER BY date) AS pc
+        FROM ticks
+    ),
+    tr AS (
+        SELECT symbol, date,
+               CASE WHEN pc IS NULL THEN hc - lc
+                    ELSE GREATEST(hc - lc, ABS(hc - pc), ABS(lc - pc))
+               END AS tr_cents
+        FROM cents
+    )
+    SELECT symbol, date,
+           tr_cents / 100.0 AS true_range,
+           CAST(SUM(tr_cents) OVER w AS BIGINT)
+               / (100.0 * COUNT(tr_cents) OVER w) AS atr_{_ATR_N}
+    FROM tr
+    WINDOW w AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_atr(spark, sf_dir):
+    """Average True Range (14-row SMA form; Wilder's recursive smoothing
+    is not window-expressible — same truncation rationale as ema_10).
+    TR_t = max(high−low, |high−prev_close|, |low−prev_close|), first row
+    falls back to high−low.
+
+    All arithmetic in exact integer price-CENTS (NOTES rule 10): the
+    greatest/abs lattice and the rolling SUM are int64-exact, and the ATR
+    is ONE double division both engines evaluate identically — no
+    rounding policy needed, emitted unrounded. One Window partition
+    spec shared by the lag and the rolling frame → single exchange."""
+    t = ticks(spark, sf_dir)
+    w = _W()
+    hc = F.round(F.col("high") * 100, 0).cast("bigint")
+    lc = F.round(F.col("low") * 100, 0).cast("bigint")
+    pc = F.lag(F.round(F.col("close") * 100, 0).cast("bigint")).over(w)
+    tr_cents = F.when(pc.isNull(), hc - lc).otherwise(
+        F.greatest(hc - lc, F.abs(hc - pc), F.abs(lc - pc))
+    )
+    base = t.select("symbol", "date", tr_cents.alias("tr_cents"))
+    wf = _W().rowsBetween(-(_ATR_N - 1), 0)
+    return base.select(
+        "symbol",
+        "date",
+        (F.col("tr_cents") / 100.0).alias("true_range"),
+        (
+            F.sum("tr_cents").over(wf).cast("bigint")
+            / (100.0 * F.count("tr_cents").over(wf))
+        ).alias(f"atr_{_ATR_N}"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Donchian channels + breakout flags
+# ---------------------------------------------------------------------------
+
+_DONCHIAN_N = 20
+
+
+@register(
+    f"donchian_{_DONCHIAN_N}",
+    WITH_TICKS
+    + f""",
+    chan AS (
+        SELECT symbol, date, close,
+               MAX(high) OVER w AS upper_band,
+               MIN(low)  OVER w AS lower_band
+        FROM ticks
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN {_DONCHIAN_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date, close, upper_band, lower_band,
+           (upper_band + lower_band) / 2.0 AS mid_band,
+           COALESCE(close > LAG(upper_band)
+               OVER (PARTITION BY symbol ORDER BY date), FALSE) AS breakout_up,
+           COALESCE(close < LAG(lower_band)
+               OVER (PARTITION BY symbol ORDER BY date), FALSE) AS breakout_down
+    FROM chan
+    """,
+)
+def q_donchian(spark, sf_dir):
+    """Donchian channels (20-row high/low envelope) with breakout flags:
+    close crossing the PREVIOUS row's channel edge (the classic
+    channel-breakout entry signal; lag avoids the self-inclusion that
+    would make an upward close never 'break' the channel it just raised).
+
+    MIN/MAX are order-insensitive selections of existing doubles and the
+    midpoint is one add + one divide — everything is bit-exact across
+    engines with no rounding. The rolling envelope, the lag, and the
+    breakout comparison all share one HashPartitioning(symbol) exchange."""
+    t = ticks(spark, sf_dir)
+    wf = _W().rowsBetween(-(_DONCHIAN_N - 1), 0)
+    chan = t.select(
+        "symbol", "date", "close",
+        F.max("high").over(wf).alias("upper_band"),
+        F.min("low").over(wf).alias("lower_band"),
+    )
+    w = _W()
+    return chan.select(
+        "symbol", "date", "close", "upper_band", "lower_band",
+        ((F.col("upper_band") + F.col("lower_band")) / 2.0).alias("mid_band"),
+        F.coalesce(
+            F.col("close") > F.lag("upper_band").over(w), F.lit(False)
+        ).alias("breakout_up"),
+        F.coalesce(
+            F.col("close") < F.lag("lower_band").over(w), F.lit(False)
+        ).alias("breakout_down"),
+    )

@@ -210,3 +210,58 @@ def test_resamples_single_exchange_partial_agg(spark, qs, name):
     assert count_nodes(plan, "Exchange") == 1
     # map-side partial aggregation must be present
     assert plan.count("HashAggregate") >= 2
+
+
+def _ohlc(spark, bars, symbol="S"):
+    rows = [
+        (symbol, f"2024-01-{d + 1:02d}", float(h), float(lo), float(c))
+        for d, (h, lo, c) in enumerate(bars)
+    ]
+    return spark.createDataFrame(
+        rows, "symbol string, date string, high double, low double, close double"
+    ).select("symbol", F.to_date("date").alias("date"), "high", "low", "close")
+
+
+def test_atr_hand_case(spark, monkeypatch):
+    """TR lattice: first row high-low; a gap-up day's TR is |high-prev_close|;
+    ATR is the shrinking-head mean of TRs (exact cents arithmetic)."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    bars = [
+        (105, 95, 100),   # day 1: TR = 10 (no prev close)
+        (104, 101, 102),  # day 2: TR = max(3, |104-100|, |101-100|) = 4
+        (120, 115, 118),  # day 3 gap-up: TR = max(5, |120-102|, |115-102|) = 18
+    ]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _ohlc(s, bars))
+    rows = sorted(fin.q_atr(spark, SF_DIR).collect(), key=lambda r: r["date"])
+    assert [r["true_range"] for r in rows] == [10.0, 4.0, 18.0]
+    assert rows[0][f"atr_{fin._ATR_N}"] == 10.0
+    assert rows[1][f"atr_{fin._ATR_N}"] == 7.0            # (10+4)/2
+    assert rows[2][f"atr_{fin._ATR_N}"] == (10 + 4 + 18) / 3
+
+def test_donchian_breakout_uses_previous_channel(spark, monkeypatch):
+    """A new high must break the PREVIOUS channel (lagged edge), not the
+    channel it just raised; first row has no previous channel → False."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    bars = [
+        (105, 95, 100),
+        (106, 96, 101),   # inside prior channel (105/95)? close 101 < 105 → no
+        (112, 100, 111),  # close 111 > prev upper 106 → breakout_up
+        (108, 90, 92),    # close 92 < prev lower 95 → breakout_down
+    ]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _ohlc(s, bars))
+    rows = sorted(
+        fin.q_donchian(spark, SF_DIR).collect(), key=lambda r: r["date"]
+    )
+    assert [r["breakout_up"] for r in rows] == [False, False, True, False]
+    assert [r["breakout_down"] for r in rows] == [False, False, False, True]
+    assert rows[2]["upper_band"] == 112.0 and rows[2]["lower_band"] == 95.0
+    assert rows[3]["mid_band"] == (112.0 + 90.0) / 2
+
+
+def test_atr_donchian_single_exchange(spark, qs):
+    for name in ("atr_14", "donchian_20"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert count_nodes(plan, "Scan parquet") == 1
+        assert count_nodes(plan, "Exchange") == 1
