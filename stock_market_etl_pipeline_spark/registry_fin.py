@@ -569,3 +569,112 @@ def q_donchian(spark, sf_dir):
             F.col("close") < F.lag("lower_band").over(w), F.lit(False)
         ).alias("breakout_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OBV (on-balance volume)
+# ---------------------------------------------------------------------------
+
+@register(
+    "obv",
+    WITH_TICKS
+    + """,
+    signed AS (
+        SELECT symbol, date, close, volume,
+               CASE
+                   WHEN LAG(close) OVER w IS NULL THEN 0
+                   WHEN close > LAG(close) OVER w THEN CAST(volume AS BIGINT)
+                   WHEN close < LAG(close) OVER w THEN -CAST(volume AS BIGINT)
+                   ELSE 0
+               END AS sv
+        FROM ticks
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    )
+    SELECT symbol, date, close,
+           CAST(SUM(sv) OVER (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS obv
+    FROM signed
+    """,
+)
+def q_obv(spark, sf_dir):
+    """On-balance volume: running sum of volume signed by the close-to-
+    close direction (up day +v, down day −v, unchanged/first 0). Pure
+    int64 cumulative sum — exact at any scale, no float policy. The sign
+    lag and the running sum share one HashPartitioning(symbol)."""
+    t = ticks(spark, sf_dir)
+    w = _W()
+    prev = F.lag("close").over(w)
+    sv = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("close") > prev, F.col("volume").cast("bigint"))
+        .when(F.col("close") < prev, -F.col("volume").cast("bigint"))
+        .otherwise(F.lit(0))
+    )
+    base = t.select("symbol", "date", "close", sv.alias("sv"))
+    wc = _W().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return base.select(
+        "symbol", "date", "close",
+        F.sum("sv").over(wc).cast("bigint").alias("obv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stochastic oscillator %K / %D
+# ---------------------------------------------------------------------------
+
+_STOCH_N = 14
+
+
+@register(
+    f"stochastic_{_STOCH_N}",
+    WITH_TICKS
+    + f""",
+    chan AS (
+        SELECT symbol, date, close,
+               MIN(low)  OVER w AS lo_n,
+               MAX(high) OVER w AS hi_n
+        FROM ticks
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN {_STOCH_N - 1} PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT symbol, date, close, lo_n, hi_n,
+               CASE WHEN hi_n = lo_n THEN 50.0
+                    ELSE (close - lo_n) / (hi_n - lo_n) * 100.0
+               END AS pct_k
+        FROM chan
+    )
+    SELECT symbol, date, close,
+           ROUND(pct_k, 6) AS pct_k,
+           ROUND(AVG(pct_k) OVER (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS pct_d
+    FROM k
+    """,
+)
+def q_stochastic(spark, sf_dir):
+    """Stochastic oscillator: %K = position of the close inside the
+    14-row low/high channel (degenerate flat channel → 50), %D = 3-row
+    SMA of %K. The channel min/max are exact selections and %K is one
+    subtraction/division chain → identical doubles both engines; %K and
+    the %D average are rounded at 6dp per the float policy (AVG of a
+    derived O(1) ratio — NOTES rule 10 headroom to ~sf1000). Channel,
+    %K, and %D share one HashPartitioning(symbol) exchange."""
+    t = ticks(spark, sf_dir)
+    wf = _W().rowsBetween(-(_STOCH_N - 1), 0)
+    chan = t.select(
+        "symbol", "date", "close",
+        F.min("low").over(wf).alias("lo_n"),
+        F.max("high").over(wf).alias("hi_n"),
+    )
+    pct_k = F.when(F.col("hi_n") == F.col("lo_n"), F.lit(50.0)).otherwise(
+        (F.col("close") - F.col("lo_n"))
+        / (F.col("hi_n") - F.col("lo_n")) * 100.0
+    )
+    k = chan.select("symbol", "date", "close", pct_k.alias("pct_k"))
+    wd = _W().rowsBetween(-2, 0)
+    return k.select(
+        "symbol", "date", "close",
+        F.round("pct_k", 6).alias("pct_k"),
+        F.round(F.avg("pct_k").over(wd), 6).alias("pct_d"),
+    )

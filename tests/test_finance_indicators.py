@@ -265,3 +265,40 @@ def test_atr_donchian_single_exchange(spark, qs):
         plan = plan_of(qs[name](spark, SF_DIR))
         assert count_nodes(plan, "Scan parquet") == 1
         assert count_nodes(plan, "Exchange") == 1
+
+
+def test_obv_hand_case(spark, monkeypatch):
+    """up +v, down -v, unchanged 0, first row 0 — running int sum."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    rows = [
+        ("S", "2024-01-01", 100.0, 1000),
+        ("S", "2024-01-02", 101.0, 2000),   # up   → +2000
+        ("S", "2024-01-03", 99.0, 3000),    # down → -3000
+        ("S", "2024-01-04", 99.0, 4000),    # flat → 0
+        ("S", "2024-01-05", 100.0, 500),    # up   → +500
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, date string, close double, volume long"
+    ).select("symbol", F.to_date("date").alias("date"), "close", "volume")
+    monkeypatch.setattr(fin, "ticks", lambda s, d: df)
+    out = sorted(fin.q_obv(spark, SF_DIR).collect(), key=lambda r: r["date"])
+    assert [r["obv"] for r in out] == [0, 2000, -1000, -1000, -500]
+
+
+def test_stochastic_hand_case(spark, monkeypatch):
+    """%K positions the close inside the rolling channel; flat channel
+    degenerates to 50; %D is the 3-row shrinking-head mean of %K."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    bars = [
+        (100, 100, 100),  # flat channel → %K = 50
+        (110, 100, 105),  # channel 100-110, close 105 → %K = 50
+        (110, 100, 110),  # channel 100-110, close 110 → %K = 100
+    ]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _ohlc(s, bars))
+    out = sorted(
+        fin.q_stochastic(spark, SF_DIR).collect(), key=lambda r: r["date"]
+    )
+    assert [r["pct_k"] for r in out] == [50.0, 50.0, 100.0]
+    assert out[2]["pct_d"] == round((50 + 50 + 100) / 3, 6)
