@@ -32,6 +32,19 @@ def qs():
     return registry.queries()
 
 
+def test_plans_md_covers_every_registered_query(qs):
+    """PLANS.md is the committed plan-audit evidence; a query registered
+    without regenerating it (python tools/plan_audit.py) would ship with
+    no audited plan shape. This makes CLAUDE.md rule 4 executable."""
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "PLANS.md"
+    ).read_text()
+    missing = [n for n in qs if f"| {n} |" not in text]
+    assert not missing, f"regenerate PLANS.md (tools/plan_audit.py): {missing}"
+
+
 def test_enrich_pipeline_single_scan_single_exchange(spark, qs):
     plan = plan_of(qs["enriched_features"](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 1
