@@ -582,3 +582,78 @@ def q_order_fanout_distribution(spark, sf_dir):
     return per_order.groupBy(
         F.col("n_lines").cast("int").alias("n_lines")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+_PATH_TOPK = 20
+
+
+@register(
+    "event_paths_top",
+    f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    ),
+    tri AS (
+        SELECT event_type || ' > ' || LEAD(event_type, 1) OVER s
+                          || ' > ' || LEAD(event_type, 2) OVER s AS path
+        FROM sessions
+        WINDOW s AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tri WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def q_event_paths_top(spark, sf_dir):
+    """Path analysis: the top-20 3-event sequences users actually follow
+    WITHIN a session (the funnel-discovery complement of `event_funnel`,
+    which checks one predeclared order). Trigrams via two leads over the
+    per-session event order — the same (user_id) exchange sessionization
+    already established serves the session ids, the leads, and the
+    per-session ordering; the top-20 is orderBy+limit
+    (TakeOrderedAndProject, never a global-rank window). Deterministic
+    at µs ties via the (ts, event_id) composite order; sequences
+    crossing a session boundary are excluded by construction (lead
+    within the session partition is NULL at the tail)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    s = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        " > ",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(s),
+        F.lead("event_type", 2).over(s),
+    )
+    tri = sessions.select(
+        path.alias("path"),
+        F.lead("event_type", 2).over(s).alias("__complete"),
+    ).filter(F.col("__complete").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
