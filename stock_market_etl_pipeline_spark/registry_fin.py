@@ -3,7 +3,8 @@
 Extends the reference's indicator surface (reference ``src/transform.py``
 moving averages / volatility, ``dashboard/app.py`` price charts) with the
 standard technical-analysis family a quant user would expect next: max
-drawdown, EMA, RSI, Bollinger bands, market beta, weekly resample, VWAP.
+drawdown, EMA, RSI, Bollinger bands, market beta, weekly resample, VWAP,
+ATR, Donchian channels (+breakout flags), OBV, stochastic %K/%D.
 All are expressed as window/agg plans that share ONE
 HashPartitioning(symbol) exchange with the rest of the enrich spine — no
 self-joins, no per-symbol collects — so the shapes hold at 100 TB.
