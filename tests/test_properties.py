@@ -222,3 +222,50 @@ def test_scaler_stride_is_coprime(n, seed):
         assert 1 <= s < n and gcd(s, n) == 1
     else:
         assert s == 1
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=2, max_value=6),    # prefix length of vocab
+            st.integers(min_value=0, max_value=14),   # extra tail tokens
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_containment_matches_brute_force(spark, specs):
+    """Soundness + completeness vs a plain-Python reference, restricted to
+    the operator's documented contract (prefixes of >= key-length tokens).
+    Docs are built from a shared vocabulary so prefix collisions actually
+    occur in generated corpora."""
+    from stock_market_etl_pipeline_spark.operators.dedup import (
+        prefix_containment_pairs,
+    )
+
+    vocab = [f"w{j}" for j in range(24)]
+    docs = []
+    for i, (p, extra) in enumerate(specs):
+        toks = vocab[:p] + [f"t{i}_{j}" for j in range(extra)]
+        docs.append((i, " ".join(toks)))
+
+    key_len = 3
+    got = {
+        (r["prefix_id"], r["full_id"])
+        for r in prefix_containment_pairs(
+            spark.createDataFrame(docs, ["doc_id", "text"]), key_len
+        ).collect()
+    }
+
+    toks = {i: t.split() for i, t in docs}
+    expected = {
+        (a, b)
+        for a in toks
+        for b in toks
+        if a != b
+        and len(toks[a]) >= key_len                    # documented contract
+        and len(toks[a]) < len(toks[b])
+        and toks[b][: len(toks[a])] == toks[a]
+    }
+    assert got == expected

@@ -58,6 +58,11 @@ DEFAULT_QUERIES = [
     "token_cooccurrence",
     "dedup_prefix_containment",
     "dedup_incremental_near",
+    "event_paths_top",
+    "atr_14",
+    "donchian_20",
+    "obv",
+    "stochastic_14",
     # analytics beyond the headline set
     "session_window_stats",
     "event_funnel",
