@@ -20,12 +20,13 @@ UDFs — and each strategy has an exact DuckDB oracle twin in registry.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import (
     md5_hash60,
     normalized_fingerprint,
     word_shingles,
+    word_shingles_all,
     ws_tokens,
 )
 
@@ -116,6 +117,63 @@ def plant_prefix_duplicates(
         F.array_join(F.slice(t, F.lit(1), keep), " ").alias("text"),
     )
     return docs.select("doc_id", "text").unionByName(twins)
+
+
+def span_anchor_grams(
+    docs: DataFrame, span: int = 20, mod: int = 8
+) -> DataFrame:
+    """(doc_id, gram_hash) for CONTENT-DEFINED sampled ``span``-token
+    grams: a positional gram is kept iff md5_hash60(gram) % mod == 0.
+
+    The anchor trick behind scalable substring/shared-span dedup (cf.
+    suffix-array dedup literature): selection depends only on the gram's
+    CONTENT, so two documents sharing a long span select the SAME anchors
+    inside it regardless of where the span sits in each doc — stride/
+    position sampling would misalign. Expected 1/mod of grams survive,
+    so the inverted index is span·(1/mod) of the full positional-gram
+    blowup; a shared span of length ≥ span + mod·O(1) tokens is caught
+    with high probability, deterministically (md5 both engines)."""
+    grams = _spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles_all(ws_tokens(F.col("text")), span))
+        ).alias("gram"),
+    )
+    h = md5_hash60(F.col("gram"))
+    return grams.filter(h % mod == 0).select(
+        "doc_id", h.alias("gram_hash")
+    )
+
+
+def shared_span_pairs(
+    docs: DataFrame, span: int = 20, mod: int = 8,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_anchors): document pairs sharing at least
+    one sampled ``span``-token gram — the substring-duplication detector
+    (copied paragraphs, shared boilerplate blocks, containment) that
+    set-based Jaccard underweights and exact dedup misses entirely.
+
+    Plan: anchor table (content-defined sample) → optional document-
+    frequency cap on the anchor (the stop-shingle discipline: an anchor
+    in thousands of docs is boilerplate, its pairs are quadratic and
+    carry no dedup signal — boilerplate has its own query) → grouped
+    bucket_pairs (no self-join) → per-pair anchor count."""
+    anchors = span_anchor_grams(docs, span=span, mod=mod)
+    if max_doc_freq is not None:
+        w = Window.partitionBy("gram_hash")
+        anchors = (
+            anchors.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    # distinct=False: the same pair sharing k anchors appears in k
+    # buckets — exactly the rows the per-pair count aggregates
+    pairs = bucket_pairs(anchors, ["gram_hash"], distinct=False)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_anchors"))
+    )
 
 
 def plant_near_text_batch(

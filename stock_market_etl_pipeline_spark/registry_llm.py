@@ -411,6 +411,56 @@ def q_dedup_jaccard_lsh_verified(spark, sf_dir):
     return jaccard_over_candidates(docs, cand, k=3, threshold=0.5, shingles=sh)
 
 
+@register(
+    "dedup_shared_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+19], ' ') AS gram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 19, 0))) AS g(i)
+    ),
+    anchors AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash
+        FROM grams
+        WHERE ('0x' || substr(md5(gram), 1, 15))::BIGINT % 8 = 0
+    ),
+    kept AS (
+        SELECT gram_hash FROM anchors GROUP BY 1 HAVING COUNT(*) <= 50
+    ),
+    a2 AS (
+        SELECT a.doc_id, a.gram_hash
+        FROM anchors a JOIN kept USING (gram_hash)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_anchors
+    FROM a2 a JOIN a2 b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_shared_spans(spark, sf_dir):
+    """Substring/shared-span duplication: document pairs sharing at least
+    one 20-token gram, detected via CONTENT-DEFINED anchor sampling
+    (keep a gram iff md5_hash60(gram) % 8 == 0 — the suffix-array-dedup
+    trick, Spark-style). Position/stride sampling would misalign when
+    the shared span sits at different offsets in the two docs; content
+    selection picks the SAME anchors inside any shared span. Catches the
+    copied-paragraph / long-boilerplate-block duplication that set-based
+    Jaccard underweights (a 30-token copied block in two long docs moves
+    Jaccard by ~0) and exact dedup misses entirely. Anchor doc-frequency
+    cap 50 applies the stop-shingle discipline to the pair phase;
+    bucket_pairs keeps the candidate pass a grouped explode, not a
+    self-join. Non-vacuous on the raw testdata: the corpus's natural
+    long-prefix families share anchors at every sf."""
+    from .operators.dedup import shared_span_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_span_pairs(docs, span=20, mod=8, max_doc_freq=50)
+
+
 _INC_BATCH_OFFSET = 3_000_000
 
 @register(

@@ -412,6 +412,45 @@ def test_prefix_containment_registry_not_vacuous(spark):
     assert all(r["len_prefix"] < r["len_full"] for r in out)
 
 
+def test_shared_spans_catch_offset_shifted_copies(spark):
+    """The reason for CONTENT-defined anchor sampling: a copied block
+    sitting at DIFFERENT offsets in two docs still selects the same
+    anchors (selection depends only on gram content), so the pair is
+    caught; position/stride sampling would misalign. Unrelated docs
+    share nothing."""
+    from stock_market_etl_pipeline_spark.operators.dedup import (
+        shared_span_pairs,
+    )
+
+    block = " ".join(f"s{j}" for j in range(40))   # the copied 40-token span
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{j}" for j in range(7)) + " " + block),
+            (2, " ".join(f"b{j}" for j in range(13)) + " " + block),
+            (3, " ".join(f"c{j}" for j in range(60))),  # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_anchors"]
+        for r in shared_span_pairs(docs, span=20, mod=8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 1
+
+
+def test_shared_spans_registry_not_vacuous(spark):
+    """The corpus's natural long-prefix families must surface (25 pairs
+    at sf0.001), every pair with >= 1 shared anchor."""
+    from conftest import SF_DIR
+
+    from stock_market_etl_pipeline_spark import registry
+
+    out = registry.queries()["dedup_shared_spans"](spark, SF_DIR).collect()
+    assert len(out) >= 1
+    assert all(r["n_shared_anchors"] >= 1 for r in out)
+
+
 def test_incremental_near_candidates_never_pair_corpus_with_itself(spark):
     """The batch-vs-corpus candidate join must yield ONLY (old, new)
     pairs: two byte-identical corpus docs (which any self-join would
