@@ -461,6 +461,59 @@ def q_dedup_shared_spans(spark, sf_dir):
     return shared_span_pairs(docs, span=20, mod=8, max_doc_freq=50)
 
 
+@register(
+    "span_duplication_rate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, array_to_string(t[i:i+19], ' ') AS gram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 19, 0))) AS g(i)
+    ),
+    gd AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS n_occ
+        FROM pos GROUP BY 1
+    )
+    SELECT CAST(SUM(n_occ) AS BIGINT) AS total_grams,
+           CAST(SUM(CASE WHEN nd >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
+               AS cross_doc_grams,
+           ROUND(SUM(CASE WHEN nd >= 2 THEN n_occ ELSE 0 END) * 1.0
+                 / SUM(n_occ), 6) AS dup_rate
+    FROM gd
+    """,
+)
+def q_span_duplication_rate(spark, sf_dir):
+    """Corpus duplication mass: the fraction of positional 20-token gram
+    occurrences whose gram appears in MORE THAN ONE document — the
+    aggregate 'how much of this corpus is copied text' number that
+    decides whether a substring-dedup pass (dedup_shared_spans) is worth
+    running before training. Two combinable aggregates (per-gram
+    distinct-doc + occurrence counts, then one global roll-up): the
+    shuffle carries one row per distinct gram, the answer is one row.
+    Exact integer counts closed by a single division, rounded at 6dp."""
+    from .operators.dedup import _spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = _spread(docs).select(
+        "doc_id",
+        F.explode(word_shingles_all(ws_tokens(F.col("text")), 20)).alias(
+            "gram"
+        ),
+    )
+    gd = pos.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dup = F.sum(F.when(F.col("nd") >= 2, F.col("n_occ")).otherwise(0))
+    return gd.agg(
+        F.sum("n_occ").cast("long").alias("total_grams"),
+        dup.cast("long").alias("cross_doc_grams"),
+        F.round(dup * 1.0 / F.sum("n_occ"), 6).alias("dup_rate"),
+    )
+
+
 _INC_BATCH_OFFSET = 3_000_000
 
 @register(

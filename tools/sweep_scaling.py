@@ -58,6 +58,7 @@ DEFAULT_QUERIES = [
     "token_cooccurrence",
     "dedup_prefix_containment",
     "dedup_incremental_near",
+    "dedup_shared_spans",
     "event_paths_top",
     "atr_14",
     "donchian_20",
