@@ -137,7 +137,12 @@ def main() -> None:
         print(f"froze {len(out)} baselines -> {BASELINE_PATH}", file=sys.stderr)
     elif os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
-            frozen = json.load(f)["frozen_queries"]
+            baseline = json.load(f)
+        # the baseline freezes timings for ONE big dir; comparing a
+        # different scale against it would flag bogus "drift"
+        frozen = (
+            baseline["frozen_queries"] if baseline.get("big") == big else {}
+        )
         for n, v in out.items():
             base = frozen.get(n)
             if base:
