@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_banded, minhash_signatures
+from ..operators.dedup import _doc_shingles, minhash_banded, minhash_signatures
 from .sketch_rollup import _read_store_if_exists
 
 
@@ -45,10 +45,16 @@ def batch_index_rows(
 ) -> DataFrame:
     """(doc_id, band, band_sig, sig) for one batch: the band signatures
     used for probing plus the packed minhash vector used for similarity
-    estimation — one row per (doc, band), KBs per thousand docs."""
-    banded = minhash_banded(batch, k=k, num_hashes=num_hashes, bands=bands)
+    estimation — one row per (doc, band), KBs per thousand docs. The
+    batch's shingle explode is localCheckpoint-materialized once and
+    shared by the banding and the packed-signature branches (the
+    dedup_jaccard_lsh_verified trade, measured winning at sf1)."""
+    sh = _doc_shingles(batch, k).localCheckpoint(eager=True)
+    banded = minhash_banded(
+        batch, k=k, num_hashes=num_hashes, bands=bands, shingles=sh
+    )
     sig = (
-        minhash_signatures(batch, k=k, num_hashes=num_hashes)
+        minhash_signatures(batch, k=k, num_hashes=num_hashes, shingles=sh)
         .groupBy("doc_id")
         .agg(
             F.transform(
