@@ -469,11 +469,13 @@ def q_dedup_shared_spans(spark, sf_dir):
         FROM documents
     ),
     pos AS (
-        SELECT doc_id, array_to_string(t[i:i+19], ' ') AS gram
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(t[i:i+19], ' ')), 1, 15))
+                   ::BIGINT AS gram_hash
         FROM toks, UNNEST(generate_series(1, greatest(len(t) - 19, 0))) AS g(i)
     ),
     gd AS (
-        SELECT gram, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS n_occ
+        SELECT gram_hash, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS n_occ
         FROM pos GROUP BY 1
     )
     SELECT CAST(SUM(n_occ) AS BIGINT) AS total_grams,
@@ -491,7 +493,11 @@ def q_span_duplication_rate(spark, sf_dir):
     decides whether a substring-dedup pass (dedup_shared_spans) is worth
     running before training. Two combinable aggregates (per-gram
     distinct-doc + occurrence counts, then one global roll-up): the
-    shuffle carries one row per distinct gram, the answer is one row.
+    shuffle carries one 8-byte row per gram occurrence — grams are
+    HASHED to 60 bits BEFORE the exchange (an sf1→sf10 probe measured
+    the full-string groupBy going ×12 for 10× rows: ~120-byte shuffle
+    keys; hashing is mirrored in the oracle, and a 60-bit collision
+    merging two gram counts is ~n²/2⁶⁰ — immaterial for a rate).
     Exact integer counts closed by a single division, rounded at 6dp."""
     from .operators.dedup import _spread
 
@@ -501,8 +507,8 @@ def q_span_duplication_rate(spark, sf_dir):
         F.explode(word_shingles_all(ws_tokens(F.col("text")), 20)).alias(
             "gram"
         ),
-    )
-    gd = pos.groupBy("gram").agg(
+    ).select("doc_id", md5_hash60(F.col("gram")).alias("gram_hash"))
+    gd = pos.groupBy("gram_hash").agg(
         F.countDistinct("doc_id").alias("nd"),
         F.count(F.lit(1)).alias("n_occ"),
     )
