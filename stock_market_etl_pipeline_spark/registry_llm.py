@@ -1424,7 +1424,11 @@ def q_token_cooccurrence(spark, sf_dir):
     shingle/bucket-cap discipline applied to co-occurrence. Pairs are
     generated from each doc's sorted qualifying-token array with
     higher-order functions (one doc_id shuffle; no self-join), then one
-    grouped count; df sides join back via broadcast (V rows)."""
+    grouped count; df sides join back via broadcast (V rows). The
+    (doc_id, token) explode is localCheckpoint-materialized once and
+    shared by the document-frequency and pair branches (vocab selection
+    needs the global df before the pair pass can filter, so the table is
+    read twice — the corpus_prep trade)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -1433,7 +1437,7 @@ def q_token_cooccurrence(spark, sf_dir):
                 F.transform(ws_tokens(F.col("text")), F.lower)
             )
         ).alias("token"),
-    )
+    ).localCheckpoint(eager=True)
     dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfc.orderBy(F.col("df").desc(), "token").limit(_COOC_VOCAB)
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
