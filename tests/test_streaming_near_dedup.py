@@ -64,6 +64,66 @@ def _matches(spark, matches_dir):
     }
 
 
+def _crash_last_commit(ckpt: str) -> None:
+    cdir = os.path.join(ckpt, "commits")
+    nums = [
+        int(f.lstrip(".").split(".")[0])
+        for f in os.listdir(cdir)
+        if not f.startswith(".")
+    ]
+    n = max(nums)
+    for f in os.listdir(cdir):
+        if f.lstrip(".").split(".")[0] == str(n):
+            os.remove(os.path.join(cdir, f))
+
+
+def test_near_dedup_stream_survives_restart_storm(spark, tmp_path):
+    """Seeded multi-crash schedule over a four-wave feed: after crashes
+    at every batch boundary the index holds exactly one signature row
+    per (doc, band) and the match set equals the single-run result —
+    the batch_id-keyed overwrite + self-exclusion probe must converge
+    under repeated replay, not just the one replay the base test does."""
+    import random
+
+    rng = random.Random(0xDEDA)
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "index")
+    matches = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    waves = [
+        _wave1(spark),
+        _wave2(spark),
+        spark.createDataFrame(                       # near-dups of wave-2's fresh docs
+            [(300 + i, " ".join(_doc(50 + i).split()[:-1])) for i in range(2)],
+            ["doc_id", "text"],
+        ),
+        spark.createDataFrame(
+            [(400 + i, _doc(80 + i)) for i in range(3)], ["doc_id", "text"]
+        ),
+    ]
+    n_crashes = 0
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(landing)
+        _run(spark, landing, index, matches, ckpt)
+        for _ in range(rng.randint(0, 2)):
+            n_crashes += 1
+            _crash_last_commit(ckpt)
+            _run(spark, landing, index, matches, ckpt)
+    assert n_crashes >= 3
+
+    got = _matches(spark, matches)
+    expected = {(i, 100 + i) for i in range(3)} | {
+        (200 + i, 300 + i) for i in range(2)
+    }
+    assert set(got) == expected
+    idx = spark.read.parquet(index)
+    assert idx.select("doc_id").distinct().count() == 20
+    dupes = idx.groupBy("doc_id", "band").count().filter("count > 1").count()
+    assert dupes == 0
+
+
 def test_stream_matches_equal_batch_incremental_and_survive_replay(
     spark, tmp_path
 ):
