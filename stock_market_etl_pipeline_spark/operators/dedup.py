@@ -211,6 +211,9 @@ def prefix_containment_pairs(
     they belong to exact_duplicate_groups. No analog in the reference
     (single-process pandas, reference ``src/transform.py:199-204`` has
     only keyed drop_duplicates); standard corpus-curation semantics."""
+    # localCheckpoint: the keyed table feeds BOTH self-join sides — without
+    # it Spark tokenizes and hashes the corpus once per side (4 doc scans
+    # in the audited plan; 1 after)
     keyed = _spread(docs).select(
         "doc_id", ws_tokens(F.col("text")).alias("t")
     ).select(
@@ -220,7 +223,7 @@ def prefix_containment_pairs(
         F.md5(
             F.array_join(F.slice("t", F.lit(1), F.lit(prefix_key_tokens)), " ")
         ).alias("k"),
-    )
+    ).localCheckpoint(eager=True)
     a = keyed.select(
         F.col("doc_id").alias("prefix_id"), F.col("t").alias("ta"),
         F.col("n").alias("len_prefix"), "k",
