@@ -36,6 +36,10 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            # a silent override would shadow a query while its old oracle
+            # row kept passing — fail at import time instead
+            raise ValueError(f"duplicate registry query name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
