@@ -142,7 +142,17 @@ def q_ema(spark, sf_dir):
     no shuffle growth with span.
     """
     t = ticks(spark, sf_dir)
-    w = _W()
+    return t.select(
+        "symbol", "date", "close",
+        _ema_expr(_W()).alias(f"ema_{_EMA_SPAN}"),
+    )
+
+
+def _ema_expr(w):
+    """The span-10 truncated EMA of close as a Column over window spec
+    ``w`` — exact integer numerator/denominator closed by one double
+    division (see _EMA_INT_WEIGHTS). Shared by ema_10 and the Keltner
+    channel."""
     num = None
     den = None
     for j, wt in enumerate(_EMA_INT_WEIGHTS):
@@ -154,12 +164,7 @@ def q_ema(spark, sf_dir):
         )
         num = term_n if num is None else num + term_n
         den = term_d if den is None else den + term_d
-    return t.select(
-        "symbol", "date", "close",
-        (num.cast("bigint") / den.cast("bigint") / 100.0).alias(
-            f"ema_{_EMA_SPAN}"
-        ),
-    )
+    return num.cast("bigint") / den.cast("bigint") / 100.0
 
 
 # ---------------------------------------------------------------------------
@@ -678,4 +683,129 @@ def q_stochastic(spark, sf_dir):
         "symbol", "date", "close",
         F.round("pct_k", 6).alias("pct_k"),
         F.round(F.avg("pct_k").over(wd), 6).alias("pct_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keltner channels (EMA mid ± 2·ATR)
+# ---------------------------------------------------------------------------
+
+def _keltner_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(CAST(round(LAG(close, {j}) OVER w * 100) AS BIGINT)"
+        f" * {w}, 0)"
+        for j, w in enumerate(_EMA_INT_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(close, {j}) OVER w IS NULL THEN 0 ELSE {w} END"
+        for j, w in enumerate(_EMA_INT_WEIGHTS)
+    )
+    return (
+        WITH_TICKS
+        + f""",
+    cents AS (
+        SELECT symbol, date, close,
+               CAST(round(high * 100) AS BIGINT)  AS hc,
+               CAST(round(low * 100) AS BIGINT)   AS lc,
+               LAG(CAST(round(close * 100) AS BIGINT))
+                   OVER (PARTITION BY symbol ORDER BY date) AS pc
+        FROM ticks
+    ),
+    tr AS (
+        SELECT symbol, date, close,
+               CASE WHEN pc IS NULL THEN hc - lc
+                    ELSE GREATEST(hc - lc, ABS(hc - pc), ABS(lc - pc))
+               END AS tr_cents
+        FROM cents
+    ),
+    k AS (
+        SELECT symbol, date, close,
+               CAST({num} AS BIGINT) / CAST({den} AS BIGINT) / 100.0 AS mid,
+               CAST(SUM(tr_cents) OVER wf AS BIGINT)
+                   / (100.0 * COUNT(tr_cents) OVER wf) AS atr
+        FROM tr
+        WINDOW w AS (PARTITION BY symbol ORDER BY date),
+               wf AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date, close, mid,
+           mid + 2.0 * atr AS keltner_upper,
+           mid - 2.0 * atr AS keltner_lower
+    FROM k
+    """
+    )
+
+
+@register("keltner_channels", _keltner_oracle())
+def q_keltner(spark, sf_dir):
+    """Keltner channels: span-10 EMA midline ± 2·ATR(14) — a volatility
+    envelope that composes the two exact primitives already registered
+    (`ema_10`'s integer-weight EMA and `atr_14`'s cents true-range). Both
+    components are exact-integer arithmetic closed by one double division
+    each; the bands are two double add/multiplies on identical doubles —
+    bit-exact cross-engine, emitted unrounded. All windows (EMA lags, TR
+    lag, ATR frame) share one HashPartitioning(symbol) exchange."""
+    t = ticks(spark, sf_dir)
+    w = _W()
+    hc = F.round(F.col("high") * 100, 0).cast("bigint")
+    lc = F.round(F.col("low") * 100, 0).cast("bigint")
+    pc = F.lag(F.round(F.col("close") * 100, 0).cast("bigint")).over(w)
+    tr_cents = F.when(pc.isNull(), hc - lc).otherwise(
+        F.greatest(hc - lc, F.abs(hc - pc), F.abs(lc - pc))
+    )
+    base = t.select("symbol", "date", "close", tr_cents.alias("tr_cents"))
+    wf = _W().rowsBetween(-(_ATR_N - 1), 0)
+    k = base.select(
+        "symbol", "date", "close",
+        _ema_expr(_W()).alias("mid"),
+        (
+            F.sum("tr_cents").over(wf).cast("bigint")
+            / (100.0 * F.count("tr_cents").over(wf))
+        ).alias("atr"),
+    )
+    return k.select(
+        "symbol", "date", "close", "mid",
+        (F.col("mid") + 2.0 * F.col("atr")).alias("keltner_upper"),
+        (F.col("mid") - 2.0 * F.col("atr")).alias("keltner_lower"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volume profile (price-bucket volume histogram)
+# ---------------------------------------------------------------------------
+
+_VP_BUCKET_CENTS = 500  # $5-wide price buckets
+
+
+@register(
+    "volume_profile",
+    WITH_TICKS
+    + f"""
+    SELECT symbol,
+           CAST(CAST(round(close * 100) AS BIGINT) // {_VP_BUCKET_CENTS}
+                AS BIGINT)                       AS price_bucket,
+           CAST(CAST(round(close * 100) AS BIGINT) // {_VP_BUCKET_CENTS}
+                * {_VP_BUCKET_CENTS} AS BIGINT) / 100.0 AS bucket_lo,
+           CAST(SUM(volume) AS BIGINT)           AS total_volume,
+           CAST(COUNT(*) AS BIGINT)              AS n_days
+    FROM ticks
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_volume_profile(spark, sf_dir):
+    """Volume profile: total traded volume per $5 close-price bucket per
+    symbol — the volume-at-price histogram behind support/resistance
+    charts. Bucketing by integer floor-division of exact price-cents
+    (identical in both engines; float bucketing would 1-ulp-flip at
+    bucket edges), one combinable aggregate, exact int64 sums."""
+    t = ticks(spark, sf_dir)
+    cents = F.round(F.col("close") * 100, 0).cast("bigint")
+    bucket = F.floor(cents / _VP_BUCKET_CENTS).cast("bigint")
+    return t.groupBy(
+        "symbol",
+        bucket.alias("price_bucket"),
+        (bucket * _VP_BUCKET_CENTS / 100.0).alias("bucket_lo"),
+    ).agg(
+        F.sum("volume").cast("bigint").alias("total_volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )

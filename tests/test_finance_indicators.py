@@ -302,3 +302,44 @@ def test_stochastic_hand_case(spark, monkeypatch):
     )
     assert [r["pct_k"] for r in out] == [50.0, 50.0, 100.0]
     assert out[2]["pct_d"] == round((50 + 50 + 100) / 3, 6)
+
+
+def test_keltner_bands_compose_ema_and_atr(spark, monkeypatch):
+    """keltner_upper/lower must equal mid ± 2·atr where mid equals the
+    registered ema_10 and atr equals the registered atr_14 on the same
+    series (composition of the two exact primitives)."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    bars = [
+        (105, 95, 100), (104, 101, 102), (120, 115, 118), (119, 110, 112),
+    ]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _ohlc(s, bars))
+    kelt = {str(r["date"]): r for r in fin.q_keltner(spark, SF_DIR).collect()}
+    ema = {str(r["date"]): r["ema_10"] for r in fin.q_ema(spark, SF_DIR).collect()}
+    atr = {str(r["date"]): r[f"atr_{fin._ATR_N}"]
+           for r in fin.q_atr(spark, SF_DIR).collect()}
+    for d, r in kelt.items():
+        assert r["mid"] == ema[d]
+        assert r["keltner_upper"] == r["mid"] + 2.0 * atr[d]
+        assert r["keltner_lower"] == r["mid"] - 2.0 * atr[d]
+
+
+def test_volume_profile_buckets_exact_cents(spark, monkeypatch):
+    """$5 buckets by integer cents floor-division: 104.99 and 100.00 share
+    bucket 20 [100, 105); 105.00 opens bucket 21."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    rows = [
+        ("S", "2024-01-01", 100.00, 10),
+        ("S", "2024-01-02", 104.99, 20),
+        ("S", "2024-01-03", 105.00, 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, date string, close double, volume long"
+    ).select("symbol", F.to_date("date").alias("date"), "close", "volume")
+    monkeypatch.setattr(fin, "ticks", lambda s, d: df)
+    got = {
+        r["price_bucket"]: (r["bucket_lo"], r["total_volume"], r["n_days"])
+        for r in fin.q_volume_profile(spark, SF_DIR).collect()
+    }
+    assert got == {20: (100.0, 30, 2), 21: (105.0, 40, 1)}
