@@ -343,3 +343,56 @@ def test_volume_profile_buckets_exact_cents(spark, monkeypatch):
         for r in fin.q_volume_profile(spark, SF_DIR).collect()
     }
     assert got == {20: (100.0, 30, 2), 21: (105.0, 40, 1)}
+
+
+def test_macd_null_head_and_exact_convolution(spark, monkeypatch):
+    """talib-style head: macd NULL until 26 closes exist, signal/histogram
+    NULL until 34. Full rows must EQUAL the quantized-integer-weight
+    reference convolution bit-for-bit, and sit within 1e-3 relative of
+    the ideal real-weight MACD (the 2^-16 quantization bound)."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    import datetime as dt
+
+    closes = [100.0 + 3.0 * math.sin(i / 3.0) + 0.17 * i for i in range(40)]
+    rows = [
+        ("S", dt.date(2024, 1, 1) + dt.timedelta(days=i), float(c))
+        for i, c in enumerate(closes)
+    ]
+    series = spark.createDataFrame(
+        rows, "symbol string, date date, close double"
+    )
+    monkeypatch.setattr(fin, "ticks", lambda s, d: series)
+    out = sorted(fin.q_macd(spark, SF_DIR).collect(), key=lambda r: r["date"])
+    assert len(out) == 40
+    for i, r in enumerate(out):
+        assert (r["macd"] is None) == (i < fin._MACD_SLOW - 1)
+        is_head = i < fin._MACD_SLOW + fin._MACD_SIG - 2
+        assert (r["macd_signal"] is None) == is_head
+        assert (r["macd_histogram"] is None) == is_head
+
+    cents = [round(c * 100) for c in closes]
+
+    def conv(vals, weights, i):
+        return sum(w * vals[i - j] for j, w in enumerate(weights))
+
+    for i in range(fin._MACD_SLOW + fin._MACD_SIG - 2, 40):
+        n12 = [conv(cents, fin._W12, k) for k in range(len(cents))]
+        n26 = [conv(cents, fin._W26, k) for k in range(len(cents))]
+        macd = n12[i] / float(fin._D12 * 100) - n26[i] / float(fin._D26 * 100)
+        signal = conv(n12, fin._W9, i) / float(
+            fin._D9 * fin._D12 * 100
+        ) - conv(n26, fin._W9, i) / float(fin._D9 * fin._D26 * 100)
+        assert out[i]["macd"] == macd
+        assert out[i]["macd_signal"] == signal
+        assert out[i]["macd_histogram"] == macd - signal
+
+    # ideal real-weight MACD (truncated, null-head) for the last row
+    def ideal_ema(span, i):
+        a = 2.0 / (span + 1)
+        ws = [(1 - a) ** j for j in range(span)]
+        return sum(w * closes[i - j] for j, w in enumerate(ws)) / sum(ws)
+
+    i = 39
+    ideal = ideal_ema(12, i) - ideal_ema(26, i)
+    assert abs(out[i]["macd"] - ideal) <= 1e-3 * max(1.0, abs(ideal))
