@@ -1152,3 +1152,121 @@ def q_order_value_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(cents_val) / 100.0, 6).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_event,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_event
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_event, to_event, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE to_event IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_event, to_event, n_transitions,
+           n_transitions / CAST(SUM(n_transitions) OVER (
+               PARTITION BY from_event) AS BIGINT) AS transition_prob
+    FROM pairs
+    """,
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current event type), estimated from consecutive
+    pairs in (ts, event_id) order.
+
+    Plan: ONE user_id shuffle for the lead() window collapses |events|
+    rows to ≤ |types|² pairs via a map-side-combinable count; the
+    normalizing row-sum window runs over that tiny aggregate (≤ 25 rows
+    here), not the fact table. Probabilities are exact-int64 divisions —
+    identical doubles on both engines, emitted raw (no float summation
+    anywhere).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_event"),
+            F.lead("event_type").over(w).alias("to_event"),
+        )
+        .filter(F.col("to_event").isNotNull())
+        .groupBy("from_event", "to_event")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_event")
+    return pairs.select(
+        "from_event", "to_event", "n_transitions",
+        (
+            F.col("n_transitions") / F.sum("n_transitions").over(w_from)
+        ).alias("transition_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap distribution per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inter_event_gaps",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               )) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT)            AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT)              AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT)              AS max_gap_us,
+           ROUND(quantile_cont(gap_us, 0.50) / 1000000.0, 6) AS median_gap_s,
+           ROUND(quantile_cont(gap_us, 0.90) / 1000000.0, 6) AS p90_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_inter_event_gaps(spark, sf_dir):
+    """Per-type recurrence cadence: the distribution of gaps between a
+    user's consecutive events OF THE SAME TYPE (lag over a composite
+    (user_id, event_type) partition), summarized as exact int64 micro
+    bounds plus interpolated median/p90 in seconds.
+
+    Plan: one (user_id, event_type) shuffle for the lag, then a groupBy
+    on event_type — the exact percentile buffers per-type gap lists,
+    bounded here (|events|/|types| per group); at 100 TB switch to
+    mergeable approx_percentile exactly as the enrich spine's
+    quartiles='approx' dial does (operators/skewsafe.py). Gaps are exact
+    int64 epoch-micro differences; interpolated quantiles are rounded at
+    6dp per the float policy, min/max stay exact.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.percentile("gap_us", 0.50) / 1000000.0, 6).alias(
+            "median_gap_s"
+        ),
+        F.round(F.percentile("gap_us", 0.90) / 1000000.0, 6).alias(
+            "p90_gap_s"
+        ),
+    )
