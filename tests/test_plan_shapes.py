@@ -383,3 +383,41 @@ def test_global_doc_ids_no_data_sized_single_partition_sort(spark, qs):
     assert "rangepartitioning" in plan.lower()  # phase-1 range exchange
     # the data-sized window is partitioned by pid, never unpartitioned
     assert "hashpartitioning(_pid" in plan
+
+
+def test_macd_single_scan_single_exchange(spark, qs):
+    """Both convolution layers (n12/n26, then the signal's 9-lag window)
+    must share ONE HashPartitioning(symbol) exchange over one scan — no
+    join, no second shuffle, no float aggregate."""
+    plan = plan_of(qs["macd_12_26"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 2
+
+
+def test_transition_matrix_aggregates_before_window(spark, qs):
+    """The normalizing row-sum window must run over the counted pair
+    aggregate (<=|types|^2 rows), never over the fact table: exactly one
+    Window node, downstream of a HashAggregate pair."""
+    plan = plan_of(qs["event_transition_matrix"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Window") == 2  # lead() + row-sum
+    # map-side partial aggregate exists (combiner before the pair shuffle)
+    assert count_nodes(plan, "HashAggregate") >= 2
+
+
+def test_q17_small_quantity_one_fact_shuffle_and_broadcast_dim(spark, qs):
+    """The per-part average joins back on the SAME key the aggregate
+    shuffled on, and the part dim must broadcast — no sort-merge join."""
+    plan = plan_of(qs["small_quantity_order_revenue"](spark, SF_DIR))
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1
+    assert "ReadSchema" in plan
+
+
+def test_large_volume_customers_filters_before_joins(spark, qs):
+    """The >300 HAVING filter must apply to the per-order aggregate BEFORE
+    any join (the sliver then broadcasts); the lineitem scan reads only
+    the two needed columns."""
+    plan = plan_of(qs["large_volume_customers"](spark, SF_DIR))
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(s.count(",") == 1 and "l_orderkey" in s for s in m), m
