@@ -9,6 +9,7 @@ hash-based operators (MinHash/SimHash) is generated programmatically so the
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions.text import (
@@ -2176,3 +2177,137 @@ def q_global_doc_ids(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return global_sequence_ids(docs, ["lang", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroids",
+    """
+    WITH ex AS (
+        SELECT label, CAST(u.pos - 1 AS INTEGER) AS pos,
+               CAST(u.val AS DOUBLE) AS val
+        FROM (
+            SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ) u(label, val, pos)
+    )
+    SELECT label, pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(val), 6)       AS centroid_val
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid vectors, one row per (label, dimension) — the
+    class-prototype aggregate behind centroid classifiers and IVF coarse
+    quantizers (operators/similarity.py trains the same thing with
+    KMeans; this is its supervised one-pass twin).
+
+    Plan: posexplode fans each vector into |dim| rows, then ONE
+    map-side-combinable groupBy on (label, pos) — no window, no join, no
+    collect; the output is |labels|·|dim| rows regardless of corpus
+    size, and partial aggregation means the shuffle carries only
+    per-partition (sum, count) pairs. float32 values widen to double
+    BEFORE averaging on both engines; the multi-row float AVG is
+    order-sensitive → 6dp per the float policy (O(1)-magnitude values:
+    headroom to ~sf1000 per NOTES rule 10).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps'-law curve)
+# ---------------------------------------------------------------------------
+
+_VOCAB_BUCKET_DOCS = 100
+
+
+@register(
+    "vocabulary_growth",
+    "WITH " + _TOKS_CTE + f""",
+    tok AS (
+        SELECT doc_id, lower(u.tk) AS token
+        FROM toks, UNNEST(t) AS u(tk) WHERE u.tk != ''
+    ),
+    occ AS (
+        SELECT doc_id // {_VOCAB_BUCKET_DOCS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+        FROM tok GROUP BY 1
+    ),
+    firsts AS (
+        SELECT MIN(doc_id) // {_VOCAB_BUCKET_DOCS} AS bucket, token
+        FROM tok GROUP BY token
+    ),
+    nf AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM firsts GROUP BY 1
+    )
+    SELECT occ.bucket,
+           occ.bucket_tokens,
+           CAST(SUM(occ.bucket_tokens) OVER cum AS BIGINT) AS cumulative_tokens,
+           COALESCE(nf.new_types, 0)  AS new_types,
+           CAST(SUM(COALESCE(nf.new_types, 0)) OVER cum AS BIGINT)
+               AS vocab_size
+    FROM occ LEFT JOIN nf USING (bucket)
+    WINDOW cum AS (ORDER BY occ.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_vocabulary_growth(spark, sf_dir):
+    """Heaps'-law curve: distinct vocabulary size vs tokens processed, in
+    {_VOCAB_BUCKET_DOCS}-doc buckets of doc_id order.
+
+    COUNT(DISTINCT token) OVER (ORDER BY doc) needs unbounded distinct
+    state and isn't window-expressible; the scalable identity is
+    first-seen decomposition (same as cumulative_active_users): each
+    token type counts exactly once, in the bucket of its MIN(doc_id), so
+    the curve is a running SUM over per-bucket first-seen counts. Plan:
+    one shuffle on token (the min), one on bucket (tiny), and the only
+    unpartitioned window runs over the |docs|/{_VOCAB_BUCKET_DOCS}
+    bucket table — at extreme corpus sizes widen the bucket or switch
+    the running sum to the distributed prefix-sum pattern
+    (operators/enumerate.py). Counts are exact int64; no floats anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tk"),
+    ).filter(F.col("tk") != "").select(
+        "doc_id", F.lower("tk").alias("token")
+    )
+    occ = tok.groupBy(
+        (F.col("doc_id") / _VOCAB_BUCKET_DOCS).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("bucket_tokens"))
+    firsts = tok.groupBy("token").agg(
+        (F.min("doc_id") / _VOCAB_BUCKET_DOCS).cast("long").alias("bucket")
+    )
+    nf = firsts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    joined = occ.join(nf, "bucket", "left").select(
+        "bucket",
+        "bucket_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    return joined.select(
+        "bucket",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(cum).cast("long").alias(
+            "cumulative_tokens"
+        ),
+        "new_types",
+        F.sum("new_types").over(cum).cast("long").alias("vocab_size"),
+    )

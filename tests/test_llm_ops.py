@@ -704,3 +704,58 @@ def test_bucket_cap_degrades_recall_visibly_and_widening_restores_it(spark):
     widened = planted_recall(8)  # 256 buckets/band: under the cap
     assert widened > narrow, (narrow, widened)
     assert widened >= 36  # ≥90% of the planted pairs recovered
+
+
+def test_label_centroids_shape_and_exactness(spark):
+    """One row per (label, dim); n_vectors equals the label's vector
+    count; spot-check one centroid value against a NumPy recompute."""
+    import numpy as np
+
+    from stock_market_etl_pipeline_spark import registry
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    by_label = {r["label"]: r["n"] for r in
+                emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    rows = registry.queries()["label_centroids"](spark, sf).collect()
+    assert len(rows) == len(by_label) * dim
+    assert all(r.n_vectors == by_label[r.label] for r in rows)
+
+    # recompute label 0, dim 0 in float64
+    vecs = np.array(
+        [r[0] for r in emb.filter(F.col("label") == 0)
+         .select("embedding").collect()],
+        dtype=np.float64,
+    )
+    want = round(float(np.sort(vecs[:, 0]).sum() / len(vecs)), 6)
+    got = next(r.centroid_val for r in rows if r.label == 0 and r.pos == 0)
+    assert abs(got - want) <= 1e-6  # summation-order noise below the round
+
+
+def test_vocabulary_growth_monotone_and_totals(spark):
+    """vocab_size/cumulative_tokens are running sums (monotone, ordered by
+    bucket); the final row must equal the corpus' distinct-type and total
+    token counts."""
+    from stock_market_etl_pipeline_spark import registry
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        registry.queries()["vocabulary_growth"](spark, sf).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(rows) > 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.vocab_size >= a.vocab_size
+        assert b.cumulative_tokens == a.cumulative_tokens + b.bucket_tokens
+    assert rows[-1].vocab_size == sum(r.new_types for r in rows)
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tk")
+    ).filter(F.col("tk") != "").select(F.lower("tk").alias("t"))
+    assert rows[-1].cumulative_tokens == tok.count()
+    assert rows[-1].vocab_size == tok.distinct().count()
