@@ -222,3 +222,326 @@ def q_customers_without_urgent_orders(spark, sf_dir):
             (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: banded-predicate revenue scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                AS BIGINT) / 10000.0 AS discount_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+      AND CAST(l_quantity AS BIGINT) < 24
+    """,
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: revenue that would be recovered by dropping
+    mid-band discounts on small-quantity 1996 shipments — a pure
+    scan-filter-aggregate with NO join and NO shuffle beyond the final
+    1-row combine.
+
+    The discount band compares exact integer percent-points (a float
+    BETWEEN 0.05 AND 0.07 would 1-ulp-flip at the band edges), quantity
+    compares as int64, and the revenue Σ cents(price)·pct(discount) is
+    exact int64 closed by one division. The date band and both numeric
+    predicates all push into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    disc_pct = cents("l_discount")
+    return (
+        li.filter(
+            (ship >= F.lit("1996-01-01").cast("date"))
+            & (ship < F.lit("1997-01-01").cast("date"))
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity").cast("long") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(cents("l_extendedprice") * cents("l_discount"))
+                / F.lit(10000.0)
+            ).alias("discount_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share by year
+# ---------------------------------------------------------------------------
+
+_REV_CENTS_SQL = (
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_year,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_REV_CENTS_SQL} ELSE 0 END) AS BIGINT)
+               / 10000.0 AS promo_revenue,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) / 10000.0 AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {_REV_CENTS_SQL} ELSE 0 END) AS BIGINT)
+                 / CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: what fraction of each year's revenue came from
+    PROMO-type parts — the conditional-aggregate ratio.
+
+    One broadcast join (part dim) and one combinable groupBy on the year;
+    both the conditional and total sums are exact int64 cents, so the
+    share is a division of identical integers — identical doubles on
+    both engines, emitted raw.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_cents = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    )
+    promo_cents = F.when(F.col("p_type") == "PROMO", rev_cents).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year(F.col("l_shipdate").cast("date"))
+            .cast("int")
+            .alias("ship_year")
+        )
+        .agg(
+            (F.sum(promo_cents) / F.lit(10000.0)).alias("promo_revenue"),
+            (F.sum(rev_cents) / F.lit(10000.0)).alias("total_revenue"),
+            (
+                F.lit(100.0) * F.sum(promo_cents) / F.sum(rev_cents)
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape: top unshipped-order revenue for a market segment
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1998-06-15"
+_Q3_SEGMENT = "BUILDING"
+
+
+@register(
+    "unshipped_order_revenue",
+    f"""
+    WITH agg AS (
+        SELECT l.l_orderkey,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               o.o_orderpriority,
+               CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS rev_cents
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+          AND CAST(o.o_orderdate AS DATE) < DATE '{_Q3_CUTOFF}'
+          AND CAST(l.l_shipdate AS DATE) > DATE '{_Q3_CUTOFF}'
+        GROUP BY 1, 2, 3
+    )
+    SELECT l_orderkey, order_date, o_orderpriority,
+           rev_cents / 10000.0 AS revenue
+    FROM agg
+    ORDER BY rev_cents DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_unshipped_order_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: the 10 highest-revenue orders from one market
+    segment that were placed before the cutoff but still have lineitems
+    shipping after it.
+
+    Both date predicates and the segment filter apply BEFORE the joins
+    (scan-level pruning); the per-order aggregate shuffles on the same
+    orderkey the lineitem join used. Top-k orders on the EXACT int64
+    cents sum with orderkey as tiebreak — a deterministic
+    TakeOrderedAndProject, never a full sort; the displayed revenue is
+    the same integer divided once.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").cast("date")
+            < F.lit(_Q3_CUTOFF).cast("date")
+        )
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.lit(_Q3_CUTOFF).cast("date")
+        )
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev_cents = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    )
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "order_date", "o_orderpriority")
+        .agg(F.sum(rev_cents).alias("rev_cents"))
+    )
+    return (
+        agg.orderBy(F.col("rev_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey", "order_date", "o_orderpriority",
+            (F.col("rev_cents") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: local-supplier revenue per nation
+# ---------------------------------------------------------------------------
+
+@register(
+    "local_supplier_revenue",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) / 10000.0 AS local_revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: revenue where the customer and the supplier sit in
+    the SAME nation — the multi-join with a cross-table equality
+    constraint.
+
+    Join order is chosen so each shuffle key is already in hand: orders ⋈
+    customer on custkey, the result ⋈ lineitem on orderkey (the big
+    fact's only shuffle), then supplier ⋈ by suppkey with the same-nation
+    constraint as a residual join condition (supplier broadcasts — it is
+    the smallest dim after nation), and nation broadcasts for the display
+    name. Revenue is the exact int64 cents sum.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    )
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(rev_cents) / F.lit(10000.0)).alias("local_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue by customer
+# ---------------------------------------------------------------------------
+
+@register(
+    "returned_item_customers",
+    f"""
+    WITH agg AS (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+               CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS rev_cents
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_custkey, c_name, c_acctbal, nation,
+           rev_cents / 10000.0 AS returned_revenue
+    FROM agg
+    ORDER BY rev_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    (l_returnflag = 'R').
+
+    The returnflag filter pushes into the lineitem scan; the per-customer
+    aggregate reuses the custkey partitioning of the customer join;
+    nation broadcasts. Top-k on the EXACT cents integer with custkey
+    tiebreak (deterministic TakeOrderedAndProject), the displayed
+    revenue divides that same integer.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    )
+    agg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_cents).alias("rev_cents"))
+    )
+    return (
+        agg.orderBy(F.col("rev_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "nation",
+            (F.col("rev_cents") / F.lit(10000.0)).alias("returned_revenue"),
+        )
+    )

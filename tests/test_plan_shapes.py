@@ -421,3 +421,15 @@ def test_large_volume_customers_filters_before_joins(spark, qs):
     plan = plan_of(qs["large_volume_customers"](spark, SF_DIR))
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any(s.count(",") == 1 and "l_orderkey" in s for s in m), m
+
+
+def test_q6_scan_only_with_pushed_date_band(spark, qs):
+    """forecast_revenue_change must be a pure scan-filter-aggregate: no
+    join, no Window, and the date band pushed into the parquet scan
+    (Catalyst rewrites the date-cast comparison to timestamp bounds)."""
+    plan = plan_of(qs["forecast_revenue_change"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 0
+    assert "Join" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4

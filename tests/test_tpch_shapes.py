@@ -71,3 +71,59 @@ def test_customers_without_urgent_orders_excludes_urgent(spark):
         if r.cents * n > s and r.c_custkey not in urgent_keys
     }
     assert sum(r.n_customers for r in rows) == len(survivors)
+
+
+def test_forecast_revenue_change_band_semantics(spark):
+    """Single-row output; recompute the band filter independently."""
+    rows = registry.queries()["forecast_revenue_change"](spark, SF_DIR).collect()
+    assert len(rows) == 1 and rows[0].n_lines > 0
+    li = load_table(spark, SF_DIR, "lineitem")
+    n = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & F.round(F.col("l_discount") * 100, 0).cast("long").between(5, 7)
+        & (F.col("l_quantity").cast("long") < 24)
+    ).count()
+    assert rows[0].n_lines == n
+
+
+def test_promo_share_bounds_and_identity(spark):
+    """0 <= share <= 100 and share == 100*promo/total on the same row."""
+    rows = registry.queries()["promo_revenue_share"](spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert 0.0 <= r.promo_share_pct <= 100.0
+        assert r.promo_revenue <= r.total_revenue
+        assert abs(
+            r.promo_share_pct - 100.0 * r.promo_revenue / r.total_revenue
+        ) < 1e-9
+
+
+def test_topk_queries_are_deterministic_and_bounded(spark):
+    """Q3/Q10 top-k: row caps hold, ordering is by exact revenue with the
+    key tiebreak (re-sort the collected rows and compare)."""
+    q3 = registry.queries()["unshipped_order_revenue"](spark, SF_DIR).collect()
+    assert 0 < len(q3) <= 10
+    assert q3 == sorted(q3, key=lambda r: (-r.revenue, r.l_orderkey))
+    q10 = registry.queries()["returned_item_customers"](spark, SF_DIR).collect()
+    assert 0 < len(q10) <= 20
+    assert q10 == sorted(q10, key=lambda r: (-r.returned_revenue, r.c_custkey))
+
+
+def test_local_supplier_revenue_same_nation_only(spark):
+    """Every counted line must have supplier and customer in the same
+    nation: recompute the line count via an independent join."""
+    rows = registry.queries()["local_supplier_revenue"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    s = load_table(spark, SF_DIR, "supplier").select("s_suppkey", "s_nationkey")
+    n_expected = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .count()
+    )
+    assert sum(r.n_lines for r in rows) == n_expected
