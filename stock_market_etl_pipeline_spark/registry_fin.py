@@ -952,3 +952,98 @@ def q_macd(spark, sf_dir):
         signal.alias("macd_signal"),
         (macd - signal).alias("macd_histogram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Underwater streaks (drawdown durations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "underwater_streaks",
+    WITH_TICKS
+    + """,
+    flagged AS (
+        SELECT symbol, date, close,
+               close < MAX(close) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS under,
+               ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS rn
+        FROM ticks
+    ),
+    uw AS (
+        SELECT symbol, date, rn,
+               rn - ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date)
+                   AS island
+        FROM flagged WHERE under
+    ),
+    streaks AS (
+        SELECT symbol, island,
+               CAST(COUNT(*) AS BIGINT) AS streak_days,
+               MIN(date) AS start_date,
+               MAX(date) AS end_date
+        FROM uw GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY symbol
+                   ORDER BY streak_days DESC, start_date ASC) AS pick,
+               CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT)
+                   AS n_streaks,
+               CAST(SUM(streak_days) OVER (PARTITION BY symbol) AS BIGINT)
+                   AS underwater_days
+        FROM streaks
+    )
+    SELECT symbol, streak_days AS longest_streak_days, start_date, end_date,
+           n_streaks, underwater_days
+    FROM ranked WHERE pick = 1
+    """,
+)
+def q_underwater_streaks(spark, sf_dir):
+    """Drawdown durations: per symbol, the longest consecutive-row run
+    with close strictly below its running peak, plus how many underwater
+    streaks there were and the total days spent underwater.
+
+    The gap-islands identity: among underwater rows, (global row_number −
+    underwater row_number) is constant exactly within a consecutive run.
+    Every comparison is exact (running MAX of doubles, integer row
+    numbers, MIN/MAX dates) — no floats leave the plan, so the output is
+    hash-exact with no rounding. All five windows hash on symbol: ONE
+    exchange; the streak aggregate and per-symbol rollup ride the same
+    partitioning. Ties (equal-length streaks) resolve to the earliest
+    start date deterministically.
+    """
+    t = ticks(spark, sf_dir)
+    w_cum = _W().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = t.select(
+        "symbol", "date", "close",
+        (F.col("close") < F.max("close").over(w_cum)).alias("under"),
+        F.row_number().over(_W()).alias("rn"),
+    )
+    uw = flagged.filter("under").select(
+        "symbol", "date", "rn",
+        (F.col("rn") - F.row_number().over(_W())).alias("island"),
+    )
+    streaks = uw.groupBy("symbol", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("date").alias("start_date"),
+        F.max("date").alias("end_date"),
+    )
+    w_sym = Window.partitionBy("symbol")
+    ranked = streaks.select(
+        "symbol", "streak_days", "start_date", "end_date",
+        F.row_number()
+        .over(
+            Window.partitionBy("symbol").orderBy(
+                F.col("streak_days").desc(), F.col("start_date").asc()
+            )
+        )
+        .alias("pick"),
+        F.count(F.lit(1)).over(w_sym).alias("n_streaks"),
+        F.sum("streak_days").over(w_sym).alias("underwater_days"),
+    )
+    return ranked.filter(F.col("pick") == 1).select(
+        "symbol",
+        F.col("streak_days").alias("longest_streak_days"),
+        "start_date", "end_date", "n_streaks", "underwater_days",
+    )

@@ -545,3 +545,51 @@ def q_returned_item_customers(spark, sf_dir):
             (F.col("rev_cents") / F.lit(10000.0)).alias("returned_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: late-shipping order counts by priority (EXISTS semi-join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "late_shipping_priority_counts",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+    )
+    GROUP BY 1
+    """,
+)
+def q_late_shipping_priority_counts(spark, sf_dir):
+    """TPC-H Q4 shape: how many orders per priority class have at least
+    one lineitem that shipped more than 60 days after the order date.
+
+    The correlated EXISTS is a LEFT SEMI join with the date comparison as
+    a residual condition — each order counts ONCE however many late lines
+    it has, and the semi-join stops probing an order's lines at the first
+    match instead of materializing the fanout. One orderkey shuffle
+    (lineitem carries only key + shipdate), then a tiny combinable count
+    by priority. Date arithmetic is exact integer day addition on both
+    engines — no timestamp floats anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sdate")
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.sdate > F.date_add(o.odate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )

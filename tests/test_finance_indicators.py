@@ -396,3 +396,22 @@ def test_macd_null_head_and_exact_convolution(spark, monkeypatch):
     i = 39
     ideal = ideal_ema(12, i) - ideal_ema(26, i)
     assert abs(out[i]["macd"] - ideal) <= 1e-3 * max(1.0, abs(ideal))
+
+
+def test_underwater_streaks_hand_series(spark, monkeypatch):
+    """closes 10,9,8,11,10,9,9,12: streaks are rows 2-3 (len 2, below the
+    10-peak) and rows 5-7 (len 3, below the 11-peak); day 1 and new-peak
+    days are not underwater. Longest = 3 starting at day 6; 2 streaks,
+    5 underwater days total."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    closes = [10.0, 9.0, 8.0, 11.0, 10.0, 9.0, 9.0, 12.0]
+    monkeypatch.setattr(fin, "ticks", lambda s, d: _series(spark, closes))
+    out = fin.q_underwater_streaks(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.longest_streak_days == 3
+    assert str(r.start_date) == "2024-01-05"
+    assert str(r.end_date) == "2024-01-07"
+    assert r.n_streaks == 2
+    assert r.underwater_days == 5

@@ -127,3 +127,26 @@ def test_local_supplier_revenue_same_nation_only(spark):
         .count()
     )
     assert sum(r.n_lines for r in rows) == n_expected
+
+
+def test_late_shipping_counts_each_order_once(spark):
+    """An order with several late lines counts once: recompute via a
+    per-order max-lag aggregate and compare totals."""
+    rows = registry.queries()["late_shipping_priority_counts"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) > 0
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    expected = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("sd") > F.date_add(F.col("od"), 60))
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_late_orders for r in rows) == expected
