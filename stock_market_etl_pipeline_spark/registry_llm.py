@@ -2311,3 +2311,86 @@ def q_vocabulary_growth(spark, sf_dir):
         "new_types",
         F.sum("new_types").over(cum).cast("long").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-signal dedup agreement (text LSH candidates × embedding cosine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_signal_agreement",
+    "WITH " + _MINHASH_CTES + "," + _EMB_CTE + """,
+    cand AS (""" + _MINHASH_CAND_SELECT + """),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+               ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT j.doc_a, j.doc_b, j.n_common, j.jaccard,
+           """ + _cosine_sql("ea.v", "eb.v") + """ AS cosine,
+           j.jaccard >= 0.5 AS text_near,
+           """ + _cosine_sql("ea.v", "eb.v") + """ >= 0.35 AS emb_near
+    FROM jac j
+    JOIN emb ea ON j.doc_a = ea.vec_id
+    JOIN emb eb ON j.doc_b = eb.vec_id
+    """,
+)
+def q_dedup_signal_agreement(spark, sf_dir):
+    """Cross-modal dedup audit: do the TEXT near-dup signal (exact shingle
+    Jaccard over MinHash-LSH candidates) and the EMBEDDING signal (cosine
+    over the same doc pair, doc_id = vec_id) agree?
+
+    The production question behind it: a near-dup pipeline that prunes on
+    one signal needs to know the other signal's disagreement rate before
+    trusting the pruning. Candidates come from the SAME banded-LSH
+    machinery as dedup_minhash_lsh (bounded candidate phase — the corpus
+    never self-joins); exact Jaccard runs only over candidates
+    (threshold 0 keeps every overlapping candidate so DISagreements are
+    visible, not filtered away); the embedding side joins by key — two
+    hash joins, no vector scan beyond the candidate set. Jaccard is a
+    ratio of exact ints; cosine follows the repo-wide 6dp embedding
+    policy; both flags compare the ROUNDED values so the booleans are
+    bit-identical across engines.
+    """
+    from .operators.dedup import (
+        _doc_shingles,
+        jaccard_over_candidates,
+        minhash_lsh_candidates,
+    )
+    from .operators.similarity import _to_double, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, 3).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(
+        docs, k=3, num_hashes=16, bands=4, shingles=sh
+    )
+    jac = jaccard_over_candidates(
+        docs, cand, k=3, threshold=0.0, shingles=sh
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        jac.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common", "jaccard",
+            cos.alias("cosine"),
+            (F.col("jaccard") >= 0.5).alias("text_near"),
+            (cos >= 0.35).alias("emb_near"),
+        )
+    )

@@ -759,3 +759,20 @@ def test_vocabulary_growth_monotone_and_totals(spark):
     ).filter(F.col("tk") != "").select(F.lower("tk").alias("t"))
     assert rows[-1].cumulative_tokens == tok.count()
     assert rows[-1].vocab_size == tok.distinct().count()
+
+
+def test_dedup_signal_agreement_flags_consistent(spark):
+    """Flags must re-derive from the row's own rounded values, pairs are
+    ordered (a < b), jaccard/cosine in range."""
+    from stock_market_etl_pipeline_spark import registry
+
+    rows = registry.queries()["dedup_signal_agreement"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 < r.jaccard <= 1.0
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.text_near == (r.jaccard >= 0.5)
+        assert r.emb_near == (r.cosine >= 0.35)
