@@ -2394,3 +2394,181 @@ def q_dedup_signal_agreement(spark, sf_dir):
             (cos >= 0.35).alias("emb_near"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token bigram language-model statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_bigrams",
+    r"""
+    WITH lt AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+        FROM lt, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM bi GROUP BY 1, 2
+    ),
+    wt AS (
+        SELECT w1, CAST(SUM(n_occurrences) AS BIGINT) AS w1_total
+        FROM bc GROUP BY 1
+    ),
+    top AS (
+        SELECT w1, w2, n_occurrences
+        FROM bc
+        ORDER BY n_occurrences DESC, w1 ASC, w2 ASC
+        LIMIT 100
+    )
+    SELECT t.w1, t.w2, t.n_occurrences, wt.w1_total,
+           t.n_occurrences / wt.w1_total AS cond_prob
+    FROM top t JOIN wt USING (w1)
+    """,
+)
+def q_token_bigrams(spark, sf_dir):
+    """Corpus bigram statistics: the 100 most frequent token bigrams with
+    their conditional probability P(w2 | w1) — the n-gram LM building
+    block (and the token-level analog of event_transition_matrix).
+
+    Adjacent pairs are built JVM-side from the token array (element_at
+    over sequence(1, n-1) — no window, no self-join; docs shorter than 2
+    tokens are filtered BEFORE sequence() so the descending-range crash
+    the r4 ADVICE found in word_shingles can't recur). The top-100 cut is
+    a TakeOrderedAndProject on (count desc, bigram asc) — deterministic,
+    never a full sort — and the w1 row-sum table joins back only for
+    those 100 keys. Counts and totals are exact int64; cond_prob divides
+    them raw.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.select(
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bi = lt.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    wt = bc.groupBy("w1").agg(F.sum("n_occurrences").alias("w1_total"))
+    top = bc.orderBy(
+        F.col("n_occurrences").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(100)
+    return top.join(wt, "w1").select(
+        "w1", "w2", "n_occurrences", "w1_total",
+        (F.col("n_occurrences") / F.col("w1_total")).alias("cond_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship: canonical doc per near-dup cluster by quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivorship",
+    "WITH RECURSIVE " + _MINHASH_CTES + rf""",
+    cand AS ({_MINHASH_CAND_SELECT}),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, re.r FROM sym s JOIN reach re ON s.v = re.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               list_sum(list_transform(t, x -> length(x))) * 1.0
+                   / len(t) AS avg_token_len,
+               len(list_filter(t, x -> lower(x) IN ({_ALL_SW_SQL}))) * 1.0
+                   / len(t) AS stopword_ratio,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                   / length(text) AS symbol_ratio,
+               len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio
+        FROM toks
+    ),
+    q AS (
+        SELECT doc_id,
+            (CAST(n_tokens BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS}
+                  AS INTEGER)
+             + CAST(avg_token_len BETWEEN {_QF_MIN_AVG_LEN!r}
+                    AND {_QF_MAX_AVG_LEN!r} AS INTEGER)
+             + CAST(stopword_ratio >= {_QF_MIN_STOPWORD!r} AS INTEGER)
+             + CAST(symbol_ratio <= {_QF_MAX_SYMBOL!r} AS INTEGER)
+             + CAST(distinct_ratio >= {_QF_MIN_DISTINCT!r} AS INTEGER)
+            ) / 5.0 AS quality_score
+        FROM m
+    ),
+    ranked AS (
+        SELECT cc.cluster_id, cc.doc_id, q.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                   ORDER BY q.quality_score DESC, cc.doc_id ASC) AS pick,
+               CAST(COUNT(*) OVER (PARTITION BY cc.cluster_id) AS BIGINT)
+                   AS n_members
+        FROM cc JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS survivor_doc_id,
+           quality_score AS survivor_quality,
+           n_members, n_members - 1 AS n_dropped
+    FROM ranked WHERE pick = 1
+    """,
+)
+def q_dedup_survivorship(spark, sf_dir):
+    """End-to-end curation survivorship: resolve near-dup clusters
+    (connected components over MinHash-LSH candidates — same machinery as
+    dedup_clusters) and keep the HIGHEST-QUALITY member of each cluster
+    (Gopher-style quality_score, doc_id as deterministic tiebreak) —
+    the "which copy do we train on" decision, composed from the two
+    registered primitives so they cannot drift apart.
+
+    Plan: cluster resolution is iterative min-label propagation
+    (operators/graph.py, converges in O(diameter) rounds); quality runs
+    embarrassingly parallel per doc and joins on doc_id; the argmax is a
+    row_number window over the cluster-member table (|docs in clusters|,
+    a sliver of the corpus). quality_score is an exact k/5 double;
+    everything else is int64 — hash-exact unrounded.
+    """
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+    cc = connected_components(cand).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    quality = q_doc_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    joined = cc.join(quality, "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    w_cl = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id", "doc_id", "quality_score",
+        F.row_number().over(w_rank).alias("pick"),
+        F.count(F.lit(1)).over(w_cl).alias("n_members"),
+    )
+    return ranked.filter(F.col("pick") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.col("quality_score").alias("survivor_quality"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )

@@ -776,3 +776,45 @@ def test_dedup_signal_agreement_flags_consistent(spark):
         assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
         assert r.text_near == (r.jaccard >= 0.5)
         assert r.emb_near == (r.cosine >= 0.35)
+
+
+def test_token_bigrams_probability_identity(spark):
+    """cond_prob == n/w1_total on each row, bounded by (0,1], and the 100
+    rows are the global count-descending head (no row in the result may
+    have a smaller count than any excluded bigram is impossible to check
+    cheaply, but the result must be internally count-sorted)."""
+    from stock_market_etl_pipeline_spark import registry
+
+    rows = registry.queries()["token_bigrams"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(rows) <= 100
+    for r in rows:
+        assert 0.0 < r.cond_prob <= 1.0
+        assert r.cond_prob == r.n_occurrences / r.w1_total
+        assert r.n_occurrences <= r.w1_total
+
+
+def test_dedup_survivorship_composes_clusters_and_quality(spark):
+    """One survivor per dedup_clusters cluster; the survivor is a cluster
+    member with the max quality (ties to lowest doc_id)."""
+    from stock_market_etl_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    surv = registry.queries()["dedup_survivorship"](spark, sf).collect()
+    clusters = registry.queries()["dedup_clusters"](spark, sf).collect()
+    quality = {
+        r.doc_id: r.quality_score
+        for r in registry.queries()["doc_quality_score"](spark, sf).collect()
+    }
+    members = {}
+    for r in clusters:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert {r.cluster_id for r in surv} == set(members)
+    for r in surv:
+        ms = members[r.cluster_id]
+        assert r.n_members == len(ms)
+        assert r.n_dropped == len(ms) - 1
+        best = sorted(ms, key=lambda d: (-quality[d], d))[0]
+        assert r.survivor_doc_id == best
+        assert r.survivor_quality == quality[best]
