@@ -75,6 +75,27 @@ DEFAULT_QUERIES = [
     "errors_in_sessions",
     "cumulative_active_users",
     "quarterly_close_pivot",
+    # round-5 continuation additions
+    "macd_12_26",
+    "underwater_streaks",
+    "keltner_channels",
+    "volume_profile",
+    "small_quantity_order_revenue",
+    "large_volume_customers",
+    "customers_without_urgent_orders",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "unshipped_order_revenue",
+    "local_supplier_revenue",
+    "returned_item_customers",
+    "late_shipping_priority_counts",
+    "event_transition_matrix",
+    "inter_event_gaps",
+    "label_centroids",
+    "vocabulary_growth",
+    "token_bigrams",
+    "dedup_signal_agreement",
+    "dedup_survivorship",
 ]
 
 
