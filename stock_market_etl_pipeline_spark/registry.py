@@ -200,8 +200,7 @@ def q_date_parts(spark, sf_dir):
 # Window operators over the enriched table (W1-W9, F2-F5, A7)
 # ---------------------------------------------------------------------------
 
-@register(
-    "enriched_features",
+_ENRICHED_FEATURES_ORACLE = (
     WITH_ENRICHED
     + """
     SELECT symbol, date, close, volume,
@@ -214,19 +213,29 @@ def q_date_parts(spark, sf_dir):
            ROUND(price_vs_ma5, 6)         AS price_vs_ma5,
            ROUND(price_vs_ma20, 6)        AS price_vs_ma20
     FROM enriched
-    """,
+    """
 )
-def q_enriched_features(spark, sf_dir):
-    """W1-W4 + F2/F3: the full windowed feature set (operators/enrich.py)."""
-    e = _enriched(spark, sf_dir)
+
+_ENRICHED_FEATURES_COLS = [
+    "symbol", "date", "close", "volume",
+    "daily_change", "daily_change_percent",
+    "price_range", "price_range_percent",
+    "is_positive_day", "is_negative_day",
+]
+
+
+def _enriched_features_select(e: DataFrame) -> DataFrame:
     return e.select(
-        "symbol", "date", "close", "volume",
-        "daily_change", "daily_change_percent",
-        "price_range", "price_range_percent",
-        "is_positive_day", "is_negative_day",
+        *_ENRICHED_FEATURES_COLS,
         _r6("ma_5"), _r6("ma_20"), _r6("volatility_indicator"),
         _r6("price_vs_ma5"), _r6("price_vs_ma20"),
     )
+
+
+@register("enriched_features", _ENRICHED_FEATURES_ORACLE)
+def q_enriched_features(spark, sf_dir):
+    """W1-W4 + F2/F3: the full windowed feature set (operators/enrich.py)."""
+    return _enriched_features_select(_enriched(spark, sf_dir))
 
 
 @register(
@@ -259,6 +268,26 @@ def q_enriched_volume_approx_quartiles(spark, sf_dir):
     tests/test_enrich.py."""
     e = enrich(ticks(spark, sf_dir), quartiles="approx")
     return e.select("symbol", "date", "volume", "volume_category")
+
+
+@register("enriched_features_skew_safe", _ENRICHED_FEATURES_ORACLE)
+def q_enriched_features_skew_safe(spark, sf_dir):
+    """The halo-chunked hot-key configuration of the enrich spine
+    (operators/skewsafe.py), registered under the SAME DuckDB oracle as
+    `enriched_features`: hashing green here is a driver-visible
+    certificate that bounding the largest window task at ~1/n_chunks of
+    the hottest symbol changes NOTHING in the output — same values, same
+    types, row for row — not just a claim in a unit test
+    (tests/test_skew_io.py asserts the row equality; this makes it an
+    oracle-checked query). The physical plan differs deliberately:
+    windows run over (symbol, __chunk) with a halo of lookback rows, so
+    a symbol holding 50% of all rows at 100× scale no longer serializes
+    into one task."""
+    from .operators.skewsafe import enrich_skew_safe
+
+    return _enriched_features_select(
+        enrich_skew_safe(ticks(spark, sf_dir), n_chunks=8)
+    )
 
 
 @register(
