@@ -2572,3 +2572,141 @@ def q_dedup_survivorship(spark, sf_dir):
         "n_members",
         (F.col("n_members") - 1).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_id_confusion",
+    "WITH " + _TOKS_CTE + f""",
+    pred AS (
+        SELECT doc_id, lang AS lang_label, {_LANG_CASE} AS lang_guess
+        FROM toks
+    ),
+    cm AS (
+        SELECT lang_label, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT lang_label, lang_guess, n_docs,
+           n_docs / CAST(SUM(n_docs) OVER (PARTITION BY lang_label)
+                         AS BIGINT) AS share_of_label
+    FROM cm
+    """,
+)
+def q_lang_id_confusion(spark, sf_dir):
+    """Classifier-eval confusion matrix for the heuristic language ID:
+    per (true lang, predicted lang) document counts and the row-share
+    (recall on the diagonal, confusion mass off it).
+
+    Composes the registered lang_id surface, so the matrix cannot drift
+    from the per-doc query. Plan: one combinable groupBy collapses the
+    corpus to ≤|langs|² cells; the normalizing window runs over that tiny
+    aggregate. Shares are exact-int64 divisions emitted raw.
+    """
+    pred = q_lang_id(spark, sf_dir).select("lang_label", "lang_guess")
+    cm = pred.groupBy("lang_label", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang_label")
+    return cm.select(
+        "lang_label", "lang_guess", "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("share_of_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold-tuning curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "near_dup_rate_curve",
+    "WITH " + _MINHASH_CTES + """,
+    cand AS (""" + _MINHASH_CAND_SELECT + """),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    banded_j AS (
+        SELECT CAST(LEAST(20 * n_common // (sa.n + sb.n - n_common), 20)
+                    AS BIGINT) AS jaccard_band
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    bc AS (
+        SELECT jaccard_band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM banded_j GROUP BY 1
+    )
+    SELECT jaccard_band,
+           jaccard_band / 20.0 AS band_lo,
+           n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY jaccard_band DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS pairs_at_or_above
+    FROM bc
+    """,
+)
+def q_near_dup_rate_curve(spark, sf_dir):
+    """Threshold-tuning data for the near-dup pipeline: how many LSH
+    candidate pairs fall in each Jaccard band of width 0.05, with the
+    cumulative at-or-above count a threshold choice would keep — the
+    curve you read BEFORE fixing the dedup threshold on a new corpus.
+
+    Banding is EXACT integer arithmetic: band = ⌊20·|∩| / |∪|⌋ via
+    integer floor-division (a float ``floor(jaccard·20)`` would 1-ulp
+    flip at band edges — exact 0.05 multiples are common since Jaccard
+    is a small-integer ratio); jaccard == 1 collapses into the top band
+    via LEAST. The cumulative window runs over ≤21 band rows. Candidates
+    come from the same bounded banded-LSH machinery as dedup_minhash_lsh.
+    """
+    from .operators.dedup import _doc_shingles, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, 3).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(
+        docs, k=3, num_hashes=16, bands=4, shingles=sh
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    banded_j = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            F.least(
+                F.expr("div(20 * n_common, na + nb - n_common)"), F.lit(20)
+            )
+            .cast("bigint")
+            .alias("jaccard_band")
+        )
+    )
+    bc = banded_j.groupBy("jaccard_band").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w_cum = Window.orderBy(F.col("jaccard_band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bc.select(
+        "jaccard_band",
+        (F.col("jaccard_band") / F.lit(20.0)).alias("band_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w_cum).cast("bigint").alias(
+            "pairs_at_or_above"
+        ),
+    )

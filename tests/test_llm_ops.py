@@ -818,3 +818,57 @@ def test_dedup_survivorship_composes_clusters_and_quality(spark):
         best = sorted(ms, key=lambda d: (-quality[d], d))[0]
         assert r.survivor_doc_id == best
         assert r.survivor_quality == quality[best]
+
+
+def test_lang_id_confusion_row_shares_sum_to_one(spark):
+    from stock_market_etl_pipeline_spark import registry
+
+    rows = registry.queries()["lang_id_confusion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    by_label = {}
+    total = 0
+    for r in rows:
+        by_label.setdefault(r.lang_label, 0.0)
+        by_label[r.lang_label] += r.share_of_label
+        total += r.n_docs
+    for s in by_label.values():
+        assert abs(s - 1.0) < 1e-12
+    # every document lands in exactly one cell
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    assert total == load_table(spark, "/root/testdata/sf0.001", "documents").count()
+
+
+def test_near_dup_rate_curve_cumulative_and_bounds(spark):
+    from stock_market_etl_pipeline_spark import registry
+
+    rows = sorted(
+        registry.queries()["near_dup_rate_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: -r.jaccard_band,
+    )
+    assert len(rows) > 0
+    assert all(0 <= r.jaccard_band <= 20 for r in rows)
+    running = 0
+    for r in rows:
+        running += r.n_pairs
+        assert r.pairs_at_or_above == running
+    # total pairs must equal the verified-jaccard candidate-pair count at
+    # threshold 0 (same machinery)
+    from stock_market_etl_pipeline_spark.operators.dedup import (
+        _doc_shingles,
+        jaccard_over_candidates,
+        minhash_lsh_candidates,
+    )
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = _doc_shingles(docs, 3).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4, shingles=sh)
+    n_pairs = jaccard_over_candidates(
+        docs, cand, k=3, threshold=0.0, shingles=sh
+    ).count()
+    assert running == n_pairs
