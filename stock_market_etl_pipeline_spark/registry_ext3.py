@@ -1270,3 +1270,63 @@ def q_inter_event_gaps(spark, sf_dir):
             "p90_gap_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 30-day active users (sliding-window COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH bounds AS (
+        SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+    ),
+    ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    covered AS (
+        SELECT ud.user_id, ud.day + CAST(g.i AS INTEGER) AS cover_day
+        FROM ud, UNNEST(generate_series(0, 29)) AS g(i), bounds
+        WHERE ud.day + CAST(g.i AS INTEGER) <= bounds.max_day
+    )
+    SELECT cover_day AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau_30d
+    FROM covered GROUP BY 1
+    """,
+)
+def q_rolling_active_users(spark, sf_dir):
+    """The MAU curve: for every day, how many distinct users had at least
+    one event in the trailing 30 days.
+
+    COUNT(DISTINCT user) OVER a sliding RANGE window needs per-frame
+    distinct state and is not window-expressible at scale; the scalable
+    identity is covered-day decomposition — each (user, active-day) pair
+    COVERS the next 30 days, so the sliding distinct count is a plain
+    groupBy-distinct over the coverage explode. Cost is a bounded 30×
+    fan-out of the DEDUPLICATED user-day table (not of raw events: the
+    distinct collapses event volume first), all map-side-combinable; the
+    trailing tail past the last observed day is cut by a 1-row broadcast
+    max. Exact integers/dates only — hash-exact unrounded.
+    """
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    covered = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 29)
+                )
+            ).alias("cover_day"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("cover_day") <= F.col("max_day"))
+    )
+    return covered.groupBy(F.col("cover_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("mau_30d")
+    )

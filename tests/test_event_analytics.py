@@ -77,3 +77,30 @@ def test_inter_event_gaps_same_type_same_user_only(spark, monkeypatch):
     assert (a.n_gaps, a.min_gap_us, a.max_gap_us) == (2, 10_000_000, 30_000_000)
     assert a.median_gap_s == 20.0
     assert a.p90_gap_s == 28.0  # 10 + 0.9*(30-10)
+
+
+def test_rolling_active_users_covered_day_identity(spark, monkeypatch):
+    """u1 active day 1; u2 active day 1 and day 40: day 1 → 2 users;
+    days 2-30 → 2 (both windows cover); day 31+ only if u2's day-40
+    event covers... day 40-69 covers u2; but the curve is cut at the
+    max observed day (40). Hand-check a few days."""
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", 0),
+            (2, 2, "view", 0),
+            (3, 2, "click", 39 * 86400),
+        ],
+    )
+    monkeypatch.setattr(ext3, "load_events", lambda s, d: ev)
+    got = {
+        str(r.day): r.mau_30d
+        for r in registry.queries()["rolling_active_users"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got["2024-01-01"] == 2
+    assert got["2024-01-30"] == 2      # day 30 of both users' windows
+    assert "2024-01-31" not in got     # nobody's window covers day 31..38
+    assert got["2024-02-09"] == 1      # u2's second event (day 40)
+    assert max(got) == "2024-02-09"    # cut at max observed day
