@@ -226,3 +226,41 @@ def hll_set_overlap(
             ),
         )
     )
+
+
+def hll_sliding_distinct(
+    rollup: DataFrame,
+    window_days: int = 30,
+    day_col: str = "day",
+) -> DataFrame:
+    """Sliding-window distinct from the PERSISTED daily sketch table: for
+    every day, union the trailing ``window_days`` daily sketches and
+    estimate — the mergeable answer to "30-day active users" that never
+    rescans history and never explodes the fact table (contrast
+    rolling_active_users' covered-day decomposition, which explodes the
+    deduplicated user-day table 30×; here the 30× fan-out is over
+    KB-sized sketch ROWS, one per day, regardless of user volume).
+
+    Same coverage semantics as the exact query: a day's sketch covers the
+    next ``window_days`` output days; output is cut at the last observed
+    day (1-row broadcast max).
+    """
+    bounds = rollup.agg(F.max(day_col).alias("__max_day"))
+    covered = (
+        rollup.select(
+            F.explode(
+                F.sequence(
+                    F.col(day_col),
+                    F.date_add(F.col(day_col), window_days - 1),
+                )
+            ).alias("cover_day"),
+            "hll",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("cover_day") <= F.col("__max_day"))
+    )
+    return covered.groupBy(F.col("cover_day").alias(day_col)).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll", F.lit(False))).alias(
+            "approx_distinct"
+        )
+    )

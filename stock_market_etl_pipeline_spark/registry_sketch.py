@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .operators.sketches import (
     hll_daily_rollup,
     hll_merged_distinct,
+    hll_sliding_distinct,
     kll_daily_rollup,
     kll_merged_quantiles,
     theta_daily_rollup,
@@ -187,3 +188,24 @@ def q_sketch_price_quantiles(spark, sf_dir):
         F.round("p95", 2).alias("p95"),
         F.round("p99", 2).alias("p99"),
     ).orderBy("priority")
+
+
+@register("sketch_rolling_active_users")  # rows-only: estimates are engine-specific
+def q_sketch_rolling_active_users(spark, sf_dir):
+    """The 100 TB configuration of the MAU curve: per-day HLL sketches of
+    user_id (the persisted level-1 table) merged over each trailing
+    30-day window — the sliding COUNT DISTINCT answered entirely from
+    KB-sized sketches, with the 30× coverage fan-out applied to ONE ROW
+    PER DAY instead of the user-day table. Rows-only by design (HLL
+    register contents are engine-specific); the hash-green exact twin is
+    `rolling_active_users`, and per-day estimate agreement within the
+    RSE band is asserted in tests/test_sketches.py."""
+    from .sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = hll_daily_rollup(
+        ev, [], F.col("ts").cast("date"), "user_id"
+    )
+    return hll_sliding_distinct(daily, window_days=30).select(
+        "day", F.col("approx_distinct").alias("mau_30d_est")
+    )

@@ -248,3 +248,26 @@ def test_hll_rollup_survives_parquet_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert live == persisted
+
+
+def test_hll_sliding_mau_within_error_of_exact_twin(spark):
+    """Per-day sketch-merged MAU tracks the exact covered-day twin within
+    the RSE band on EVERY day, and covers exactly the same day set (same
+    coverage + max-day cut semantics)."""
+    exact = {
+        str(r["day"]): r["mau_30d"]
+        for r in registry.queries()["rolling_active_users"](
+            spark, SF_DIR
+        ).collect()
+    }
+    approx = {
+        str(r["day"]): r["mau_30d_est"]
+        for r in registry.queries()["sketch_rolling_active_users"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(1, REL_TOL * n), (
+            day, approx[day], n,
+        )
