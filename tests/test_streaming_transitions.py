@@ -126,3 +126,63 @@ def _registered_matrix_on(spark, events_df):
         return registry.queries()["event_transition_matrix"](spark, SF_DIR)
     finally:
         ext3.load_events = orig
+
+
+def _crash_last_commit(ckpt: str) -> None:
+    """Simulate dying between the foreachBatch write and the checkpoint
+    commit: remove the newest commit marker so the restart replays that
+    micro-batch against an already-written store."""
+    import os
+
+    cdir = os.path.join(ckpt, "commits")
+    nums = [
+        int(f.lstrip(".").split(".")[0])
+        for f in os.listdir(cdir)
+        if not f.startswith(".")
+    ]
+    n = max(nums)
+    for f in os.listdir(cdir):
+        if f.lstrip(".").split(".")[0] == str(n):
+            os.remove(os.path.join(cdir, f))
+
+
+def test_transition_store_survives_restart_storm(spark, tmp_path):
+    """Seeded crash-between-write-and-commit at every wave boundary: the
+    bucket-overwrite store must converge to the batch matrix under
+    repeated replay, with boundary pairs intact and no double counts."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    waves = [
+        _events(spark, [(1, 1, "signup", 0), (2, 2, "view", 3)]),
+        _events(spark, [(3, 1, "view", 10), (4, 2, "view", 12)]),
+        _events(spark, [(5, 1, "purchase", 20), (6, 3, "signup", 21)]),
+        _events(spark, [(7, 2, "purchase", 30), (8, 3, "error", 31)]),
+    ]
+
+    def run():
+        q = start_transition_rollup(spark, landing, store, ckpt, n_buckets=4)
+        q.awaitTermination(120)
+
+    n_crashes = 0
+    for w in waves:
+        w.coalesce(1).write.mode("append").parquet(landing)
+        run()
+        for _ in range(rng.randint(0, 2)):
+            n_crashes += 1
+            _crash_last_commit(ckpt)
+            run()
+    assert n_crashes >= 3
+
+    got = _matrix(transition_matrix_from_store(spark, store))
+    expected = _matrix(
+        _registered_matrix_on(spark, spark.read.parquet(landing))
+    )
+    assert got == expected
+    # cross-wave pairs survived the storm (each user's chain spans waves)
+    assert got[("signup", "view")][0] == 1    # u1 wave1 -> wave2
+    assert got[("view", "purchase")][0] == 2  # u1 w2->w3, u2 w2->w4
