@@ -269,3 +269,74 @@ def test_prefix_containment_matches_brute_force(spark, specs):
         and toks[b][: len(toks[a])] == toks[a]
     }
     assert got == expected
+
+
+def ref_underwater_streaks(closes):
+    """Pure-Python reference for registry_fin.q_underwater_streaks on a
+    single symbol: longest strictly-below-running-peak run (earliest
+    start tiebreak), total streaks, total underwater days."""
+    peak = float("-inf")
+    runs = []
+    cur = None
+    for i, c in enumerate(closes):
+        peak = max(peak, c)
+        if c < peak:
+            if cur is None:
+                cur = [i, i]
+            else:
+                cur[1] = i
+        else:
+            if cur is not None:
+                runs.append(tuple(cur))
+                cur = None
+    if cur is not None:
+        runs.append(tuple(cur))
+    if not runs:
+        return None
+    longest = max(runs, key=lambda r: (r[1] - r[0], -r[0]))
+    return {
+        "len": longest[1] - longest[0] + 1,
+        "start": longest[0],
+        "end": longest[1],
+        "n_streaks": len(runs),
+        "underwater_days": sum(r[1] - r[0] + 1 for r in runs),
+    }
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=8).map(lambda c: c * 25.0),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_underwater_streaks_matches_reference(spark, closes):
+    """Random coarse-grid walks (ties and repeats common) — the
+    gap-islands plan must agree with the sequential reference."""
+    import datetime as dt
+
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    rows = [
+        ("S", dt.date(2024, 1, 1) + dt.timedelta(days=i), c)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    orig = fin.ticks
+    fin.ticks = lambda s, d: df
+    try:
+        out = fin.q_underwater_streaks(spark, "unused").collect()
+    finally:
+        fin.ticks = orig
+    ref = ref_underwater_streaks(closes)
+    if ref is None:
+        assert out == []
+        return
+    assert len(out) == 1
+    r = out[0]
+    assert r.longest_streak_days == ref["len"]
+    assert (r.start_date - dt.date(2024, 1, 1)).days == ref["start"]
+    assert (r.end_date - dt.date(2024, 1, 1)).days == ref["end"]
+    assert r.n_streaks == ref["n_streaks"]
+    assert r.underwater_days == ref["underwater_days"]
