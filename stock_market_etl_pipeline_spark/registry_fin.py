@@ -1047,3 +1047,91 @@ def q_underwater_streaks(spark, sf_dir):
         F.col("streak_days").alias("longest_streak_days"),
         "start_date", "end_date", "n_streaks", "underwater_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling beta vs market composite (exact windowed regression)
+# ---------------------------------------------------------------------------
+
+_BETA_N = 20
+
+
+@register(
+    "rolling_beta_20",
+    WITH_TICKS
+    + f""",
+    yc AS (
+        SELECT symbol, date,
+               CAST(round(close * 100) AS BIGINT) AS y
+        FROM ticks
+    ),
+    comp AS (
+        SELECT date, CAST(SUM(y) AS BIGINT) AS x FROM yc GROUP BY date
+    ),
+    j AS (SELECT yc.symbol, yc.date, yc.y, comp.x FROM yc JOIN comp USING (date)),
+    s AS (
+        SELECT symbol, date, x, y,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx
+        FROM j
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date,
+           CASE WHEN n = {_BETA_N}
+                 AND n * sxx - CAST(sx AS HUGEINT) * sx != 0
+                THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           END AS beta_20
+    FROM s
+    """,
+)
+def q_rolling_beta(spark, sf_dir):
+    """Rolling 20-day regression beta of each symbol's close against the
+    market composite (per-date sum of all closes) — windowed two-series
+    regression in EXACT arithmetic.
+
+    A float rolling covariance can't hash-match across engines (NOTES
+    rule 11: FMA + order noise), so every moment is exact: prices become
+    int64 cents, the composite is an exact int64 per-date sum (one tiny
+    date shuffle joined back), and the window accumulates Σx, Σy (int64)
+    and Σxy, Σx² (DECIMAL(38)/HUGEINT — a cents×composite-cents product
+    clears int64 at scale: 1e7·1e12·20·20 ≈ 4e21 needs ~72 bits, well
+    inside 38 digits). β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) closes with ONE
+    double division of identical exact integers — bit-exact, emitted
+    raw; NULL until the window holds {_BETA_N} rows or when the
+    composite is constant (zero variance). Plan: one date aggregate
+    (broadcast back) + the shared HashPartitioning(symbol) window — no
+    self-join, linear at any scale.
+    """
+    t = ticks(spark, sf_dir)
+    yc = t.select(
+        "symbol", "date",
+        F.round(F.col("close") * 100, 0).cast("bigint").alias("y"),
+    )
+    comp = yc.groupBy("date").agg(F.sum("y").alias("x"))
+    j = yc.join(F.broadcast(comp), "date")
+    wf = _W().rowsBetween(-(_BETA_N - 1), 0)
+    dec = "decimal(38,0)"
+    xd = F.col("x").cast(dec)
+    s = j.select(
+        "symbol", "date",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(xd * F.col("y")).over(wf).alias("sxy"),
+        F.sum(xd * F.col("x")).over(wf).alias("sxx"),
+    )
+    n_d = F.col("n").cast(dec)
+    num = n_d * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    den = n_d * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    return s.select(
+        "symbol", "date",
+        F.when(
+            (F.col("n") == _BETA_N) & (den != F.lit(0).cast(dec)),
+            num.cast("double") / den.cast("double"),
+        ).alias("beta_20"),
+    )

@@ -415,3 +415,46 @@ def test_underwater_streaks_hand_series(spark, monkeypatch):
     assert str(r.end_date) == "2024-01-07"
     assert r.n_streaks == 2
     assert r.underwater_days == 5
+
+
+def test_rolling_beta_matches_numpy_reference(spark, monkeypatch):
+    """Two symbols over 25 days: beta NULL until the 20-row window fills,
+    then equals the numpy least-squares slope of y-cents vs
+    composite-cents within float tolerance (the exact-integer form is
+    the spec; numpy validates the regression math)."""
+    import datetime as dt
+
+    import numpy as np
+
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(25)]
+    a = [100.0 + 3.0 * math.sin(i / 2.0) + 0.3 * i for i in range(25)]
+    b = [50.0 + 1.5 * math.sin(i / 2.0 + 0.4) + 0.1 * i for i in range(25)]
+    rows = [("A", d, c) for d, c in zip(days, a)] + [
+        ("B", d, c) for d, c in zip(days, b)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    monkeypatch.setattr(fin, "ticks", lambda s, d: df)
+    out = {
+        (r.symbol, str(r.date)): r.beta_20
+        for r in fin.q_rolling_beta(spark, SF_DIR).collect()
+    }
+    assert len(out) == 50
+    ya = np.array([round(c * 100) for c in a], dtype=np.float64)
+    yb = np.array([round(c * 100) for c in b], dtype=np.float64)
+    x = ya + yb  # composite cents
+    for i in range(25):
+        key = ("A", str(days[i]))
+        if i < fin._BETA_N - 1:
+            assert out[key] is None
+        else:
+            xa, yw = x[i - 19 : i + 1], ya[i - 19 : i + 1]
+            slope = np.polyfit(xa, yw, 1)[0]
+            assert out[key] == pytest.approx(slope, rel=1e-9)
+    # betas of A and B against the same composite sum to 1 exactly in the
+    # real numbers; allow float closure noise
+    for i in range(fin._BETA_N - 1, 25):
+        sa = out[("A", str(days[i]))]
+        sb = out[("B", str(days[i]))]
+        assert sa + sb == pytest.approx(1.0, abs=1e-9)
