@@ -1135,3 +1135,92 @@ def q_rolling_beta(spark, sf_dir):
             num.cast("double") / den.cast("double"),
         ).alias("beta_20"),
     )
+
+
+@register(
+    "rolling_corr_20",
+    WITH_TICKS
+    + f""",
+    yc AS (
+        SELECT symbol, date,
+               CAST(round(close * 100) AS BIGINT) AS y
+        FROM ticks
+    ),
+    comp AS (
+        SELECT date, CAST(SUM(y) AS BIGINT) AS x FROM yc GROUP BY date
+    ),
+    j AS (SELECT yc.symbol, yc.date, yc.y, comp.x FROM yc JOIN comp USING (date)),
+    s AS (
+        SELECT symbol, date,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy
+        FROM j
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date,
+           CASE WHEN n = {_BETA_N}
+                 AND n * sxx - CAST(sx AS HUGEINT) * sx != 0
+                 AND n * syy - CAST(sy AS HUGEINT) * sy != 0
+                THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+           END AS corr_20
+    FROM s
+    """,
+)
+def q_rolling_corr(spark, sf_dir):
+    """Rolling 20-day Pearson correlation of each symbol against the
+    market composite — the sibling of rolling_beta_20, closing through
+    sqrt.
+
+    Same exact-moment accumulation (int64 cents, DECIMAL(38)/HUGEINT
+    cross-product window sums); the float boundary is three
+    CORRECTLY-ROUNDED IEEE ops on identical exact integers — two sqrt
+    (exact per IEEE-754, unlike exp/log) and one multiply — then one
+    division, so the output is bit-identical across engines and emitted
+    raw (the denominators can't be squared inside DECIMAL(38): (4e21)²
+    overflows, which is WHY the closure goes through per-factor sqrt).
+    NULL until the window fills or either variance is zero.
+    """
+    t = ticks(spark, sf_dir)
+    yc = t.select(
+        "symbol", "date",
+        F.round(F.col("close") * 100, 0).cast("bigint").alias("y"),
+    )
+    comp = yc.groupBy("date").agg(F.sum("y").alias("x"))
+    j = yc.join(F.broadcast(comp), "date")
+    wf = _W().rowsBetween(-(_BETA_N - 1), 0)
+    dec = "decimal(38,0)"
+    xd = F.col("x").cast(dec)
+    yd = F.col("y").cast(dec)
+    s = j.select(
+        "symbol", "date",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(xd * F.col("y")).over(wf).alias("sxy"),
+        F.sum(xd * F.col("x")).over(wf).alias("sxx"),
+        F.sum(yd * F.col("y")).over(wf).alias("syy"),
+    )
+    n_d = F.col("n").cast(dec)
+    sx_d = F.col("sx").cast(dec)
+    sy_d = F.col("sy").cast(dec)
+    num = n_d * F.col("sxy") - sx_d * sy_d
+    den_x = n_d * F.col("sxx") - sx_d * sx_d
+    den_y = n_d * F.col("syy") - sy_d * sy_d
+    zero = F.lit(0).cast(dec)
+    return s.select(
+        "symbol", "date",
+        F.when(
+            (F.col("n") == _BETA_N) & (den_x != zero) & (den_y != zero),
+            num.cast("double")
+            / (
+                F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))
+            ),
+        ).alias("corr_20"),
+    )

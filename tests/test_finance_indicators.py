@@ -458,3 +458,35 @@ def test_rolling_beta_matches_numpy_reference(spark, monkeypatch):
         sa = out[("A", str(days[i]))]
         sb = out[("B", str(days[i]))]
         assert sa + sb == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rolling_corr_matches_numpy_and_is_bounded(spark, monkeypatch):
+    import datetime as dt
+
+    import numpy as np
+
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(25)]
+    a = [100.0 + 3.0 * math.sin(i / 2.0) + 0.3 * i for i in range(25)]
+    b = [50.0 + 1.5 * math.sin(i / 2.0 + 0.4) + 0.1 * i for i in range(25)]
+    rows = [("A", d, c) for d, c in zip(days, a)] + [
+        ("B", d, c) for d, c in zip(days, b)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    monkeypatch.setattr(fin, "ticks", lambda s, d: df)
+    out = {
+        (r.symbol, str(r.date)): r.corr_20
+        for r in fin.q_rolling_corr(spark, SF_DIR).collect()
+    }
+    ya = np.array([round(c * 100) for c in a], dtype=np.float64)
+    yb = np.array([round(c * 100) for c in b], dtype=np.float64)
+    x = ya + yb
+    for i in range(25):
+        key = ("A", str(days[i]))
+        if i < fin._BETA_N - 1:
+            assert out[key] is None
+        else:
+            c = np.corrcoef(x[i - 19 : i + 1], ya[i - 19 : i + 1])[0, 1]
+            assert out[key] == pytest.approx(c, rel=1e-9)
+            assert -1.0 - 1e-12 <= out[key] <= 1.0 + 1e-12

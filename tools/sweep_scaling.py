@@ -96,6 +96,12 @@ DEFAULT_QUERIES = [
     "token_bigrams",
     "dedup_signal_agreement",
     "dedup_survivorship",
+    "lang_id_confusion",
+    "near_dup_rate_curve",
+    "rolling_active_users",
+    "sketch_rolling_active_users",
+    "enriched_features_skew_safe",
+    "rolling_beta_20",
 ]
 
 
