@@ -310,3 +310,20 @@ def quantile_estimates(
             ).alias("approx_quantile"),
         )
     )
+
+
+def sliding_distinct_from_store(
+    spark: SparkSession, sketch_dir: str, window_days: int = 30
+) -> DataFrame:
+    """Trailing-window distinct (e.g. 30-day MAU) answered from the
+    STREAMING-MAINTAINED sketch store: per-day HLL rows merge across the
+    trailing window (and across any key columns the store carries —
+    register-wise-max union of per-key day sketches IS the day sketch),
+    so the continuously-ingested store serves the same sliding curve as
+    the batch `sketch_rolling_active_users` query without ever rescanning
+    the landing data. Union order-independence makes the answer identical
+    to a batch rebuild — asserted in tests/test_streaming_sketch.py."""
+    from ..operators.sketches import hll_sliding_distinct
+
+    store = spark.read.parquet(sketch_dir).select("day", "hll")
+    return hll_sliding_distinct(store, window_days=window_days)
