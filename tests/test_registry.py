@@ -40,3 +40,29 @@ def test_suppliers_above_nation_avg_nonvacuous(spark):
     nation's average) rather than a vacuous empty set."""
     df = registry.queries()["suppliers_above_nation_avg"](spark, SF_DIR)
     assert df.count() > 0, "vacuously green: no rows at sf0.001"
+
+
+ROWS_ONLY_TWINS = {
+    # rows-only query -> its oracled exact twin (the correctness anchor);
+    # per-family error-bound certificates live in test_sketches.py /
+    # test_llm_ops.py / test_enrich.py
+    "approx_stats": "describe_stats",
+    "ann_ivf_topk": "ann_ivf_full_probe",
+    "sketch_distinct_rollup_merge": "distinct_custkeys_by_priority",
+    "sketch_price_quantiles": "distinct_custkeys_by_priority",
+    "theta_customer_set_algebra": "customer_priority_set_algebra",
+    "enriched_volume_approx_quartiles": "enriched_categories",
+    "sketch_rolling_active_users": "rolling_active_users",
+}
+
+
+def test_every_rows_only_query_has_an_oracled_exact_twin():
+    """A rows-only registration without a hash-green exact twin would be
+    unverifiable; freeze the pairing so adding one forces a twin."""
+    qs, osql = registry.queries(), registry.oracle_sql()
+    rows_only = set(qs) - set(osql)
+    assert rows_only == set(ROWS_ONLY_TWINS), (
+        "update ROWS_ONLY_TWINS with the new rows-only query's twin"
+    )
+    for twin in ROWS_ONLY_TWINS.values():
+        assert twin in osql, f"twin {twin} must itself be oracled"
