@@ -102,6 +102,7 @@ DEFAULT_QUERIES = [
     "sketch_rolling_active_users",
     "enriched_features_skew_safe",
     "rolling_beta_20",
+    "rolling_corr_20",
 ]
 
 
