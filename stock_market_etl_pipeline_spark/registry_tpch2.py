@@ -203,9 +203,13 @@ def q_important_parts_value(spark, sf_dir):
     per-part value (the share-of-global HAVING).
 
     No partsupp ⇒ "stock value" substitutes lineitem traded value.  The
-    global total is ONE 1-row aggregate broadcast to every per-part row
-    (the ``days_ago_global_max`` pattern — no second scan of the fact),
-    and the fraction predicate is cross-multiplied into exact int64:
+    per-part rollup is localCheckpoint-materialized ONCE (|parts| rows)
+    and shared by the global total and the filter probe — without it
+    Catalyst re-derives the rollup for the 1-row aggregate and the fact
+    is scanned twice (the corpus_prep trade, measured winning at sf1).
+    The 1-row total broadcasts to every per-part row (the
+    ``days_ago_global_max`` pattern), and the fraction predicate is
+    cross-multiplied into exact int64:
     ``value > 1.5·tot/n`` ⇔ ``value·n·2 > 3·tot`` (value ≤ ~10¹²·n ⇒
     headroom past sf10).  The 1.5× threshold is verified non-vacuous at
     sf0.001/0.01/0.1 (2/29/252 rows).  Part names join by broadcast
@@ -214,9 +218,13 @@ def q_important_parts_value(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    pv = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        _REV_CENTS().alias("value_cents"),
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _REV_CENTS().alias("value_cents"),
+        )
+        .localCheckpoint(eager=True)
     )
     g = pv.agg(
         F.sum("value_cents").alias("tot"), F.count(F.lit(1)).alias("n_parts")
@@ -269,7 +277,10 @@ def q_top_supplier_revenue(spark, sf_dir):
     The view+scalar-subquery formulation decorrelates to: per-supplier
     quarter revenue (one suppkey aggregate over the date-pruned scan —
     the band reaches the parquet scan as timestamp bounds), a 1-row MAX
-    broadcast back, and an exact-cents equality filter.  Equality on the
+    broadcast back, and an exact-cents equality filter.  The rollup is
+    localCheckpoint-materialized (|suppliers| rows) so the MAX and the
+    probe share it — otherwise the banded fact scan runs twice.
+    Equality on the
     exact int64 makes "the max" engine-portable (a float revenue would
     1-ulp-tie); if several suppliers genuinely tie they ALL return, in
     both engines.  Supplier names broadcast to the ≤-a-few winners.
@@ -278,7 +289,11 @@ def q_top_supplier_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
     )
-    sr = li.groupBy("l_suppkey").agg(_REV_CENTS().alias("rev_cents"))
+    sr = (
+        li.groupBy("l_suppkey")
+        .agg(_REV_CENTS().alias("rev_cents"))
+        .localCheckpoint(eager=True)
+    )
     mx = sr.agg(F.max("rev_cents").alias("max_cents"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -475,10 +490,13 @@ def q_min_cost_supplier_per_part(spark, sf_dir):
     (micro-dollars/unit; floor division of positive int64 is identical
     in Spark's ``div`` and DuckDB's ``//``, where a float ratio would
     1-ulp-flip ties).  The correlated ``WHERE cost = (SELECT MIN ...
-    same part)`` decorrelates to: per-part MIN, equality join-back on
-    (partkey, min) — co-partitioned with the MIN's own shuffle — then
-    MIN(suppkey) as the deterministic tiebreak.  Dims broadcast onto the
-    |parts|-sized winner set.
+    same part)`` collapses to a SINGLE-PASS argmin:
+    ``min(struct(unit_micros, suppkey))`` per part — lexicographic
+    struct ordering makes the winner the cheapest supplier with
+    MIN(suppkey) as deterministic tiebreak, in one fact scan and one
+    shuffle (the oracle states the same result as the classic
+    decorrelated join-back, proving the equivalence).  Dims broadcast
+    onto the |parts|-sized winner set.
     """
     unit = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -488,18 +506,16 @@ def q_min_cost_supplier_per_part(spark, sf_dir):
             " div CAST(l_quantity AS BIGINT)"
         ).alias("unit_micros"),
     )
-    best = (
-        unit.groupBy(F.col("l_partkey").alias("b_partkey"))
-        .agg(F.min("unit_micros").alias("min_unit_micros"))
-    )
     winner = (
-        unit.join(
-            best,
-            (unit.l_partkey == best.b_partkey)
-            & (unit.unit_micros == best.min_unit_micros),
+        unit.groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("unit_micros", "l_suppkey")).alias("m")
         )
-        .groupBy("l_partkey", "min_unit_micros")
-        .agg(F.min("l_suppkey").alias("best_suppkey"))
+        .select(
+            "l_partkey",
+            F.col("m.unit_micros").alias("min_unit_micros"),
+            F.col("m.l_suppkey").alias("best_suppkey"),
+        )
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     s = load_table(spark, sf_dir, "supplier").select(
@@ -562,10 +578,12 @@ def q_sole_last_supplier_orders(spark, sf_dir):
     (order, supplier) max-shipdate rollup: n_supp ≥ 2 is the EXISTS,
     n_at_max = 1 the NOT-EXISTS (a timestamp tie means nobody is
     strictly last — dropping ties is what makes the result
-    deterministic and engine-portable).  The rollup and all three
-    windows share one orderkey partitioning, so the whole query is a
-    single fact shuffle; supplier names broadcast onto the ≤|suppliers|
-    result.
+    deterministic and engine-portable).  Shuffle budget: the fact
+    shuffles ONCE into the (orderkey, suppkey) rollup; the windows then
+    re-key that rollup to orderkey alone (a second, rollup-sized
+    exchange — unavoidable natively, since HashPartitioning(order, supp)
+    does not satisfy PARTITION BY order), and the final per-supplier
+    count is a |suppliers|-sized aggregate.  Supplier names broadcast.
     """
     ss = (
         load_table(spark, sf_dir, "lineitem")

@@ -467,3 +467,77 @@ def test_vocabulary_growth_window_runs_over_bucket_table(spark, qs):
     plan = plan_of(qs["vocabulary_growth"](spark, SF_DIR))
     assert count_nodes(plan, "Window") == 1
     assert count_nodes(plan, "HashAggregate") >= 4  # partial+final x2 paths
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark, qs):
+    """The brand/size disjunction must reach the part parquet scan as a
+    pushed Or-filter (dim rows outside every box never ship), the part
+    side broadcasts, and the scalar aggregate leaves one exchange."""
+    plan = plan_of(qs["disjunctive_band_revenue"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*Or\([^\]]*EqualTo\(p_brand,Brand#3", plan)
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_q9_widget_filter_pushed_to_part_scan(spark, qs):
+    """The p_name LIKE filter must prune the part dim at ITS scan
+    (StringContains pushed), not post-join; no window anywhere."""
+    plan = plan_of(qs["product_profit_by_nation_year"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,widget", plan)
+    assert count_nodes(plan, "Window") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_q11_single_fact_scan_via_checkpoint(spark, qs):
+    """The per-part rollup is checkpoint-shared by the global total and
+    the probe: exactly ONE parquet scan (the part-name dim joins from
+    the broadcast side of the checkpointed rollup), and the 1-row total
+    arrives via a broadcast nested-loop cross join."""
+    plan = plan_of(qs["important_parts_value"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1  # part dim only
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_q15_single_banded_scan_via_checkpoint(spark, qs):
+    """The quarter rollup is checkpoint-shared by MAX and probe: the
+    banded lineitem scan must NOT appear twice (only the supplier dim
+    scan remains), and the equality filter joins the 1-row max by
+    broadcast."""
+    plan = plan_of(qs["top_supplier_revenue"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1  # supplier dim only
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_q2_single_pass_argmin(spark, qs):
+    """min_cost_supplier_per_part must be ONE fact scan + ONE shuffle:
+    the struct-argmin replaces the classic min + equality join-back
+    (which would scan the fact twice); all dim joins broadcast."""
+    plan = plan_of(qs["min_cost_supplier_per_part"](spark, SF_DIR))
+    scans = re.findall(r"Location: [^\n]*?(\w+)\.parquet", plan)
+    assert scans.count("lineitem") == 1, scans
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_q21_one_fact_shuffle_then_rollup_windows(spark, qs):
+    """sole_last_supplier_orders: the fact shuffles once into the
+    (order, supplier) rollup; both windows ride ONE orderkey
+    partitioning over that rollup (2 Window nodes, no extra exchange
+    between them), and no sort-merge join anywhere."""
+    plan = plan_of(qs["sole_last_supplier_orders"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 2
+    assert count_nodes(plan, "Exchange") == 3
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_q7_nation_pair_single_exchange_all_dims_broadcast(spark, qs):
+    """nation_pair_trade at verify scale: every join broadcasts (orders
+    and customer are small here; at SF100 the orderkey join would
+    shuffle) and the group-by leaves a single exchange; the asymmetric-
+    pair filter must run before the aggregate (no Window)."""
+    plan = plan_of(qs["nation_pair_trade"](spark, SF_DIR))
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 0
+    assert count_nodes(plan, "BroadcastHashJoin") >= 4

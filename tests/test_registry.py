@@ -66,3 +66,26 @@ def test_every_rows_only_query_has_an_oracled_exact_twin():
     )
     for twin in ROWS_ONLY_TWINS.values():
         assert twin in osql, f"twin {twin} must itself be oracled"
+
+
+def test_tpch2_shapes_nonvacuous(spark):
+    """Every part-2 decision-support analog must exercise its positive
+    path at sf0.001 (constants were chosen against the generated
+    distributions — this pins that choice)."""
+    qs = registry.queries()
+    expected_min = {
+        "nation_pair_trade": 50,
+        "product_profit_by_nation_year": 10,
+        "important_parts_value": 1,
+        "top_supplier_revenue": 1,
+        "supplier_count_by_part_attrs": 5,
+        "disjunctive_band_revenue": 1,
+        "min_cost_supplier_per_part": 100,
+        "sole_last_supplier_orders": 2,
+    }
+    for name, lo in expected_min.items():
+        n = qs[name](spark, SF_DIR).count()
+        assert n >= lo, f"{name}: {n} rows < {lo} (vacuous)"
+    # the one-row scalar must actually count matched lines
+    row = qs["disjunctive_band_revenue"](spark, SF_DIR).collect()[0]
+    assert row.n_lines > 0 and row.band_revenue > 0
