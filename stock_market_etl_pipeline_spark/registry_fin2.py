@@ -1,0 +1,297 @@
+"""Finance time-series indicators, part 2: Williams %R, ROC, CCI, Aroon.
+
+Continues ``registry_fin.py`` (reference indicator surface:
+``src/transform.py`` moving averages / volatility) with four more
+standard technical indicators.  The new implementation idea here is the
+WINDOW-ARRAY pattern: CCI's mean deviation and Aroon's days-since-
+extreme both depend on the CURRENT row's window aggregate applied to
+EVERY element of the window — not expressible as a plain window
+aggregate of a precomputed column — so the trailing window is collected
+as a bounded array (≤ 26 elements) and reduced with JVM higher-order
+functions (transform/aggregate), never Python.
+
+Float policy (oracles.py): CCI runs on exact integer cents until one
+final double division (emitted raw — identical ints ⇒ identical
+doubles); Aroon is pure integer (multiples of 4); %R and ROC are
+single-expression float chains rounded 6dp like stochastic/pct-change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .oracles import WITH_TICKS
+from .registry import register
+from .sources.ticks import ticks
+
+_W = lambda: Window.partitionBy("symbol").orderBy("date")  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# Williams %R (14)
+# ---------------------------------------------------------------------------
+
+_WR_N = 14
+
+
+@register(
+    f"williams_r_{_WR_N}",
+    WITH_TICKS
+    + f""",
+    chan AS (
+        SELECT symbol, date, close,
+               MIN(low)  OVER w AS lo_n,
+               MAX(high) OVER w AS hi_n
+        FROM ticks
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN {_WR_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date, close,
+           ROUND(CASE WHEN hi_n = lo_n THEN -50.0
+                      ELSE (close - hi_n) / (hi_n - lo_n) * 100.0
+                 END, 6) AS williams_r
+    FROM chan
+    """,
+)
+def q_williams_r(spark, sf_dir):
+    """Williams %R: position of the close inside the 14-row high/low
+    channel, scaled to [-100, 0] (flat channel → -50, mirroring the
+    stochastic's degenerate-case convention).
+
+    Same plan as stochastic_14 minus the %D smoothing: channel min/max
+    are exact selections sharing ONE HashPartitioning(symbol) exchange,
+    %R is a single subtraction/division chain (identical doubles both
+    engines) rounded 6dp per the float policy."""
+    t = ticks(spark, sf_dir)
+    wf = _W().rowsBetween(-(_WR_N - 1), 0)
+    chan = t.select(
+        "symbol", "date", "close",
+        F.min("low").over(wf).alias("lo_n"),
+        F.max("high").over(wf).alias("hi_n"),
+    )
+    # (close-hi)·100, not (hi-close)·-100: the latter emits IEEE -0.0
+    # when close == hi_n and the two engines disagree on the zero's sign
+    wr = F.when(F.col("hi_n") == F.col("lo_n"), F.lit(-50.0)).otherwise(
+        (F.col("close") - F.col("hi_n"))
+        / (F.col("hi_n") - F.col("lo_n")) * 100.0
+    )
+    return chan.select(
+        "symbol", "date", "close", F.round(wr, 6).alias("williams_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rate of change (12)
+# ---------------------------------------------------------------------------
+
+_ROC_N = 12
+
+
+@register(
+    f"roc_{_ROC_N}",
+    WITH_TICKS
+    + f"""
+    SELECT symbol, date, close,
+           ROUND((close / LAG(close, {_ROC_N})
+                      OVER (PARTITION BY symbol ORDER BY date) - 1.0)
+                 * 100.0, 6) AS roc
+    FROM ticks
+    """,
+)
+def q_roc(spark, sf_dir):
+    """12-period rate of change: (close / close₁₂-ago − 1) · 100, NULL
+    for the first 12 rows per symbol (talib-style NULL head — see the
+    macd_12_26 docstring for why the head must be NULL, not shrinking).
+
+    One lag on the shared symbol partitioning; the three-op float chain
+    (divide, subtract, multiply — no multiply-add for FMA contraction to
+    bite, NOTES rule 11) is identical across engines, rounded 6dp."""
+    t = ticks(spark, sf_dir)
+    roc = (
+        F.col("close") / F.lag("close", _ROC_N).over(_W()) - F.lit(1.0)
+    ) * F.lit(100.0)
+    return t.select("symbol", "date", "close", F.round(roc, 6).alias("roc"))
+
+
+# ---------------------------------------------------------------------------
+# Commodity Channel Index (20) — exact-integer window-array form
+# ---------------------------------------------------------------------------
+
+_CCI_N = 20
+
+
+@register(
+    f"cci_{_CCI_N}",
+    WITH_TICKS
+    + f""",
+    tp AS (
+        SELECT symbol, date, close,
+               CAST(round(high * 100) AS BIGINT)
+               + CAST(round(low * 100) AS BIGINT)
+               + CAST(round(close * 100) AS BIGINT) AS tp3
+        FROM ticks
+    ),
+    arr AS (
+        SELECT symbol, date, close, tp3,
+               list(tp3) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN {_CCI_N - 1} PRECEDING AND CURRENT ROW)
+                   AS a
+        FROM tp
+    ),
+    stats AS (
+        SELECT symbol, date, close, tp3,
+               CAST(len(a) AS BIGINT) AS n,
+               CAST(list_sum(a) AS BIGINT) AS s3,
+               CAST(list_sum(list_transform(a,
+                   x -> abs(x * CAST(len(a) AS BIGINT)
+                            - CAST(list_sum(a) AS BIGINT))))
+                   AS BIGINT) AS dev
+        FROM arr
+    )
+    SELECT symbol, date, close,
+           CASE WHEN dev = 0 THEN 0.0
+                ELSE CAST((tp3 * n - s3) * n AS DOUBLE)
+                     / (0.015 * CAST(dev AS DOUBLE))
+           END AS cci
+    FROM stats
+    """,
+)
+def q_cci(spark, sf_dir):
+    """20-period Commodity Channel Index, computed EXACTLY:
+    CCI = (tp − SMA(tp)) / (0.015 · meandev(tp)).
+
+    The mean deviation averages |tp_i − SMA_t| — every window element
+    against the CURRENT row's SMA — which no plain window aggregate of a
+    precomputed column can express.  The trailing window is collected as
+    a ≤20-element array and reduced with JVM higher-order functions.
+    All arithmetic is integer until the last step: with tp3 = cents sum
+    of (high, low, close) — tp·300 — the identity
+    ``CCI = (tp3·n − Σtp3) · n / (0.015 · Σ|tp3ᵢ·n − Σtp3|)`` clears
+    every fraction (|tp3| ≤ ~3·10⁷ cents ⇒ products ≤ ~10¹⁰, int64-safe
+    at any corpus scale since n is the FIXED window width), so both
+    engines divide the same two exact numbers — output emitted raw.
+    Degenerate flat window (dev = 0) → 0.  Shrinking head (n < 20)
+    keeps the same identity, mirroring the rolling-mean W3 convention.
+    One symbol exchange; the array never exceeds 20 elements per row.
+    """
+    t = ticks(spark, sf_dir)
+    tp3 = (
+        F.round(F.col("high") * 100, 0).cast("long")
+        + F.round(F.col("low") * 100, 0).cast("long")
+        + F.round(F.col("close") * 100, 0).cast("long")
+    )
+    wf = _W().rowsBetween(-(_CCI_N - 1), 0)
+    arr = t.select(
+        "symbol", "date", "close", tp3.alias("tp3")
+    ).withColumn("a", F.collect_list("tp3").over(wf))
+    stats = arr.select(
+        "symbol",
+        "date",
+        "close",
+        "tp3",
+        F.size("a").cast("long").alias("n"),
+        F.expr("aggregate(a, 0L, (acc, x) -> acc + x)").alias("s3"),
+        F.expr(
+            "aggregate(a, 0L, (acc, x) -> acc +"
+            " abs(x * size(a) - aggregate(a, 0L, (q, y) -> q + y)))"
+        ).alias("dev"),
+    )
+    cci = F.when(F.col("dev") == 0, F.lit(0.0)).otherwise(
+        ((F.col("tp3") * F.col("n") - F.col("s3")) * F.col("n")).cast(
+            "double"
+        )
+        / (F.lit(0.015) * F.col("dev").cast("double"))
+    )
+    return stats.select("symbol", "date", "close", cci.alias("cci"))
+
+
+# ---------------------------------------------------------------------------
+# Aroon (25) — pure-integer days-since-extreme via reversed window array
+# ---------------------------------------------------------------------------
+
+_AROON_N = 25
+
+
+@register(
+    f"aroon_{_AROON_N}",
+    WITH_TICKS
+    + f""",
+    c AS (
+        SELECT symbol, date, close,
+               CAST(round(high * 100) AS BIGINT) AS hc,
+               CAST(round(low * 100) AS BIGINT)  AS lc
+        FROM ticks
+    ),
+    arr AS (
+        SELECT symbol, date, close,
+               list(hc) OVER w AS ha,
+               list(lc) OVER w AS la
+        FROM c
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN {_AROON_N} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date, close,
+           CASE WHEN len(ha) = {_AROON_N + 1} THEN
+               ({_AROON_N} - (list_position(list_reverse(ha),
+                                 list_aggregate(ha, 'max')) - 1)) * 4
+           END AS aroon_up,
+           CASE WHEN len(la) = {_AROON_N + 1} THEN
+               ({_AROON_N} - (list_position(list_reverse(la),
+                                 list_aggregate(la, 'min')) - 1)) * 4
+           END AS aroon_down
+    FROM arr
+    """,
+)
+def q_aroon(spark, sf_dir):
+    """Aroon up/down (25): 100 · (25 − days since the 25-bar high/low)
+    / 25 — which with N = 25 is the exact INTEGER (25 − d) · 4, so the
+    whole indicator is integer arithmetic with no float policy needed.
+
+    Days-since-extreme is another current-row-relative window question
+    (argmax POSITION, not value): the trailing 26-row window is
+    collected as a cents-integer array, reversed, and the FIRST position
+    of the max in the reversed array is the most-recent extreme —
+    giving the standard most-recent-tie-wins convention
+    deterministically in both engines (integer equality, no float
+    compare).  Head rows with fewer than 26 bars emit NULL (talib
+    convention).  One symbol exchange; arrays are ≤ 26 elements."""
+    t = ticks(spark, sf_dir)
+    wf = _W().rowsBetween(-_AROON_N, 0)
+    arr = t.select(
+        "symbol",
+        "date",
+        "close",
+        F.round(F.col("high") * 100, 0).cast("long").alias("hc"),
+        F.round(F.col("low") * 100, 0).cast("long").alias("lc"),
+    ).select(
+        "symbol",
+        "date",
+        "close",
+        F.collect_list("hc").over(wf).alias("ha"),
+        F.collect_list("lc").over(wf).alias("la"),
+    )
+    full = _AROON_N + 1
+
+    def _aroon(col: str, extreme: str):
+        return F.when(
+            F.size(col) == full,
+            (
+                F.lit(_AROON_N)
+                - (
+                    F.expr(
+                        f"array_position(reverse({col}), array_{extreme}({col}))"
+                    )
+                    - F.lit(1)
+                )
+            ).cast("int")
+            * F.lit(4),
+        )
+
+    return arr.select(
+        "symbol",
+        "date",
+        "close",
+        _aroon("ha", "max").alias("aroon_up"),
+        _aroon("la", "min").alias("aroon_down"),
+    )
