@@ -1,0 +1,304 @@
+r"""LLM-data-pipeline operators, part 2: cross-source dedup overlap,
+bigram-LM surprisal scoring, and label-centroid geometry.
+
+Extends ``registry_llm.py`` with three corpus-curation rollups a
+training-data team reaches for after the per-document signals exist:
+which SOURCES duplicate each other (overlap matrix), which documents an
+n-gram LM finds surprising (filtering signal), and how separable the
+label classes are in embedding space (centroid distance matrix).
+
+Float policy (oracles.py): counts and fingerprint sets are exact;
+surprisal is a per-doc AVG of exact-integer ratios → 6dp; centroid
+cosines quantize float32 embedding values to exact 1e-6 integers first
+so the only order-sensitive float reduction is the final ≤|dim|-term
+sum → 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.text import normalized_fingerprint
+from .registry import register
+from .sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Cross-source fingerprint overlap matrix
+# ---------------------------------------------------------------------------
+
+_OVERLAP_PLANT_N = 40  # docs 0..39 replanted under a shifted source
+
+
+@register(
+    "source_fingerprint_overlap",
+    rf"""
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'src' || CAST((doc_id + 7) % 20 AS VARCHAR) AS source, text
+        FROM documents WHERE doc_id < {_OVERLAP_PLANT_N}
+    ),
+    fp AS (
+        SELECT DISTINCT source,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        FROM corpus
+    ),
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+           s.n_shared * 1.0 / (pa.n_fp + pb.n_fp - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN per_src pa ON s.source_a = pa.source
+    JOIN per_src pb ON s.source_b = pb.source
+    """,
+)
+def q_source_fingerprint_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: for every source pair sharing at
+    least one exact content fingerprint, the shared-distinct count and
+    the Jaccard overlap of their fingerprint sets — the rollup that
+    tells a curation team which feeds are mirrors of each other.
+
+    The raw corpus has zero natural cross-source duplicates (the
+    dedup_exact_groups finding), so the registration plants the first 40
+    documents again under a deterministically shifted source
+    (``src{(id+7) % 20}``), mirrored in the oracle CTE — the positive
+    path is exercised at every verify scale and the planted pairs are
+    distinguishable by inspection.  Plan: distinct (source, md5) set
+    (one shuffle on the 16-byte digest), self-equi-join on fingerprint
+    with ``source_a < source_b`` (join fan-out per fingerprint is
+    bounded by |sources| — a duplicate shared by k sources yields
+    C(k,2) ≤ C(|sources|,2) pairs, independent of corpus size), then a
+    |sources|²-bounded aggregate.  Jaccard divides exact int64 counts
+    raw (identical doubles both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < _OVERLAP_PLANT_N).select(
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") + 7) % 20).cast("string")
+        ).alias("source"),
+        "text",
+    )
+    corpus = docs.select("source", "text").unionByName(planted)
+    fp = corpus.select(
+        "source", normalized_fingerprint(F.col("text")).alias("f")
+    ).distinct()
+    per_src = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), F.col("f").alias("fb"))
+    shared = (
+        a.join(b, (a.f == b.fb) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("sa"), F.col("n_fp").alias("n_fp_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("sb"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), F.col("source_a") == F.col("sa"))
+        .join(F.broadcast(pb), F.col("source_b") == F.col("sb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal score per document
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_bigram_surprisal",
+    r"""
+    WITH lt AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+        FROM lt, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2
+    ),
+    wt AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1)
+    SELECT bi.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(wt.c1 * 1.0 / bc.c2), 6) AS surprisal
+    FROM bi
+    JOIN bc USING (w1, w2)
+    JOIN wt USING (w1)
+    GROUP BY 1
+    """,
+)
+def q_doc_bigram_surprisal(spark, sf_dir):
+    """Per-document LM-surprisal proxy: the average INVERSE conditional
+    bigram probability 1/P(w2|w1) = c(w1)/c(w1,w2) over the document's
+    bigrams, under the corpus's own bigram model — high values mean the
+    document's word transitions are rare in the corpus (the classic
+    perplexity-based quality filter, log-free: libm ln() is a 1-ulp
+    trap across engines, and avg-inverse-probability is rank-equivalent
+    enough for filtering).
+
+    Plan: the (doc_id, w1, w2) bigram table is localCheckpoint-
+    materialized ONCE and shared by the count model (bc → wt rollups,
+    vocab²-bounded) and the per-doc scoring join — without it the
+    explode runs three times.  Each surprisal term is a division of two
+    exact int64 counts (identical doubles); the per-doc AVG is the one
+    order-sensitive reduction → 6dp per the float policy.  Joins
+    shuffle on (w1, w2) / w1; the scored table shuffles once on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bi = (
+        lt.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    wt = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(wt, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.col("c1") / F.col("c2")), 6).alias("surprisal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid cosine distance matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_centroid_distances",
+    """
+    WITH ex AS (
+        SELECT label, CAST(u.pos - 1 AS INTEGER) AS pos,
+               CAST(ROUND(CAST(u.val AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM (
+            SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ) u(label, val, pos)
+    ),
+    cen AS (
+        SELECT label, pos,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT label,
+               sqrt(SUM((s * 1.0 / n) * (s * 1.0 / n))) AS nrm
+        FROM cen GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM((a.s * 1.0 / a.n) * (b.s * 1.0 / b.n)) AS dot
+        FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS centroid_cosine
+    FROM dots d
+    JOIN norms na ON d.label_a = na.label
+    JOIN norms nb ON d.label_b = nb.label
+    """,
+)
+def q_label_centroid_distances(spark, sf_dir):
+    """Pairwise cosine similarity between label centroids — the class-
+    separability matrix behind embedding-space audits (labels whose
+    centroids are near-parallel are candidates for merging or
+    relabeling).
+
+    Exactness: float32 embedding values quantize to exact 1e-6 integers
+    BEFORE any aggregation, so each centroid component is the exact
+    rational Σq/n (bit-identical in both engines regardless of sum
+    order — the label_centroids 6dp-AVG policy is not tight enough to
+    SQUARE and re-sum, which is why this query re-derives centroids
+    exactly instead of composing with the rounded query).  The dot
+    products and norms then sum ≤|dim| identical doubles — the one
+    order-sensitive reduction — and the cosine rounds 6dp.  Plan: one
+    posexplode → (label, pos) aggregate (|labels|·|dim| rows at any
+    corpus size), then the pair join runs on pos over that bounded
+    table; output is C(|labels|, 2) rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("val").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    cen = ex.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    comp = (F.col("s") * 1.0 / F.col("n"))
+    norms = cen.groupBy("label").agg(
+        F.sqrt(F.sum(comp * comp)).alias("nrm")
+    )
+    a = cen.select(
+        F.col("label").alias("label_a"), "pos", comp.alias("ca")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        comp.alias("cb"),
+    )
+    dots = (
+        a.join(
+            b, (a.pos == b.pos_b) & (F.col("label_a") < F.col("label_b"))
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), F.col("label_a") == F.col("la"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("lb"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
