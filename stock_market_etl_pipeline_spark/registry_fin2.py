@@ -295,3 +295,115 @@ def q_aroon(spark, sf_dir):
         _aroon("ha", "max").alias("aroon_up"),
         _aroon("la", "min").alias("aroon_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) rolling anomaly detection — pure-integer
+# ---------------------------------------------------------------------------
+
+_ROB_N = 20   # trailing bars before current → 21-row window
+_ROB_K = 3    # flag beyond 3 × MAD
+
+
+@register(
+    "robust_price_anomalies",
+    WITH_TICKS
+    + f""",
+    c AS (
+        SELECT symbol, date, close,
+               CAST(round(close * 100) AS BIGINT) AS cc
+        FROM ticks
+    ),
+    arr AS (
+        SELECT symbol, date, close, cc,
+               list_sort(list(cc) OVER (PARTITION BY symbol ORDER BY date
+                   ROWS BETWEEN {_ROB_N} PRECEDING AND CURRENT ROW)) AS s
+        FROM c
+    ),
+    med AS (
+        SELECT symbol, date, close, cc, s, len(s) AS n,
+               CASE WHEN len(s) % 2 = 1 THEN 2 * s[(len(s) + 1) // 2]
+                    ELSE s[len(s) // 2] + s[len(s) // 2 + 1]
+               END AS med2
+        FROM arr
+    ),
+    dev AS (
+        SELECT symbol, date, close, cc, n, med2,
+               abs(2 * cc - med2) AS dev2,
+               list_sort(list_transform(s, v -> abs(2 * v - med2))) AS d
+        FROM med
+    ),
+    mad AS (
+        SELECT symbol, date, close, med2, dev2,
+               CASE WHEN n % 2 = 1 THEN 2 * d[(n + 1) // 2]
+                    ELSE d[n // 2] + d[n // 2 + 1]
+               END AS mad4
+        FROM dev
+    )
+    SELECT symbol, date, close,
+           med2 / 200.0 AS rolling_median,
+           mad4 / 400.0 AS rolling_mad,
+           CASE WHEN mad4 > 0 THEN (2.0 * dev2) / mad4 END AS robust_score
+    FROM mad
+    WHERE (mad4 > 0 AND 2 * dev2 > {_ROB_K} * mad4)
+       OR (mad4 = 0 AND dev2 > 0)
+    """,
+)
+def q_robust_price_anomalies(spark, sf_dir):
+    """Robust rolling anomaly detection: closes more than 3 rolling MADs
+    from the trailing 21-bar rolling MEDIAN — the outlier-resistant
+    complement to price_anomalies' mean/σ z-score (a single spike
+    inflates σ and masks itself; it cannot move the median).
+
+    PURE INTEGER end to end: cents are exact int64; the median is kept
+    ×2 (odd n → 2·mid, even n → sum of the two mids — no halves), the
+    MAD ×4, and the flag predicate cross-multiplies to
+    ``2·dev2 > k·mad4`` — so the flag decision is integer-exact and the
+    emitted score/median/MAD are single divisions of identical
+    integers (raw).  A flat window (MAD = 0) flags ANY deviation, the
+    standard degenerate-case convention.  Median-of-window is a third
+    current-row-relative window question (rank WITHIN the current
+    frame) solved with the same window-array pattern as CCI/Aroon:
+    sort the ≤21-element array JVM-side, index the middle — one symbol
+    exchange, no self-join, bounded per-row work at any corpus scale.
+    """
+    t = ticks(spark, sf_dir)
+    wf = _W().rowsBetween(-_ROB_N, 0)
+    arr = t.select(
+        "symbol",
+        "date",
+        "close",
+        F.round(F.col("close") * 100, 0).cast("long").alias("cc"),
+    ).withColumn("s", F.array_sort(F.collect_list("cc").over(wf)))
+
+    def _med2(col: str, n: str) -> str:
+        return (
+            f"CASE WHEN {n} % 2 = 1"
+            f" THEN 2 * element_at({col}, CAST(({n} + 1) div 2 AS INT))"
+            f" ELSE element_at({col}, CAST({n} div 2 AS INT))"
+            f" + element_at({col}, CAST({n} div 2 + 1 AS INT)) END"
+        )
+
+    med = arr.withColumn("n", F.size("s")).withColumn(
+        "med2", F.expr(_med2("s", "n")).cast("long")
+    )
+    dev = med.withColumn("dev2", F.abs(2 * F.col("cc") - F.col("med2"))).withColumn(
+        "d", F.expr("array_sort(transform(s, v -> abs(2 * v - med2)))")
+    )
+    mad = dev.withColumn("mad4", F.expr(_med2("d", "n")).cast("long"))
+    return (
+        mad.filter(
+            ((F.col("mad4") > 0) & (2 * F.col("dev2") > _ROB_K * F.col("mad4")))
+            | ((F.col("mad4") == 0) & (F.col("dev2") > 0))
+        )
+        .select(
+            "symbol",
+            "date",
+            "close",
+            (F.col("med2") / 200.0).alias("rolling_median"),
+            (F.col("mad4") / 400.0).alias("rolling_mad"),
+            F.when(
+                F.col("mad4") > 0, (2.0 * F.col("dev2")) / F.col("mad4")
+            ).alias("robust_score"),
+        )
+    )

@@ -156,3 +156,60 @@ def test_fin2_single_scan_single_exchange(spark, qs, name):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Window") == 1
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Robust median/MAD anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_robust_anomalies_flag_spike_but_not_drift(spark, monkeypatch):
+    """A single spike in an otherwise wiggling series must be flagged;
+    the spike must NOT mask itself (median resistance — the failure
+    mode of the mean/sigma z-score this op exists to fix)."""
+    closes = [100.0, 100.02, 99.98, 100.01, 99.99] * 5
+    closes[20] = 130.0  # spike
+    monkeypatch.setattr(fin2, "ticks", lambda s, d: _series(s, closes))
+    rows = sorted(
+        fin2.q_robust_price_anomalies(spark, SF_DIR).collect(),
+        key=lambda r: r["date"],
+    )
+    flagged = {r.close for r in rows}
+    assert 130.0 in flagged
+    for r in rows:
+        if r.close == 130.0:
+            # median unmoved by its own spike: stays at the 100-ish level
+            assert 99.9 < r.rolling_median < 100.1
+            assert r.robust_score > 3.0
+
+
+def test_robust_anomalies_flat_window_flags_any_move(spark, monkeypatch):
+    """MAD = 0 (flat history) → any deviation flags, with NULL score."""
+    closes = [50.0] * 10 + [50.01]
+    monkeypatch.setattr(fin2, "ticks", lambda s, d: _series(s, closes))
+    rows = fin2.q_robust_price_anomalies(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    assert rows[0].close == 50.01 and rows[0].robust_score is None
+    assert rows[0].rolling_mad == 0.0
+
+
+def test_robust_anomalies_median_exactness_even_window(spark, monkeypatch):
+    """Even-count window: median is the exact mean of the two mid cents
+    (the ×2 trick — no float halves)."""
+    closes = [10.0, 20.0]  # window at row 2 = [1000, 2000] cents → med 15.00
+    monkeypatch.setattr(fin2, "ticks", lambda s, d: _series(s, closes))
+    rows = sorted(
+        fin2.q_robust_price_anomalies(spark, SF_DIR).collect(),
+        key=lambda r: r["date"],
+    )
+    # row 2: dev2 = |2·2000 − 3000| = 1000; d = [1000,1000] → mad4 = 2000
+    # 2·dev2 = 2000 ≤ 3·mad4 → NOT flagged; row 1 dev2=0 → not flagged
+    assert rows == []
+
+
+def test_robust_anomalies_plan_single_exchange(spark, qs):
+    plan = plan_of(qs["robust_price_anomalies"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
+    assert "SortMergeJoin" not in plan
