@@ -302,3 +302,88 @@ def q_label_centroid_distances(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness (composition of exact daily + sliding distinct)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dau_mau_stickiness",
+    """
+    WITH bounds AS (
+        SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+    ),
+    ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ),
+    covered AS (
+        SELECT ud.user_id, ud.day + CAST(g.i AS INTEGER) AS cover_day
+        FROM ud, UNNEST(generate_series(0, 29)) AS g(i), bounds
+        WHERE ud.day + CAST(g.i AS INTEGER) <= bounds.max_day
+    ),
+    mau AS (
+        SELECT cover_day AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau_30d
+        FROM covered GROUP BY 1
+    )
+    SELECT m.day, COALESCE(d.dau, 0) AS dau, m.mau_30d,
+           COALESCE(d.dau, 0) * 1.0 / m.mau_30d AS stickiness
+    FROM mau m LEFT JOIN dau d USING (day)
+    """,
+)
+def q_dau_mau_stickiness(spark, sf_dir):
+    """Product-health stickiness curve: DAU / trailing-30-day MAU per
+    day (the classic engagement ratio), composing the exact daily
+    distinct with the covered-day sliding distinct of
+    ``rolling_active_users``.
+
+    The DEDUPLICATED (user, day) table is localCheckpoint-materialized
+    ONCE and shared by the DAU rollup and the 30× coverage explode —
+    events are scanned once, and everything downstream of the distinct
+    works on the collapsed table.  Days inside the window of a prior
+    active day but with no events of their own get DAU = 0 via the LEFT
+    join (MAU > 0 by construction for every emitted day, so the ratio
+    is total).  Counts are exact int64; stickiness divides them raw
+    (identical doubles).  Cite: the covered-day identity is documented
+    at registry_ext3.q_rolling_active_users; this query is its
+    composition certificate.
+    """
+    from .sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covered = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
+            ).alias("cover_day"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("cover_day") <= F.col("max_day"))
+    )
+    mau = covered.groupBy(F.col("cover_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("mau_30d")
+    )
+    return (
+        mau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "mau_30d",
+            (
+                F.coalesce(F.col("dau"), F.lit(0)) * F.lit(1.0)
+                / F.col("mau_30d")
+            ).alias("stickiness"),
+        )
+    )

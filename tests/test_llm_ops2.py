@@ -145,3 +145,32 @@ def test_surprisal_single_checkpointed_explode(spark, qs):
     plan = plan_of(qs["doc_bigram_surprisal"](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 0
     assert count_nodes(plan, "Generate") == 0
+
+
+# ---------------------------------------------------------------------------
+# dau_mau_stickiness
+# ---------------------------------------------------------------------------
+
+
+def test_stickiness_bounds_and_consistency(spark, qs):
+    """0 < stickiness ≤ 1, DAU ≤ MAU, and the MAU column must agree
+    row-for-row with rolling_active_users (the composition claim)."""
+    rows = qs["dau_mau_stickiness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dau <= r.mau_30d
+        assert 0.0 <= r.stickiness <= 1.0
+        assert r.stickiness == pytest.approx(r.dau / r.mau_30d, abs=0)
+    mau_ref = {
+        r.day: r.mau_30d
+        for r in qs["rolling_active_users"](spark, SF_DIR).collect()
+    }
+    assert {r.day: r.mau_30d for r in rows} == mau_ref
+
+
+def test_stickiness_single_events_scan_via_checkpoint(spark, qs):
+    """The deduplicated user-day table is checkpoint-shared by DAU and
+    the coverage explode; only the bounds aggregate re-reads events →
+    exactly one parquet scan in the final plan."""
+    plan = plan_of(qs["dau_mau_stickiness"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
