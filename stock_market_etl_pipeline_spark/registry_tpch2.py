@@ -614,3 +614,80 @@ def q_sole_last_supplier_orders(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_orders_waited"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: dominant supplier per part (nested aggregate + majority cut)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_ps
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+        SELECT l_partkey,
+               CAST(SUM(qty_ps) AS BIGINT) AS qty_p,
+               COUNT(*) AS n_supp
+        FROM ps GROUP BY 1
+    )
+    SELECT ps.l_partkey, ps.l_suppkey, s.s_name,
+           ps.qty_ps, pt.qty_p, pt.n_supp,
+           ps.qty_ps * 1.0 / pt.qty_p AS share
+    FROM ps
+    JOIN pt USING (l_partkey)
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE pt.n_supp >= 2 AND ps.qty_ps * pt.n_supp > 3 * pt.qty_p
+    """,
+)
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than 3× their FAIR
+    SHARE of a part's total quantity, among parts served by ≥2
+    suppliers — the supply-concentration risk report (Q20's
+    excess-availqty predicate adapted: no partsupp.ps_availqty exists,
+    so excess-over-fair-share of shipped volume substitutes, stated; a
+    strict-majority cut is vacuous on this data's near-uniform supplier
+    mix — 0 rows at every verify scale — while 3× fair share selects
+    3/360/761 rows at sf0.001/0.01/0.1, pinned by the registry test).
+
+    The nested aggregate derives the per-part total FROM the
+    (part, supplier) rollup — never a second fact scan — and the rollup
+    is localCheckpoint-materialized so the totals branch and the probe
+    branch share it (|rollup| ≈ avg-suppliers-per-part · |parts|,
+    dim-scale).  The fair-share cut cross-multiplies to exact int64
+    (``qty_ps·n_supp > 3·qty_p``); the n_supp ≥ 2 guard keeps
+    single-source parts out.  Share divides exact ints raw; supplier
+    names broadcast onto the winners only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("qty_ps"))
+        .localCheckpoint(eager=True)
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty_ps").alias("qty_p"), F.count(F.lit(1)).alias("n_supp")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(pt, ps.l_partkey == pt.pt_partkey)
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("qty_ps") * F.col("n_supp") > 3 * F.col("qty_p"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            "qty_ps",
+            "qty_p",
+            "n_supp",
+            (F.col("qty_ps") * 1.0 / F.col("qty_p")).alias("share"),
+        )
+    )

@@ -541,3 +541,14 @@ def test_q7_nation_pair_single_exchange_all_dims_broadcast(spark, qs):
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Window") == 0
     assert count_nodes(plan, "BroadcastHashJoin") >= 4
+
+
+def test_q20_totals_derive_from_checkpointed_rollup(spark, qs):
+    """dominant_part_suppliers: the per-part totals must derive from the
+    checkpointed (part, supplier) rollup, never a second fact scan —
+    only the supplier dim scan remains in the plan."""
+    plan = plan_of(qs["dominant_part_suppliers"](spark, SF_DIR))
+    scans = re.findall(r"Location: [^\n]*?(\w+)\.parquet", plan)
+    assert scans.count("lineitem") == 0, scans
+    assert scans.count("supplier") == 1, scans
+    assert count_nodes(plan, "SortMergeJoin") == 0

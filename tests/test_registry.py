@@ -89,3 +89,13 @@ def test_tpch2_shapes_nonvacuous(spark):
     # the one-row scalar must actually count matched lines
     row = qs["disjunctive_band_revenue"](spark, SF_DIR).collect()[0]
     assert row.n_lines > 0 and row.band_revenue > 0
+
+
+def test_dominant_part_suppliers_nonvacuous_and_majority(spark):
+    qs = registry.queries()
+    rows = qs["dominant_part_suppliers"](spark, SF_DIR).collect()
+    assert len(rows) >= 1, "vacuously green: no over-share supplier"
+    for r in rows:
+        assert r.n_supp >= 2
+        assert r.qty_ps * r.n_supp > 3 * r.qty_p
+        assert 3.0 / r.n_supp < r.share <= 1.0

@@ -103,6 +103,24 @@ DEFAULT_QUERIES = [
     "enriched_features_skew_safe",
     "rolling_beta_20",
     "rolling_corr_20",
+    # round-5 second-continuation additions
+    "nation_pair_trade",
+    "product_profit_by_nation_year",
+    "important_parts_value",
+    "top_supplier_revenue",
+    "supplier_count_by_part_attrs",
+    "disjunctive_band_revenue",
+    "min_cost_supplier_per_part",
+    "sole_last_supplier_orders",
+    "williams_r_14",
+    "roc_12",
+    "cci_20",
+    "aroon_25",
+    "robust_price_anomalies",
+    "source_fingerprint_overlap",
+    "doc_bigram_surprisal",
+    "label_centroid_distances",
+    "dau_mau_stickiness",
 ]
 
 
