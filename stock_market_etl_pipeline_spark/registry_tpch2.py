@@ -691,3 +691,65 @@ def q_dominant_part_suppliers(spark, sf_dir):
             (F.col("qty_ps") * 1.0 / F.col("qty_p")).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value curves (first-order cohort × order-age revenue)
+# ---------------------------------------------------------------------------
+
+@register(
+    "clv_cohort_revenue",
+    """
+    WITH co AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+                   AS cohort_month
+        FROM orders GROUP BY 1
+    )
+    SELECT co.cohort_month,
+           CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                - (year(co.cohort_month) * 12 + month(co.cohort_month))
+                AS INTEGER) AS age_months,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) / 100.0 AS revenue
+    FROM orders o JOIN co ON o.o_custkey = co.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_clv_cohort_revenue(spark, sf_dir):
+    """Customer-lifetime-value cohort curves: customers are cohorted by
+    their FIRST order month, and every later order contributes revenue
+    at its month-age relative to that cohort — the standard retention-
+    revenue triangle (cohort × age) behind LTV reporting (the orders-
+    table analog of the events-table ``user_retention_cohorts``).
+
+    Plan: the cohort assignment is a per-custkey MIN aggregate joined
+    back to orders ON THE SAME custkey — both sides hash-partition on
+    the one key, so the fact shuffles once and the triangle aggregate
+    (≤ |months|² groups) is map-side-combinable.  Month age is pure
+    integer calendar arithmetic (y·12+m differences — no float dates);
+    revenue sums exact cents of o_totalprice (2dp money, NOTES rule
+    10).  Output is bounded by the square of the observed month span at
+    any corpus scale.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    co = o.groupBy(F.col("o_custkey").alias("co_custkey")).agg(
+        F.trunc(F.min("o_orderdate").cast("date"), "MM").alias("cohort_month")
+    )
+    age = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("int")
+    return (
+        o.join(co, o.o_custkey == co.co_custkey)
+        .groupBy("cohort_month", age.alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        )
+    )

@@ -552,3 +552,14 @@ def test_q20_totals_derive_from_checkpointed_rollup(spark, qs):
     assert scans.count("lineitem") == 0, scans
     assert scans.count("supplier") == 1, scans
     assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_clv_cohort_one_custkey_shuffle(spark, qs):
+    """The cohort MIN and its join-back ride the same custkey
+    partitioning; orders is the only fact and the cohort side must not
+    introduce a sort-merge with extra exchanges beyond the two
+    custkey/group aggregates."""
+    plan = plan_of(qs["clv_cohort_revenue"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") <= 2  # orders twice max (agg + probe)
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "Window") == 0

@@ -121,6 +121,8 @@ DEFAULT_QUERIES = [
     "doc_bigram_surprisal",
     "label_centroid_distances",
     "dau_mau_stickiness",
+    "dominant_part_suppliers",
+    "clv_cohort_revenue",
 ]
 
 
