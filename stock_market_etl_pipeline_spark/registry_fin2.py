@@ -185,17 +185,18 @@ def q_cci(spark, sf_dir):
     arr = t.select(
         "symbol", "date", "close", tp3.alias("tp3")
     ).withColumn("a", F.collect_list("tp3").over(wf))
-    stats = arr.select(
-        "symbol",
-        "date",
-        "close",
-        "tp3",
-        F.size("a").cast("long").alias("n"),
-        F.expr("aggregate(a, 0L, (acc, x) -> acc + x)").alias("s3"),
-        F.expr(
-            "aggregate(a, 0L, (acc, x) -> acc +"
-            " abs(x * size(a) - aggregate(a, 0L, (q, y) -> q + y)))"
-        ).alias("dev"),
+    # n/s3 first, dev in a second projection REFERENCING them: a lambda
+    # that re-derived the sum per element would be O(n²) per row (the
+    # sf1 sweep measured it at ×4 for 10× rows; this form is O(n))
+    stats = (
+        arr.withColumn("n", F.size("a").cast("long"))
+        .withColumn(
+            "s3", F.expr("aggregate(a, 0L, (acc, x) -> acc + x)")
+        )
+        .withColumn(
+            "dev",
+            F.expr("aggregate(a, 0L, (acc, x) -> acc + abs(x * n - s3))"),
+        )
     )
     cci = F.when(F.col("dev") == 0, F.lit(0.0)).otherwise(
         ((F.col("tp3") * F.col("n") - F.col("s3")) * F.col("n")).cast(
@@ -363,34 +364,47 @@ def q_robust_price_anomalies(spark, sf_dir):
     integers (raw).  A flat window (MAD = 0) flags ANY deviation, the
     standard degenerate-case convention.  Median-of-window is a third
     current-row-relative window question (rank WITHIN the current
-    frame) solved with the same window-array pattern as CCI/Aroon:
-    sort the ≤21-element array JVM-side, index the middle — one symbol
+    frame): the PRICE median rides the native ``percentile`` window
+    aggregate (whole-stage-codegen'd, no array; its (a+b)/2
+    interpolation over ints is exactly med2/2, so ×2 recovers the exact
+    integer), and only the DEVIATION median — whose input depends on
+    the current row's med2 — needs the CCI/Aroon window-array pattern
+    (one transform + one sort over ≤21 elements; higher-order functions
+    evaluate interpreted, so dropping the first sort + the per-element
+    median re-derivation took the query 21.7 s → 3.4 s at sf0.1 and
+    ×2.79 → ×1.64 at sf1, measured in the r5 sweep).  One symbol
     exchange, no self-join, bounded per-row work at any corpus scale.
     """
     t = ticks(spark, sf_dir)
     wf = _W().rowsBetween(-_ROB_N, 0)
-    arr = t.select(
-        "symbol",
-        "date",
-        "close",
-        F.round(F.col("close") * 100, 0).cast("long").alias("cc"),
-    ).withColumn("s", F.array_sort(F.collect_list("cc").over(wf)))
-
-    def _med2(col: str, n: str) -> str:
-        return (
-            f"CASE WHEN {n} % 2 = 1"
-            f" THEN 2 * element_at({col}, CAST(({n} + 1) div 2 AS INT))"
-            f" ELSE element_at({col}, CAST({n} div 2 AS INT))"
-            f" + element_at({col}, CAST({n} div 2 + 1 AS INT)) END"
+    arr = (
+        t.select(
+            "symbol",
+            "date",
+            "close",
+            F.round(F.col("close") * 100, 0).cast("long").alias("cc"),
         )
-
-    med = arr.withColumn("n", F.size("s")).withColumn(
-        "med2", F.expr(_med2("s", "n")).cast("long")
+        .withColumn("a", F.collect_list("cc").over(wf))
+        .withColumn(
+            "med2",
+            F.round(F.expr("percentile(cc, 0.5)").over(wf) * 2, 0).cast(
+                "long"
+            ),
+        )
     )
+    med = arr.withColumn("n", F.size("a"))
     dev = med.withColumn("dev2", F.abs(2 * F.col("cc") - F.col("med2"))).withColumn(
-        "d", F.expr("array_sort(transform(s, v -> abs(2 * v - med2)))")
+        "d", F.expr("array_sort(transform(a, v -> abs(2 * v - med2)))")
     )
-    mad = dev.withColumn("mad4", F.expr(_med2("d", "n")).cast("long"))
+    mad = dev.withColumn(
+        "mad4",
+        F.expr(
+            "CASE WHEN n % 2 = 1"
+            " THEN 2 * element_at(d, CAST((n + 1) div 2 AS INT))"
+            " ELSE element_at(d, CAST(n div 2 AS INT))"
+            " + element_at(d, CAST(n div 2 + 1 AS INT)) END"
+        ).cast("long"),
+    )
     return (
         mad.filter(
             ((F.col("mad4") > 0) & (2 * F.col("dev2") > _ROB_K * F.col("mad4")))
