@@ -340,3 +340,122 @@ def test_underwater_streaks_matches_reference(spark, closes):
     assert (r.end_date - dt.date(2024, 1, 1)).days == ref["end"]
     assert r.n_streaks == ref["n_streaks"]
     assert r.underwater_days == ref["underwater_days"]
+
+
+def ref_robust_anomalies(closes, n=20, k=3):
+    """Sequential reference for robust_price_anomalies (x2/x4 integer
+    medians, most-recent window of n preceding + current)."""
+    cents = [round(c * 100) for c in closes]
+    flagged = []
+    for i, cc in enumerate(cents):
+        w = sorted(cents[max(0, i - n): i + 1])
+        m = len(w)
+        med2 = 2 * w[(m - 1) // 2] if m % 2 == 1 else w[m // 2 - 1] + w[m // 2]
+        dev2 = abs(2 * cc - med2)
+        d = sorted(abs(2 * v - med2) for v in w)
+        mad4 = 2 * d[(m - 1) // 2] if m % 2 == 1 else d[m // 2 - 1] + d[m // 2]
+        if (mad4 > 0 and 2 * dev2 > k * mad4) or (mad4 == 0 and dev2 > 0):
+            flagged.append((i, med2, mad4, dev2))
+    return flagged
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=12).map(lambda c: c * 10.0),
+        min_size=1,
+        max_size=45,
+    )
+)
+def test_robust_anomalies_match_reference(spark, closes):
+    """Coarse-grid walks (flat windows, ties, even/odd frame sizes all
+    common) — the percentile-window + array-median plan must agree with
+    the sequential integer reference, including the MAD=0 branch."""
+    import datetime as dt
+
+    import stock_market_etl_pipeline_spark.registry_fin2 as fin2
+
+    rows = [
+        ("S", dt.date(2024, 1, 1) + dt.timedelta(days=i), c, c, c)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, date date, high double, low double, close double"
+    )
+    orig = fin2.ticks
+    fin2.ticks = lambda s, d: df
+    try:
+        out = sorted(
+            fin2.q_robust_price_anomalies(spark, "unused").collect(),
+            key=lambda r: r["date"],
+        )
+    finally:
+        fin2.ticks = orig
+    ref = ref_robust_anomalies(closes)
+    assert len(out) == len(ref)
+    for r, (i, med2, mad4, dev2) in zip(out, ref):
+        assert (r["date"] - dt.date(2024, 1, 1)).days == i
+        assert r.rolling_median == med2 / 200.0
+        assert r.rolling_mad == mad4 / 400.0
+        if mad4 > 0:
+            assert r.robust_score == (2.0 * dev2) / mad4
+        else:
+            assert r.robust_score is None
+
+
+def ref_aroon(highs, lows, n=25):
+    """Sequential reference: (n - days since most-recent extreme) * 4
+    over full (n+1)-bar windows, None otherwise."""
+    hc = [round(h * 100) for h in highs]
+    lc = [round(x * 100) for x in lows]
+    out = []
+    for i in range(len(hc)):
+        if i < n:
+            out.append((None, None))
+            continue
+        wh = hc[i - n: i + 1]
+        wl = lc[i - n: i + 1]
+        d_hi = n - max(j for j, v in enumerate(wh) if v == max(wh))
+        d_lo = n - max(j for j, v in enumerate(wl) if v == min(wl))
+        out.append(((n - d_hi) * 4, (n - d_lo) * 4))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=5, max_value=9),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_aroon_matches_reference(spark, bars):
+    """Coarse high/low walks (extreme ties everywhere) — the
+    struct-argmax windows must agree with the sequential most-recent-
+    tie-wins reference."""
+    import datetime as dt
+
+    import stock_market_etl_pipeline_spark.registry_fin2 as fin2
+
+    highs = [h * 10.0 for h, _ in bars]
+    lows = [l * 10.0 for _, l in bars]
+    rows = [
+        ("S", dt.date(2024, 1, 1) + dt.timedelta(days=i), h, lo, (h + lo) / 2)
+        for i, (h, lo) in enumerate(zip(highs, lows))
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, date date, high double, low double, close double"
+    )
+    orig = fin2.ticks
+    fin2.ticks = lambda s, d: df
+    try:
+        out = sorted(
+            fin2.q_aroon(spark, "unused").collect(), key=lambda r: r["date"]
+        )
+    finally:
+        fin2.ticks = orig
+    ref = ref_aroon(highs, lows)
+    assert [(r.aroon_up, r.aroon_down) for r in out] == ref
