@@ -387,3 +387,126 @@ def q_dau_mau_stickiness(spark, sf_dir):
             ).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram-level benchmark contamination (partial-leak decontamination)
+# ---------------------------------------------------------------------------
+
+_BENCH_N = 50       # doc_id < 50 plays the held-out benchmark set
+_LEAK_N = 20        # the first 20 benchmark docs are partially leaked
+_CONTAM_K = 8       # 8-token grams, the common decontamination unit
+
+
+@register(
+    "contamination_ngram_coverage",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    leaked AS (
+        SELECT doc_id + 20000000 AS doc_id,
+               t[1:greatest(len(t) * 2 // 5, 0)] AS t
+        FROM toks WHERE doc_id < {_LEAK_N}
+    ),
+    corpus_t AS (
+        SELECT doc_id, t FROM toks WHERE doc_id >= {_BENCH_N}
+        UNION ALL SELECT doc_id, t FROM leaked
+    ),
+    bench_g AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                   t[i:i+{_CONTAM_K - 1}], ' ')), 1, 15))::BIGINT AS h
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - {_CONTAM_K - 1}, 0)))
+                 AS g(i)
+        WHERE doc_id < {_BENCH_N}
+    ),
+    corpus_g AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(array_to_string(
+                   t[i:i+{_CONTAM_K - 1}], ' ')), 1, 15))::BIGINT AS h
+        FROM corpus_t,
+             UNNEST(generate_series(1, greatest(len(t) - {_CONTAM_K - 1}, 0)))
+                 AS g(i)
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM bench_g GROUP BY 1
+    ),
+    hits AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM bench_g b WHERE b.h IN (SELECT h FROM corpus_g)
+        GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           COALESCE(h.n_contaminated, 0) * 1.0 / t.n_grams
+               AS contamination_rate
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination_ngram_coverage(spark, sf_dir):
+    """N-gram-level benchmark decontamination: for every held-out
+    benchmark document, the fraction of its DISTINCT 8-token grams that
+    appear anywhere in the training corpus — the standard partial-leak
+    metric (a paraphrased or truncated leak moves this; the exact-hash
+    `benchmark_contamination` needle screen cannot see it).
+
+    Benchmark set = docs 0..49 (deterministic stand-in for an eval
+    suite).  The registration additionally plants CONTROLLED partial
+    leaks — the first 40% of each of docs 0..19 re-enters the corpus as
+    a new document (mirrored in the oracle CTE) — so those docs are
+    guaranteed a positive prefix-shaped rate (~0.17-0.24 observed, the
+    gram-count fraction of a 40% token prefix); docs 20..49 measure the
+    corpus's NATURAL overlap, which is nonzero for some (the testdata's
+    long-prefix containment families, the same ones
+    dedup_prefix_containment detects) — exactly what a real
+    decontamination pass should surface.
+    Plan: grams hash to 60 bits BEFORE any exchange (the
+    span_duplication_rate lesson — ~120-byte string keys went ×12 at
+    sf10), the corpus gram set is ONE distinct on the 8-byte hash, and
+    the membership probe is a LEFT SEMI co-partitioned on that hash;
+    per-doc totals and hits then aggregate on doc_id.  Counts are exact
+    int64; the rate divides them raw.  Collision risk 2⁻⁶⁰·n² —
+    immaterial for a rate.
+    """
+    from .functions.text import md5_hash60, word_shingles_all, ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    leaked = toks.filter(F.col("doc_id") < _LEAK_N).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.expr("slice(t, 1, greatest(size(t) * 2 div 5, 0))").alias("t"),
+    )
+    corpus_t = toks.filter(F.col("doc_id") >= _BENCH_N).unionByName(leaked)
+
+    def grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(word_shingles_all(F.col("t"), _CONTAM_K)).alias("g"),
+        ).select("doc_id", md5_hash60(F.col("g")).alias("h"))
+
+    bench_g = grams(toks.filter(F.col("doc_id") < _BENCH_N)).distinct()
+    corpus_g = grams(corpus_t).select("h").distinct()
+    totals = bench_g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        bench_g.join(corpus_g, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+            "n_contaminated"
+        ),
+        (
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            * F.lit(1.0)
+            / F.col("n_grams")
+        ).alias("contamination_rate"),
+    )

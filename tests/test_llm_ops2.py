@@ -174,3 +174,35 @@ def test_stickiness_single_events_scan_via_checkpoint(spark, qs):
     exactly one parquet scan in the final plan."""
     plan = plan_of(qs["dau_mau_stickiness"](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# contamination_ngram_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_planted_leaks_positive(spark, qs):
+    """All 50 benchmark docs report; every planted-leak doc (0..19) has
+    a positive rate bounded by its 40%-prefix gram fraction; counts are
+    internally consistent."""
+    rows = {r.doc_id: r for r in qs["contamination_ngram_coverage"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(50))
+    for i in range(20):
+        r = rows[i]
+        assert r.n_contaminated > 0, f"doc {i}: planted leak not detected"
+        assert 0.0 < r.contamination_rate <= 1.0
+    for r in rows.values():
+        assert 0 <= r.n_contaminated <= r.n_grams
+        assert r.contamination_rate == pytest.approx(
+            r.n_contaminated / r.n_grams, abs=0
+        )
+
+
+def test_contamination_semi_join_on_hashed_grams(spark, qs):
+    """The membership probe must be a LEFT SEMI on the 60-bit gram hash
+    (8-byte shuffle keys — the span_duplication_rate lesson), never a
+    nested loop."""
+    plan = plan_of(qs["contamination_ngram_coverage"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0

@@ -123,6 +123,7 @@ DEFAULT_QUERIES = [
     "dau_mau_stickiness",
     "dominant_part_suppliers",
     "clv_cohort_revenue",
+    "contamination_ngram_coverage",
 ]
 
 
