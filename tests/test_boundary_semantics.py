@@ -426,3 +426,77 @@ def test_temperature_mix_uniform_strata_all_rates_exactly_one(spark):
         F.sqrt(F.col("min_n").cast("double") / F.col("n_total")).alias("rate"),
     )
     assert all(r["rate"] == 1.0 for r in rates.collect())
+
+
+# ---------------------------------------------------------------------------
+# Q21 sole-last-supplier: exact timestamp tie at µs resolution
+# ---------------------------------------------------------------------------
+
+
+def test_sole_last_supplier_exact_timestamp_tie_drops_order(spark, monkeypatch):
+    """Two suppliers whose final ship timestamps tie to the microsecond:
+    NOBODY is strictly last, so the order contributes to no supplier —
+    the n_at_max = 1 predicate is what makes the result deterministic.
+    A 1µs separation flips the order back in, for the later supplier."""
+    import stock_market_etl_pipeline_spark.registry_tpch2 as t2
+
+    t = dt.datetime(1996, 6, 1, 12, 0, 0, 250_000)
+    us = dt.timedelta(microseconds=1)
+    li = spark.createDataFrame(
+        [
+            # order 1: suppliers 1 and 2 tie exactly → dropped
+            (1, 1, t), (1, 2, t), (1, 2, t - us),
+            # order 2: supplier 2 ships 1µs later than supplier 1 → counted
+            (2, 1, t), (2, 2, t + us),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    sup = spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string"
+    )
+    tables = {"lineitem": li, "supplier": sup}
+    monkeypatch.setattr(t2, "load_table", lambda s, d, n: tables[n])
+    rows = t2.q_sole_last_supplier_orders(spark, SF_DIR).collect()
+    assert {(r.s_suppkey, r.n_orders_waited) for r in rows} == {(2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Q2 argmin: exact unit-price tie breaks to MIN suppkey
+# ---------------------------------------------------------------------------
+
+
+def test_min_cost_supplier_unit_price_tie_takes_min_suppkey(spark, monkeypatch):
+    """Two suppliers offer the identical exact unit price (same
+    micro-dollar integer): the struct-argmin must pick the SMALLER
+    suppkey, and a 1-micro cheaper third supplier must win outright."""
+    import stock_market_etl_pipeline_spark.registry_tpch2 as t2
+
+    li = spark.createDataFrame(
+        [
+            # part 1: suppliers 7 and 3 tie at 5_000_000 micros/unit
+            (1, 7, 2.0, 10.00), (1, 3, 4.0, 20.00),
+            # part 2: sub-cent price differences quantize AWAY (money is
+            # 2dp by contract: cents(4.999999) == cents(5.00) == 500, a
+            # tie → min suppkey 1); a real cent (4.99) separates them
+            (2, 9, 1.0, 4.999999), (2, 1, 1.0, 5.00), (2, 5, 1.0, 4.99),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "p1"), (2, "p2")], "p_partkey long, p_name string"
+    )
+    sup = spark.createDataFrame(
+        [(i, f"S{i}", 0) for i in (1, 3, 5, 7, 9)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nat = spark.createDataFrame(
+        [(0, "ZION")], "n_nationkey int, n_name string"
+    )
+    tables = {"lineitem": li, "part": part, "supplier": sup, "nation": nat}
+    monkeypatch.setattr(t2, "load_table", lambda s, d, n: tables[n])
+    rows = {r.p_partkey: r for r in t2.q_min_cost_supplier_per_part(spark, SF_DIR).collect()}
+    assert rows[1].best_suppkey == 3          # exact tie → min suppkey
+    assert rows[1].min_unit_micros == 5_000_000
+    assert rows[2].best_suppkey == 5          # one real cent cheaper wins
+    assert rows[2].min_unit_micros == 4_990_000
