@@ -437,3 +437,86 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the 4×-smaller storage/scan path
+# ---------------------------------------------------------------------------
+
+def quantize_int8(arr: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_j = ⌊x_j·127/s + 0.5⌋
+    with s = max|x_j| (so q ∈ [-127, 127] and at least one |q| = 127).
+
+    Portability (NOTES rule 11): the chain is mul → div → add → floor —
+    each a single correctly-rounded IEEE op on identical doubles, and the
+    ``+ 0.5`` follows a DIVISION so no engine can FMA-contract it; ⌊t+0.5⌋
+    is explicit half-up rounding, immune to the engines' differing
+    ROUND(double) conventions (NOTES rule 5). Zero vectors (s = 0) are the
+    caller's concern — quantized cosine is undefined for them.
+    """
+    s = F.array_max(F.transform(arr, F.abs))
+    return F.transform(
+        arr, lambda x: F.floor(x * F.lit(127.0) / s + F.lit(0.5)).cast("long")
+    )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k over int8-QUANTIZED vectors — exact integer dot
+    products and norms (≤ 127²·dim per term, overflow-free in int64),
+    closed by sqrt/mul/div on identical exact integers (bit-portable,
+    the rolling_corr_20 pattern).
+
+    The 100 TB story: int8 vectors are 4× smaller than float32 — 4× less
+    scan IO and shuffle for the same brute-force sweep — at a recall cost
+    certified against the exact ``cosine_topk`` baseline in
+    tests/test_llm_ops3.py. Same plan shape as the exact path: broadcast
+    query side, embarrassingly-parallel corpus scan, per-query top-k
+    window. Zero-scale vectors are excluded on both engines (cosine is
+    undefined for them).
+    """
+    emb = _spread(embeddings).select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.filter(
+        F.array_max(F.transform("v", F.abs)) > 0
+    ).select("vec_id", quantize_int8(F.col("v")).alias("q"))
+    qside = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def inorm(c: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.col(c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ).cast("double")
+        )
+
+    scored = (
+        emb.crossJoin(F.broadcast(qside))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(idot.cast("double") / (inorm("qq") * inorm("q")), 6).alias(
+                "score_q"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("nn_rank") <= k)
+    )

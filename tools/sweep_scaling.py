@@ -124,6 +124,10 @@ DEFAULT_QUERIES = [
     "dominant_part_suppliers",
     "clv_cohort_revenue",
     "contamination_ngram_coverage",
+    # round-5 third-continuation additions
+    "priority_sample_docs",
+    "tfidf_shingle_pairs",
+    "embedding_quantized_topk",
 ]
 
 
