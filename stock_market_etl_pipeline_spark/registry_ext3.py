@@ -1330,3 +1330,161 @@ def q_rolling_active_users(spark, sf_dir):
     return covered.groupBy(F.col("cover_day").alias("day")).agg(
         F.countDistinct("user_id").alias("mau_30d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase attribution (last-touch within a window)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7 days in epoch micros
+
+
+@register(
+    "purchase_attribution",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER w
+                   AS touch_us,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+        SELECT CASE WHEN touch_us IS NOT NULL
+                     AND epoch_us(ts) - touch_us <= {_ATTR_WINDOW_US}
+                    THEN touch_type ELSE 'organic' END AS attributed_to,
+               value
+        FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT attributed_to,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS attributed_value
+    FROM attributed GROUP BY attributed_to
+    """,
+)
+def q_purchase_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent NON-purchase event within the preceding 7 days (ties on
+    ts broken by event_id, the registry's event order everywhere);
+    purchases with no qualifying touch are 'organic'. Output: purchases
+    and exact-cents revenue per attributed touch type.
+
+    Plan: ONE (user_id) hash exchange drives the ignore-nulls last_value
+    over the strictly-preceding frame (the as-of pattern from
+    operators/asof.py applied within one table — no join at all), then a
+    tiny groupBy on ≤|event types|+1 keys. The running frame carries two
+    scalar last-values, not a buffer, so state per row is O(1) and the
+    plan is linear at any event volume. Money via exact cents (NOTES
+    rule 10); the window arithmetic is exact int64 epoch micros.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(
+            F.when(not_purchase, F.unix_micros("ts")), ignorenulls=True
+        ).over(w).alias("touch_us"),
+        F.last(
+            F.when(not_purchase, F.col("event_type")), ignorenulls=True
+        ).over(w).alias("touch_type"),
+    )
+    attributed = ordered.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_us").isNotNull()
+            & (F.unix_micros("ts") - F.col("touch_us") <= _ATTR_WINDOW_US),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("organic"))
+        .alias("attributed_to"),
+        "value",
+    )
+    return attributed.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                "bigint"
+            )
+            / 100.0
+        ).alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signup → first-purchase conversion lag histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "signup_to_purchase_lag",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+        GROUP BY e.user_id
+    )
+    SELECT CAST(FLOOR((fp.first_purchase_us - s.signup_us)
+                      / 86400000000.0) AS BIGINT) AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM fp JOIN s USING (user_id)
+    GROUP BY lag_days
+    """,
+)
+def q_signup_to_purchase_lag(spark, sf_dir):
+    """Conversion-lag histogram: per signed-up user, whole days between
+    their FIRST signup and their first purchase at-or-after it, counted
+    per day bucket. Users who never purchase after signing up drop out
+    (they belong to the funnel query, not the lag distribution).
+
+    Exactness: int64 epoch-micro difference, bucketed by FLOOR division
+    (explicit FLOOR on both sides — Spark's double→long cast truncates
+    while DuckDB's rounds, NOTES rule 4; values are non-negative by the
+    >= filter so floor == truncate anyway, stated not assumed).
+
+    Plan: both aggregates hash on user_id and the join keys match, so
+    the whole query runs in ONE user_id partitioning (Spark reuses the
+    exchange); output is bounded by the day span, not by users.
+    """
+    ev = load_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("signup_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(s, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id", "signup_us")
+        .agg(F.min("p_us").alias("first_purchase_us"))
+    )
+    return (
+        fp.select(
+            F.floor(
+                (F.col("first_purchase_us") - F.col("signup_us"))
+                / 86_400_000_000.0
+            )
+            .cast("bigint")
+            .alias("lag_days")
+        )
+        .groupBy("lag_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -428,3 +428,176 @@ def q_robust_price_anomalies(spark, sf_dir):
             ).alias("robust_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Money Flow Index (14) — volume-weighted RSI
+# ---------------------------------------------------------------------------
+
+_MFI_N = 14
+
+
+@register(
+    f"mfi_{_MFI_N}",
+    WITH_TICKS
+    + f""",
+    tp AS (
+        SELECT symbol, date, volume,
+               CAST(round(high * 100) AS BIGINT)
+               + CAST(round(low * 100) AS BIGINT)
+               + CAST(round(close * 100) AS BIGINT) AS tp3
+        FROM ticks
+    ),
+    flow AS (
+        SELECT symbol, date,
+               CASE WHEN tp3 > LAG(tp3) OVER w THEN tp3 * volume
+                    ELSE 0 END AS pos_mf,
+               CASE WHEN tp3 < LAG(tp3) OVER w THEN tp3 * volume
+                    ELSE 0 END AS neg_mf,
+               CASE WHEN LAG(tp3) OVER w IS NULL THEN NULL ELSE 1 END
+                   AS has_prev
+        FROM tp
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    ),
+    agg AS (
+        SELECT symbol, date,
+               CAST(SUM(pos_mf) OVER wf AS BIGINT) AS pos_sum,
+               CAST(SUM(neg_mf) OVER wf AS BIGINT) AS neg_sum,
+               CAST(COUNT(has_prev) OVER wf AS BIGINT) AS n_flows
+        FROM flow
+        WINDOW wf AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN {_MFI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date,
+           CASE WHEN n_flows >= {_MFI_N} AND pos_sum + neg_sum > 0
+                THEN CAST(100 * pos_sum AS DOUBLE) / (pos_sum + neg_sum)
+           END AS mfi
+    FROM agg
+    """,
+)
+def q_mfi(spark, sf_dir):
+    """Money Flow Index (14): the volume-weighted RSI — 100·ΣposMF /
+    (ΣposMF + ΣnegMF) over a 14-day frame, where a day's raw money flow
+    (typical price × volume) counts as positive/negative by comparison
+    with the PREVIOUS day's typical price (unchanged days count neither,
+    the classic definition).
+
+    Exactness: typical price rides as ×3 integer cents (hc+lc+cc — never
+    /3, which would leave the integer grid); money flow tp3·volume is
+    int64 (≈3e7 cents · 1e6 volume · 14 days ≈ 4e14 ≪ 2⁶³ at any
+    plausible per-key day volume); the single closing division converts
+    two exactly-representable ints (< 2⁵³) — bit-identical cross-engine,
+    emitted raw. Rows without a full 14-flow frame or with zero total
+    flow are NULL (head warm-up, constant stretches).
+
+    Plan: both windows (the direction lag, the 14-row frame) share ONE
+    HashPartitioning(symbol) exchange; bounded frames, no whole-partition
+    buffering. Reference src/transform.py has RSI (registry_fin.q_rsi);
+    MFI is its volume-weighted sibling users chart beside it.
+    """
+    t = ticks(spark, sf_dir)
+    w = _W()
+    tp3 = (
+        F.round(F.col("high") * 100, 0).cast("long")
+        + F.round(F.col("low") * 100, 0).cast("long")
+        + F.round(F.col("close") * 100, 0).cast("long")
+    )
+    base = t.select("symbol", "date", "volume", tp3.alias("tp3"))
+    prev = F.lag("tp3").over(w)
+    flow = base.select(
+        "symbol",
+        "date",
+        F.when(F.col("tp3") > prev, F.col("tp3") * F.col("volume"))
+        .otherwise(F.lit(0))
+        .alias("pos_mf"),
+        F.when(F.col("tp3") < prev, F.col("tp3") * F.col("volume"))
+        .otherwise(F.lit(0))
+        .alias("neg_mf"),
+        F.when(prev.isNull(), F.lit(None)).otherwise(F.lit(1)).alias(
+            "has_prev"
+        ),
+    )
+    wf = _W().rowsBetween(-(_MFI_N - 1), 0)
+    agg = flow.select(
+        "symbol",
+        "date",
+        F.sum("pos_mf").over(wf).alias("pos_sum"),
+        F.sum("neg_mf").over(wf).alias("neg_sum"),
+        F.count("has_prev").over(wf).alias("n_flows"),
+    )
+    return agg.select(
+        "symbol",
+        "date",
+        F.when(
+            (F.col("n_flows") >= _MFI_N)
+            & (F.col("pos_sum") + F.col("neg_sum") > 0),
+            (100 * F.col("pos_sum")).cast("double")
+            / (F.col("pos_sum") + F.col("neg_sum")),
+        ).alias("mfi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Force Index (SMA-13 smoothed)
+# ---------------------------------------------------------------------------
+
+_FI_N = 13
+
+
+@register(
+    f"force_index_{_FI_N}",
+    WITH_TICKS
+    + f""",
+    fi AS (
+        SELECT symbol, date,
+               (CAST(round(close * 100) AS BIGINT)
+                - LAG(CAST(round(close * 100) AS BIGINT)) OVER w) * volume
+                   AS fi_cents
+        FROM ticks
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    )
+    SELECT symbol, date,
+           CAST(fi_cents AS BIGINT) / 100.0 AS force_index,
+           CASE WHEN COUNT(fi_cents) OVER wf > 0
+                THEN CAST(SUM(fi_cents) OVER wf AS BIGINT)
+                     / (100.0 * COUNT(fi_cents) OVER wf)
+           END AS force_index_sma
+    FROM fi
+    WINDOW wf AS (PARTITION BY symbol ORDER BY date
+                  ROWS BETWEEN {_FI_N - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_force_index(spark, sf_dir):
+    """Force Index: (close − prev close) × volume — the price-move ×
+    participation oscillator — plus its 13-day SMA (the smoothed variant;
+    Elder's original uses EMA-13, the SMA form is the common charting
+    default and keeps the arithmetic exact without the integer-weight
+    convolution machinery macd_12_26 needs).
+
+    Exactness: the move is exact integer cents, ×volume stays int64;
+    both outputs close with ONE double division each (Σcents/(100·n) is
+    the avg_cents rule). Head row's force_index is NULL (no prev close);
+    the SMA shrinks over the warm-up like the enrich spine's ma_5/ma_20.
+
+    Plan: lag window and SMA frame share one HashPartitioning(symbol)
+    exchange; bounded frame, linear at any scale.
+    """
+    t = ticks(spark, sf_dir)
+    w = _W()
+    cc = F.round(F.col("close") * 100, 0).cast("long")
+    fi = t.select(
+        "symbol",
+        "date",
+        ((cc - F.lag(cc).over(w)) * F.col("volume")).alias("fi_cents"),
+    )
+    wf = _W().rowsBetween(-(_FI_N - 1), 0)
+    return fi.select(
+        "symbol",
+        "date",
+        (F.col("fi_cents").cast("bigint") / 100.0).alias("force_index"),
+        F.when(
+            F.count("fi_cents").over(wf) > 0,
+            F.sum("fi_cents").over(wf).cast("bigint")
+            / (100.0 * F.count("fi_cents").over(wf)),
+        ).alias("force_index_sma"),
+    )
