@@ -123,8 +123,14 @@ class TxTable:
         schema: str,
         txn_id: str | None,
         keep_previous: bool,
+        base: int | None = None,
     ) -> int:
-        prev = self.latest_snapshot()
+        """Claim snapshot ``base + 1``. ``base`` is the table state the
+        writer READ when it started (captured before staging); if a racer
+        committed meanwhile, the exclusive create below fails and the
+        caller gets CommitConflict instead of a silent rebase onto files
+        it never saw."""
+        prev = self.latest_snapshot() if base is None else base
         if txn_id is not None and prev is not None:
             seen = set()
             for s in self.snapshots():
@@ -173,18 +179,25 @@ class TxTable:
     def append(self, df: DataFrame, txn_id: str | None = None) -> int:
         """Atomically add df's rows. Returns the committed snapshot id.
         With txn_id, a replayed append of the same transaction is a
-        no-op (exactly-once under at-least-once delivery)."""
+        no-op (exactly-once under at-least-once delivery). Raises
+        CommitConflict if another writer committed since this call began
+        — retry by calling append again (it re-reads table state)."""
+        base = self.latest_snapshot()
         files, n = self._stage(df)
         return self._commit(
-            "append", files, n, df.schema.simpleString(), txn_id, True
+            "append", files, n, df.schema.simpleString(), txn_id, True,
+            base=base,
         )
 
     def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
         """Atomically replace the table's contents. Prior snapshots stay
-        readable (their files are not touched) until vacuum."""
+        readable (their files are not touched) until vacuum. Conflict
+        semantics as in append."""
+        base = self.latest_snapshot()
         files, n = self._stage(df)
         return self._commit(
-            "overwrite", files, n, df.schema.simpleString(), txn_id, False
+            "overwrite", files, n, df.schema.simpleString(), txn_id, False,
+            base=base,
         )
 
     # -- reads ----------------------------------------------------------

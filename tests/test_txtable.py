@@ -1,0 +1,133 @@
+"""Transaction-log table certification: atomic visibility, snapshot
+isolation / time travel, optimistic-concurrency conflicts, idempotent
+re-commits under at-least-once delivery, crash-orphan invisibility, and
+vacuum semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_etl_pipeline_spark.operators.txtable import (
+    CommitConflict,
+    SnapshotUnavailable,
+    TxTable,
+)
+
+
+def mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    s0 = t.append(mk(spark, 0, 10))
+    s1 = t.append(mk(spark, 10, 25))
+    assert (s0, s1) == (0, 1)
+    assert ids(t.read(spark)) == list(range(25))
+    # time travel: snapshot 0 still reads the original 10 rows
+    assert ids(t.read(spark, snapshot=0)) == list(range(10))
+
+
+def test_overwrite_isolates_old_snapshot(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    t.overwrite(mk(spark, 100, 105))
+    assert ids(t.read(spark)) == list(range(100, 105))
+    assert ids(t.read(spark, snapshot=0)) == list(range(10))
+    hist = t.history()
+    assert [h["action"] for h in hist] == ["append", "overwrite"]
+    assert hist[1]["n_files_live"] == hist[1]["n_files_added"]
+
+
+def test_crash_before_manifest_is_invisible_then_vacuumed(spark, tmp_path):
+    """Staged-but-uncommitted files (the crash point of every naive
+    multi-file writer) must not change any reader's view, and vacuum must
+    reclaim them."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    before = ids(t.read(spark))
+    # simulate the crash: stage data files, never commit a manifest
+    t._stage(mk(spark, 500, 600))
+    assert ids(t.read(spark)) == before
+    orphans = [
+        n for n in os.listdir(t.data_dir) if n.endswith(".parquet")
+    ]
+    _, deleted = t.vacuum(keep_last=5)
+    assert deleted > 0
+    assert ids(t.read(spark)) == before
+    live = [n for n in os.listdir(t.data_dir) if n.endswith(".parquet")]
+    assert len(live) == len(orphans) - deleted
+
+
+def test_commit_conflict_raises_not_overwrites(spark, tmp_path):
+    """Two writers racing for the same snapshot: the loser must get
+    CommitConflict, never silently clobber the winner's manifest."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 5))
+    base = t.latest_snapshot()  # writer reads table state, then stages
+    staged, n = t._stage(mk(spark, 5, 10))
+    # a racing writer claims snapshot 1 first
+    racer = TxTable(t.root)
+    racer.append(mk(spark, 1000, 1001))
+    with pytest.raises(CommitConflict):
+        t._commit("append", staged, n,
+                  mk(spark, 5, 10).schema.simpleString(), None, True,
+                  base=base)
+    # the winner's commit is intact
+    assert 1000 in ids(t.read(spark))
+
+
+def test_txn_id_makes_replay_a_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: the same micro-batch may be
+    delivered again after a crash. Re-appending with the same txn_id must
+    not duplicate rows."""
+    t = TxTable(str(tmp_path / "t"))
+    batch = mk(spark, 0, 20)
+    t.append(batch, txn_id="batch-7")
+    t.append(batch, txn_id="batch-7")  # replay
+    assert ids(t.read(spark)) == list(range(20))
+    assert len(t.snapshots()) == 1
+    t.append(mk(spark, 20, 30), txn_id="batch-8")
+    assert ids(t.read(spark)) == list(range(30))
+
+
+def test_vacuum_bounds_time_travel(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    t.overwrite(mk(spark, 50, 60))
+    dropped, deleted = t.vacuum(keep_last=1)
+    assert dropped == 1 and deleted > 0
+    assert ids(t.read(spark)) == list(range(50, 60))
+    with pytest.raises(SnapshotUnavailable):
+        t.read(spark, snapshot=0)
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 5))
+    bad = spark.range(5).select(F.col("id").cast("string").alias("id"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+    # the failed append's staged files are orphans, reader untouched
+    assert ids(t.read(spark)) == list(range(5))
+
+
+def test_readers_never_list_the_data_directory(spark, tmp_path):
+    """Snapshot isolation by construction: a read resolves the manifest's
+    explicit file list, so files added by LATER commits (or loose junk in
+    data/) cannot leak into an old snapshot's scan."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    df0 = t.read(spark, snapshot=0)
+    t.append(mk(spark, 10, 20))
+    # the pre-resolved reader still sees exactly snapshot 0
+    assert ids(df0) == list(range(10))
