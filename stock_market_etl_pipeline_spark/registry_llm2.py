@@ -16,6 +16,7 @@ sum → 6dp.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions.text import normalized_fingerprint
@@ -509,4 +510,65 @@ def q_contamination_ngram_coverage(spark, sf_dir):
             * F.lit(1.0)
             / F.col("n_grams")
         ).alias("contamination_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-balanced corpus sharding
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@register(
+    "balanced_shards",
+    f"""
+    WITH ranked AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT)   AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS largest_doc
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_balanced_shards(spark, sf_dir):
+    """Length-balanced sharding for training workers: docs ranked by size
+    descending (tiebreak doc_id) and dealt round-robin to N shards — the
+    deterministic longest-first variant of LPT scheduling, which bounds
+    per-shard imbalance by ONE largest document instead of the O(shard)
+    drift random assignment gives. Output: per-shard doc count, char
+    mass, and largest doc (the balance audit a data-loader reads before
+    an epoch).
+
+    Plan note: the rank is a total order, but over (n_chars, doc_id)
+    PAIRS only — 16 bytes/doc, no text moves — and the result reduces
+    immediately to N rows. At 100 TB the same two columns sort in one
+    rollup-sized stage (compare global_doc_ids, which avoids even that
+    via prefix-sum offsets when EXACT contiguity is needed; here the
+    total order IS the semantics — longest-first dealing).
+
+    Reference has no sharding surface (single-process); this extends the
+    training-prep family (sequence_packing, train_val_split,
+    source_temperature_mix).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = docs.select(
+        "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.select(
+            ((F.col("rn") - 1) % _N_SHARDS).cast("bigint").alias("shard"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max("n_chars").cast("bigint").alias("largest_doc"),
+        )
     )

@@ -342,3 +342,54 @@ def q_embedding_quantized_topk(spark, sf_dir):
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_cosine_topk(emb, query_ids=list(range(10)), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Subsampled-Hadamard JL projection (64 -> 16 dims)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_hadamard_projection",
+    """
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding) AS x
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        FROM ex
+    ),
+    m AS (
+        SELECT jj.j AS j, ii.i AS i,
+               (1 - 2 * (bit_count(CAST(ii.i AS BIGINT)
+                                   & CAST((jj.j * 19 + 7) % 64 AS BIGINT)) % 2))
+               * (1 - 2 * (bit_count(CAST((ii.i * 2654435761) % 4294967296
+                                          AS BIGINT)) % 2))
+                   AS sign
+        FROM (SELECT unnest(generate_series(0, 15)) AS j) jj,
+             (SELECT unnest(generate_series(0, 63)) AS i) ii
+    )
+    SELECT q.vec_id,
+           CAST(m.j AS BIGINT) AS out_dim,
+           CAST(SUM(q.qv * m.sign) AS BIGINT) / 4000000.0 AS value
+    FROM q JOIN m ON q.i = m.i
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_hadamard_projection(spark, sf_dir):
+    """Registered 64→16 subsampled-Hadamard reduction of the embeddings
+    table in long format (vec_id, out_dim, value) — the storage-side
+    companion to the ANN family: 4× smaller vectors to scan, shuffle,
+    and index, with the distortion certified against exact distances in
+    tests/test_llm_ops3.py. See operators/similarity.hadamard_projection
+    for the exact-integer arithmetic and plan notes.
+    """
+    from .operators.similarity import hadamard_projection
+
+    return hadamard_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dims=16, dims=64
+    )

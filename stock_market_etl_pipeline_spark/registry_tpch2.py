@@ -753,3 +753,162 @@ def q_clv_cohort_revenue(spark, sf_dir):
             (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto revenue classification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abc_revenue_classes",
+    """
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_u
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT rev_u,
+               SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_u,
+               SUM(rev_u) OVER () AS total_u
+        FROM pr
+    ),
+    classed AS (
+        SELECT CASE WHEN 5 * cum_u <= 4 * total_u THEN 'A'
+                    WHEN 20 * cum_u <= 19 * total_u THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev_u, total_u
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_u) AS BIGINT) / 10000.0 AS class_revenue,
+           CAST(CAST(SUM(rev_u) AS BIGINT) AS DOUBLE)
+               / CAST(MAX(total_u) AS BIGINT) AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def q_abc_revenue_classes(spark, sf_dir):
+    """Pareto / ABC inventory classification: parts ranked by discounted
+    revenue, class A = parts whose cumulative share is within 80% of
+    total revenue, B to 95%, C the tail — the concentration summary
+    behind "20% of parts drive 80% of revenue".
+
+    Exactness: per-part revenue is the exact cents·(100−disc) int64 unit
+    (revenue_sum_dec's integer core); the class cut is CROSS-MULTIPLIED
+    (5·cum ≤ 4·total, 20·cum ≤ 19·total) so the 80/95% thresholds are
+    exact integer comparisons — a float `cum/total <= 0.8` would 1-ulp
+    flip at boundary parts. ×20 headroom: total ≈ 6e16 at sf10 → 1.2e18
+    < 2⁶³. The final share division converts both int64s to double
+    (correctly rounded, identical cross-engine) and divides once.
+
+    Plan: ONE fact shuffle (groupBy l_partkey); the ranking window runs
+    over the PARTS-SIZED rollup — a deliberate rollup-sized global sort
+    (the Pareto curve is inherently a total order over parts; |parts| ≪
+    |lineitem| by the fan-out factor, and only (rev_u, partkey) pairs
+    sort). Output is 3 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "rev_row"
+        ),
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum("rev_row").alias("rev_u"))
+    w_cum = (
+        Window.orderBy(F.col("rev_u").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = pr.select(
+        "rev_u",
+        F.sum("rev_u").over(w_cum).alias("cum_u"),
+        F.sum("rev_u").over(w_all).alias("total_u"),
+    )
+    classed = ranked.select(
+        F.when(5 * F.col("cum_u") <= 4 * F.col("total_u"), "A")
+        .when(20 * F.col("cum_u") <= 19 * F.col("total_u"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_u",
+        "total_u",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("rev_u").cast("bigint") / 10000.0).alias("class_revenue"),
+        (
+            F.sum("rev_u").cast("bigint").cast("double")
+            / F.max("total_u").cast("bigint")
+        ).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning customer revenue by month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "new_vs_returning_revenue",
+    """
+    WITH fc AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS first_month
+        FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+        SELECT date_trunc('month', o.o_orderdate) AS order_month,
+               CASE WHEN date_trunc('month', o.o_orderdate) = fc.first_month
+                    THEN 'new' ELSE 'returning' END AS customer_class,
+               o.o_custkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders o JOIN fc ON o.o_custkey = fc.o_custkey
+    )
+    SELECT CAST(order_month AS DATE) AS order_month,
+           customer_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(price_cents) AS BIGINT) / 100.0 AS revenue
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def q_new_vs_returning_revenue(spark, sf_dir):
+    """Monthly revenue split by acquisition status: an order is 'new'
+    revenue iff it falls in its customer's FIRST calendar month of
+    ordering, else 'returning' — the growth-accounting view every
+    subscription/commerce dashboard opens with (the cohort triangle
+    clv_cohort_revenue generalizes this; this is its first-diagonal
+    slice stated directly).
+
+    Plan: the first-month rollup and the fact side hash on the SAME key
+    (o_custkey), so Catalyst plans one exchange reused by both the
+    aggregate and the join; the month groupBy then reduces to
+    |months|·2 rows. Money is exact cents (NOTES rule 10); months
+    compare as date_trunc values (calendar arithmetic, no floats).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        cents("o_totalprice").alias("price_cents"),
+    )
+    fc = o.groupBy("o_custkey").agg(
+        F.min("order_month").alias("first_month")
+    )
+    tagged = o.join(fc, "o_custkey").select(
+        F.col("order_month").cast("date").alias("order_month"),
+        F.when(F.col("order_month") == F.col("first_month"), "new")
+        .otherwise("returning")
+        .alias("customer_class"),
+        "o_custkey",
+        "price_cents",
+    )
+    return tagged.groupBy("order_month", "customer_class").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (F.sum("price_cents").cast("bigint") / 100.0).alias("revenue"),
+    )

@@ -204,3 +204,85 @@ def test_quantized_topk_plan_broadcast(spark, qs):
     plan = plan_of(qs["embedding_quantized_topk"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Subsampled-Hadamard JL projection
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def jl_pair(spark):
+    """(original vectors, reduced vectors) for the first 80 embeddings."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        hadamard_projection,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id < 80")
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()
+    }
+    red = {}
+    for r in hadamard_projection(emb).collect():
+        red.setdefault(r.vec_id, {})[r.out_dim] = r.value
+    redv = {k: [v[j] for j in range(16)] for k, v in red.items()}
+    return orig, redv
+
+
+def _dist(a, b):
+    return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+
+def test_jl_distance_distortion_bounds(jl_pair):
+    """The JL certificate: 64→16 reduction keeps pairwise distances
+    centered on the originals (median ratio ≈ 1) with the sqrt(ln n / d)
+    spread the lemma promises — measured 0.98 median, [0.71, 1.24]
+    p5–p95 on this corpus; bounds frozen with margin. A scale bug (the
+    first draft divided by sqrt(D·d), shrinking everything 8×) fails the
+    median bound immediately."""
+    orig, redv = jl_pair
+    ids = sorted(orig)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            do = _dist(orig[ids[a]], orig[ids[b]])
+            dr = _dist(redv[ids[a]], redv[ids[b]])
+            if do > 0:
+                ratios.append(dr / do)
+    ratios.sort()
+    n = len(ratios)
+    median = ratios[n // 2]
+    p5, p95 = ratios[n // 20], ratios[-n // 20]
+    assert 0.85 <= median <= 1.15, median
+    assert p5 >= 0.45, p5
+    assert p95 <= 1.7, p95
+
+
+def test_jl_projection_is_exactly_deterministic(spark):
+    """Parameter-free determinism is the operational point: any worker
+    regenerates the identical matrix from (i, j), so two runs (or two
+    clusters) produce bit-identical reductions."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        hadamard_projection,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id < 20")
+    a = sorted(
+        (r.vec_id, r.out_dim, r.value)
+        for r in hadamard_projection(emb).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.out_dim, r.value)
+        for r in hadamard_projection(emb).collect()
+    )
+    assert a == b
+
+
+def test_jl_rejects_non_power_of_two_order(spark):
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        hadamard_projection,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="power of two"):
+        hadamard_projection(emb, dims=48)

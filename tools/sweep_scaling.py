@@ -128,6 +128,16 @@ DEFAULT_QUERIES = [
     "priority_sample_docs",
     "tfidf_shingle_pairs",
     "embedding_quantized_topk",
+    # round-5 fourth-session additions
+    "mfi_14",
+    "force_index_13",
+    "ichimoku_cloud",
+    "purchase_attribution",
+    "signup_to_purchase_lag",
+    "abc_revenue_classes",
+    "new_vs_returning_revenue",
+    "balanced_shards",
+    "embedding_hadamard_projection",
 ]
 
 
