@@ -131,3 +131,58 @@ def test_readers_never_list_the_data_directory(spark, tmp_path):
     t.append(mk(spark, 10, 20))
     # the pre-resolved reader still sees exactly snapshot 0
     assert ids(df0) == list(range(10))
+
+
+def test_txtable_as_exactly_once_streaming_sink(spark, tmp_path):
+    """Wire TxTable under foreachBatch with txn_id=batch_id and prove the
+    exactly-once contract against Structured Streaming's real
+    at-least-once replay: crash between the sink write and the
+    checkpoint commit, restart, and the replayed batch must commit
+    nothing new — same rows, no duplicate ids, one manifest per batch."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    table = TxTable(str(tmp_path / "table"))
+
+    mk(spark, 0, 40).coalesce(2).write.mode("append").json(src)
+
+    def sink(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            table.append(batch_df, txn_id=f"batch-{batch_id}")
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert ids(table.read(spark)) == list(range(40))
+    n_commits = len(table.snapshots())
+
+    # crash between write and commit of the newest batch, then restart:
+    # the batch replays with the SAME batch_id -> txn dedup makes it a no-op
+    cdir = os.path.join(ckpt, "commits")
+    nums = [
+        int(f.lstrip(".").split(".")[0])
+        for f in os.listdir(cdir)
+        if not f.startswith(".")
+    ]
+    for f in os.listdir(cdir):
+        if f.lstrip(".").split(".")[0] == str(max(nums)):
+            os.remove(os.path.join(cdir, f))
+    run()
+
+    assert ids(table.read(spark)) == list(range(40))
+    assert len(table.snapshots()) == n_commits
+    # replay staged orphan files; vacuum reclaims them without row loss
+    table.vacuum(keep_last=len(table.snapshots()))
+    assert ids(table.read(spark)) == list(range(40))
