@@ -47,6 +47,22 @@ def get_spark(app_name: str = "stock-market-etl-pipeline-spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # Pre-coalesce shuffle width for SCALE runs: at the default 32, the
+    # sf100 probe measured the 600M-row ticks groupBy at ~19M rows/task
+    # (spill + GC-locker stalls, x12-20 for 10x rows); with 512 initial
+    # partitions AQE coalesces small stages back down and the same query
+    # dropped 255 s -> 161 s / validation 268 s -> 118 s (NOTES r5
+    # session 4). Opt-in via env rather than default because the 512-way
+    # map-side fan-out costs the sf0.1 cached bench ~25% — the right
+    # ceiling scales with data volume, which a static local default
+    # cannot know. Cluster guidance: size initialPartitionNum to
+    # data-volume / 100-200 MB and let AQE coalesce.
+    initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if initial:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            initial,
+        )
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):
