@@ -30,6 +30,16 @@ dependency:
 - Time travel: ``read(spark, snapshot=k)`` resolves manifest k as long
   as its files haven't been vacuumed — the audit/debug/reproduce-the-
   training-set primitive.
+- Row-level rewrites ride the same log: :meth:`TxTable.merge` (MERGE
+  INTO upsert / CDC delete) and :meth:`TxTable.delete_where` are
+  copy-on-write — a pruned discovery scan finds the files containing a
+  match and ONLY those are rewritten, so churn cost tracks the touched
+  fraction, not table size. :meth:`TxTable.changes` derives a
+  change-data-feed from the manifest file diff (carried rows cancel
+  under exceptAll), :meth:`TxTable.optimize` is the compaction /
+  Z-order clustering maintenance job (layout.py's curve under this
+  log), and :meth:`TxTable.restore` rolls back by re-referencing an
+  old file list — history stays append-only.
 
 The reference persists via whole-table SQL replace (src/load.py
 ``to_sql(if_exists=...)``) — implicitly transactional at toy scale; this
@@ -43,7 +53,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 class CommitConflict(Exception):
@@ -124,6 +134,7 @@ class TxTable:
         txn_id: str | None,
         keep_previous: bool,
         base: int | None = None,
+        removed: list[str] | None = None,
     ) -> int:
         """Claim snapshot ``base + 1``. ``base`` is the table state the
         writer READ when it started (captured before staging); if a racer
@@ -150,11 +161,15 @@ class TxTable:
                     f"append schema mismatch: table has {prev_schema}, "
                     f"commit brings {schema}"
                 )
+        if removed:
+            gone = set(removed)
+            live = [f for f in live if f not in gone]
         manifest = {
             "snapshot": (prev + 1) if prev is not None else 0,
             "action": action,
             "files": live + new_files,
             "added": new_files,
+            "removed": sorted(removed) if removed else [],
             "n_rows_added": n_rows,
             "schema": schema,
             "txn_id": txn_id,
@@ -216,11 +231,233 @@ class TxTable:
             raise SnapshotUnavailable(
                 f"snapshot {snap}: {len(missing)} data files vacuumed"
             )
-        if not paths:
-            return spark.read.schema(m["schema"]).parquet(
-                os.path.join(self.data_dir, "_empty_nonexistent")
-            ).limit(0)
-        return spark.read.parquet(*paths)
+        return self._read_files(spark, m["files"], m["schema"])
+
+    def _read_files(
+        self, spark: SparkSession, files: list[str], schema: str
+    ) -> DataFrame:
+        """Read exactly ``files`` (basenames under data/); empty list
+        resolves to an empty DataFrame with the manifest schema instead
+        of a filesystem probe."""
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *(os.path.join(self.data_dir, f) for f in files)
+        )
+
+    # -- row-level rewrites (copy-on-write, file-pruned) ----------------
+
+    @staticmethod
+    def _basename_col() -> Column:
+        # input_file_name() yields a file: URI; the manifest stores
+        # basenames, so strip to the last path segment for matching.
+        return F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "update",
+        txn_id: str | None = None,
+    ) -> int:
+        """MERGE INTO by key: replace rows whose ``key_cols`` match a row
+        of ``updates`` and insert the rest (``when_matched='update'``,
+        the upsert), or drop matched rows and ignore the rest
+        (``when_matched='delete'``, the CDC tombstone path).
+
+        Copy-on-write with FILE pruning — the Delta/Iceberg MERGE shape
+        re-expressed on the manifest log: one narrow discovery scan
+        (key columns + input_file_name only — column pruning keeps it a
+        fraction of the row width) joined against the broadcast update
+        keys finds the files that contain any match; ONLY those files
+        are rewritten (matched rows anti-joined out, updates unioned
+        in). Untouched files keep their name in the new manifest, so
+        merge cost scales with the churned fraction, not table size —
+        on a clustered layout (see :meth:`optimize` / layout.py) a
+        narrow key range touches few files by construction. The
+        driver-side collect is the affected FILE LIST (bounded by file
+        count, never rows). Conflict and txn_id semantics as in append.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        base = self.latest_snapshot()
+        if base is None:
+            if when_matched == "delete":
+                raise SnapshotUnavailable("table has no commits")
+            return self.append(updates, txn_id=txn_id)
+        m = self._manifest(base)
+        schema = m["schema"]
+        if when_matched == "update" and updates.schema.simpleString() != schema:
+            raise ValueError(
+                f"merge schema mismatch: table has {schema}, "
+                f"updates bring {updates.schema.simpleString()}"
+            )
+        keys = updates.select(*key_cols).distinct()
+        table = self._read_files(spark, m["files"], schema)
+        affected_files = sorted(
+            r["_file"]
+            for r in (
+                table.select(*key_cols, self._basename_col().alias("_file"))
+                .join(F.broadcast(keys), on=key_cols, how="left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+        )
+        survivors = None
+        if affected_files:
+            survivors = self._read_files(spark, affected_files, schema).join(
+                F.broadcast(keys), on=key_cols, how="left_anti"
+            )
+        if when_matched == "update":
+            new_data = updates if survivors is None else survivors.unionByName(updates)
+        else:
+            if survivors is None:
+                return base  # nothing matched: the delete is a no-op
+            new_data = survivors
+        files, n = self._stage(new_data)
+        return self._commit(
+            "merge", files, n, schema, txn_id, True,
+            base=base, removed=affected_files,
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: Column | str,
+        txn_id: str | None = None,
+    ) -> int:
+        """Copy-on-write DELETE: rewrite only the files that contain a
+        row satisfying ``condition`` (SQL string or Column), keeping the
+        non-matching rows of those files. The discovery scan pushes the
+        predicate into the parquet reader, so on a clustered layout
+        row-group stats skip most of the table before any row is read.
+        Files with no matching row survive by NAME — zero rewrite cost.
+        Returns the new snapshot (or the current one if nothing matched).
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        base = self.latest_snapshot()
+        if base is None:
+            raise SnapshotUnavailable("table has no commits")
+        m = self._manifest(base)
+        table = self._read_files(spark, m["files"], m["schema"])
+        affected_files = sorted(
+            r["_file"]
+            for r in (
+                table.withColumn("_file", self._basename_col())
+                .where(cond)
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+        )
+        if not affected_files:
+            return base
+        survivors = self._read_files(spark, affected_files, m["schema"]).where(
+            ~cond
+        )
+        files, n = self._stage(survivors)
+        return self._commit(
+            "delete", files, n, m["schema"], txn_id, True,
+            base=base, removed=affected_files,
+        )
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots, derived from the
+        manifest file diff: rows only in files ADDED since
+        ``from_snapshot`` are inserts, rows only in files REMOVED are
+        deletes, and rows a copy-on-write rewrite merely carried over
+        appear on both sides and cancel under ``exceptAll``. An update
+        therefore surfaces as its delete + insert pair. Cost scales with
+        the CHURNED files only — unchanged files are never read, which
+        is what makes a CDC consumer over a 100 TB table feasible.
+        Both snapshots must still be within vacuum retention and share a
+        schema. Result carries a ``_change`` column ('insert'|'delete').
+        """
+        to = self.latest_snapshot() if to_snapshot is None else to_snapshot
+        mf, mt = self._manifest(from_snapshot), self._manifest(to)
+        if mf["schema"] != mt["schema"]:
+            raise ValueError(
+                "changes() across a schema change is undefined: "
+                f"{mf['schema']} -> {mt['schema']}"
+            )
+        old, new = set(mf["files"]), set(mt["files"])
+        added = sorted(new - old)
+        removed = sorted(old - new)
+        ins = self._read_files(spark, added, mt["schema"])
+        dels = self._read_files(spark, removed, mf["schema"])
+        return (
+            ins.exceptAll(dels).withColumn("_change", F.lit("insert"))
+            .unionByName(
+                dels.exceptAll(ins).withColumn("_change", F.lit("delete"))
+            )
+        )
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        n_files: int = 8,
+        zorder_by: list[str] | None = None,
+        bits: int = 16,
+        rank: str = "minmax",
+        txn_id: str | None = None,
+    ) -> int:
+        """Compact the current snapshot into ``n_files`` files —
+        optionally clustered along the Z curve of ``zorder_by`` (see
+        layout.zorder_key) so subsequent merges/deletes/scans on those
+        columns prune to few files. Pure layout change: same rows, new
+        files, old snapshot still time-travel-readable until vacuum.
+        This is the OPTIMIZE [ZORDER BY] maintenance job table formats
+        schedule between ingest waves; running it after a burst of small
+        streaming appends is what keeps the file count (and manifest
+        size) bounded over time."""
+        base = self.latest_snapshot()
+        if base is None:
+            raise SnapshotUnavailable("table has no commits")
+        m = self._manifest(base)
+        df = self._read_files(spark, m["files"], m["schema"])
+        if zorder_by:
+            from .layout import zorder_key
+
+            df = (
+                zorder_key(df, zorder_by, bits=bits, rank=rank)
+                .repartitionByRange(n_files, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        else:
+            df = df.repartition(n_files)
+        files, n = self._stage(df)
+        return self._commit(
+            "optimize", files, n, m["schema"], txn_id, True,
+            base=base, removed=list(m["files"]),
+        )
+
+    def restore(self, snapshot: int) -> int:
+        """Roll the table back to ``snapshot`` as a NEW commit (history
+        is append-only — a bad write is undone by re-referencing the old
+        file list, never by mutating the log). Fails if the target's
+        files were already vacuumed."""
+        base = self.latest_snapshot()
+        m = self._manifest(snapshot)
+        missing = [
+            f for f in m["files"]
+            if not os.path.exists(os.path.join(self.data_dir, f))
+        ]
+        if missing:
+            raise SnapshotUnavailable(
+                f"snapshot {snapshot}: {len(missing)} data files vacuumed"
+            )
+        return self._commit(
+            "restore", list(m["files"]), 0, m["schema"], None, False,
+            base=base,
+        )
 
     # -- maintenance ----------------------------------------------------
 

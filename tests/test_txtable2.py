@@ -1,0 +1,214 @@
+"""Row-level rewrite certification for the transaction-log table:
+MERGE INTO (upsert / keyed delete) with copy-on-write file pruning,
+predicate DELETE, the manifest-diff change-data-feed, OPTIMIZE
+compaction (+ z-order clustering measured via footer skip stats), and
+RESTORE. Companion to test_txtable.py's commit-protocol suite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_etl_pipeline_spark.operators.layout import skip_ratio
+from stock_market_etl_pipeline_spark.operators.txtable import (
+    CommitConflict,
+    SnapshotUnavailable,
+    TxTable,
+)
+
+
+def mk(spark, lo, hi, n_files=4):
+    """Keyed rows spread over n_files files with DISJOINT id ranges, so
+    file pruning has something to prune."""
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(n_files, "id")
+        .sortWithinPartitions("id")
+    )
+
+
+def rows(df):
+    return sorted((r.id, r.v) for r in df.select("id", "v").collect())
+
+
+def test_merge_upsert_values_and_file_pruning(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 100, n_files=4))
+    before_files = set(t._manifest(0)["files"])
+    # touch keys 0..9 (one range-file) and insert brand-new keys 200..204
+    updates = spark.createDataFrame(
+        [(i, i * 1000) for i in range(10)] + [(i, i * 1000) for i in range(200, 205)],
+        "id bigint, v bigint",
+    )
+    snap = t.merge(spark, updates, ["id"])
+    expected = sorted(
+        [(i, i * 1000) for i in range(10)]
+        + [(i, i * 2) for i in range(10, 100)]
+        + [(i, i * 1000) for i in range(200, 205)]
+    )
+    assert rows(t.read(spark)) == expected
+    m = t._manifest(snap)
+    assert m["action"] == "merge"
+    # pruning: only the file(s) whose range intersects 0..9 were rewritten
+    assert 1 <= len(m["removed"]) < len(before_files)
+    untouched = before_files - set(m["removed"])
+    assert untouched and untouched <= set(m["files"])
+    # time travel still shows the pre-merge table
+    assert rows(t.read(spark, snapshot=0)) == [(i, i * 2) for i in range(100)]
+
+
+def test_merge_delete_and_noop(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 40, n_files=4))
+    tombstones = spark.createDataFrame(
+        [(i,) for i in range(5)] + [(999,)], "id bigint"
+    )
+    snap = t.merge(spark, tombstones, ["id"], when_matched="delete")
+    assert rows(t.read(spark)) == [(i, i * 2) for i in range(5, 40)]
+    assert t._manifest(snap)["action"] == "merge"
+    # nothing matches: no new snapshot is written
+    again = t.merge(
+        spark,
+        spark.createDataFrame([(999,)], "id bigint"),
+        ["id"],
+        when_matched="delete",
+    )
+    assert again == snap
+
+
+def test_merge_schema_mismatch_and_empty_table(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    bad = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(spark, bad, ["id"])
+    # merge into an empty table degenerates to append
+    t2 = TxTable(str(tmp_path / "t2"))
+    ups = spark.createDataFrame([(1, 2)], "id bigint, v bigint")
+    assert t2.merge(spark, ups, ["id"]) == 0
+    assert rows(t2.read(spark)) == [(1, 2)]
+    with pytest.raises(SnapshotUnavailable):
+        TxTable(str(tmp_path / "t3")).merge(
+            spark, ups, ["id"], when_matched="delete"
+        )
+
+
+def test_merge_txn_id_replay_is_noop(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 20))
+    ups = spark.createDataFrame([(0, 111)], "id bigint, v bigint")
+    snap = t.merge(spark, ups, ["id"], txn_id="batch-7")
+    replay = t.merge(spark, ups, ["id"], txn_id="batch-7")
+    assert replay == snap
+    assert rows(t.read(spark)) == [(0, 111)] + [(i, i * 2) for i in range(1, 20)]
+
+
+def test_merge_conflict_on_racing_commit(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 20))
+    ups = spark.createDataFrame([(0, 111)], "id bigint, v bigint")
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        out = orig_stage(df)
+        TxTable(t.root).append(mk(spark, 500, 510))  # racer wins the claim
+        return out
+
+    t._stage = racing_stage
+    with pytest.raises(CommitConflict):
+        t.merge(spark, ups, ["id"])
+
+
+def test_delete_where_prunes_and_deletes(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 100, n_files=4))
+    before_files = set(t._manifest(0)["files"])
+    snap = t.delete_where(spark, "id >= 90")
+    assert rows(t.read(spark)) == [(i, i * 2) for i in range(90)]
+    m = t._manifest(snap)
+    assert m["action"] == "delete"
+    assert 1 <= len(m["removed"]) < len(before_files)
+    # predicate matching nothing: snapshot unchanged
+    assert t.delete_where(spark, "id > 10000") == snap
+
+
+def test_changes_append_only_and_after_merge(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    t.append(mk(spark, 10, 15))
+    cdf = t.changes(spark, 0, 1)
+    assert sorted((r.id, r._change) for r in cdf.collect()) == [
+        (i, "insert") for i in range(10, 15)
+    ]
+    # an upsert of key 3 surfaces as delete(old) + insert(new); the
+    # carried rows of the rewritten file cancel out
+    ups = spark.createDataFrame([(3, 999)], "id bigint, v bigint")
+    snap = t.merge(spark, ups, ["id"])
+    cdf2 = t.changes(spark, 1)  # to latest
+    got = sorted((r.id, r.v, r._change) for r in cdf2.collect())
+    assert got == [(3, 6, "delete"), (3, 999, "insert")]
+    assert snap == 2
+
+
+def test_optimize_compacts_preserves_rows_and_history(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    for k in range(5):
+        t.append(mk(spark, k * 10, k * 10 + 10, n_files=2))
+    pre = t.latest_snapshot()
+    n_live_before = len(t._manifest(pre)["files"])
+    snap = t.optimize(spark, n_files=2)
+    m = t._manifest(snap)
+    assert m["action"] == "optimize"
+    assert len(m["files"]) <= 2 < n_live_before
+    assert rows(t.read(spark)) == [(i, i * 2) for i in range(50)]
+    # pre-optimize snapshot is still time-travel readable, then vacuum
+    # bounds history and the old files go away
+    assert rows(t.read(spark, snapshot=pre)) == rows(t.read(spark))
+    t.vacuum(keep_last=1)
+    with pytest.raises(SnapshotUnavailable):
+        t.read(spark, snapshot=pre)
+
+
+def test_optimize_zorder_improves_skip_ratio(spark, tmp_path):
+    """The maintenance loop end-to-end: ingest arrives unclustered, so a
+    y-band probe can skip almost nothing; OPTIMIZE ZORDER BY (x, y)
+    rewrites the same rows clustered, and the footer stats now skip most
+    row groups for the same probe."""
+    t = TxTable(str(tmp_path / "t"))
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        # shuffle rows so arrival order correlates with neither axis
+        .orderBy(F.xxhash64("id"))
+    )
+    t.append(grid.repartition(8))
+    t.vacuum(keep_last=1)
+    before = skip_ratio(t.data_dir, "y", 10, 12)
+    t.optimize(spark, n_files=8, zorder_by=["x", "y"], bits=8)
+    t.vacuum(keep_last=1)
+    after = skip_ratio(t.data_dir, "y", 10, 12)
+    assert before <= 0.2
+    assert after >= 0.5
+    assert after > before
+    got = sorted((r.x, r.y) for r in t.read(spark).collect())
+    assert got == sorted((i % 64, i // 64) for i in range(64 * 64))
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    t.overwrite(mk(spark, 100, 105))
+    snap = t.restore(0)
+    assert rows(t.read(spark)) == [(i, i * 2) for i in range(10)]
+    hist = t.history()
+    assert [h["action"] for h in hist] == ["append", "overwrite", "restore"]
+    assert snap == 2
+    # restore of a vacuumed snapshot must refuse, not resurrect garbage
+    t.overwrite(mk(spark, 200, 203))
+    t.vacuum(keep_last=1)
+    with pytest.raises(SnapshotUnavailable):
+        t.restore(1)
