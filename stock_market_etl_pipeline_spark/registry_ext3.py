@@ -1488,3 +1488,78 @@ def q_signup_to_purchase_lag(spark, sf_dir):
         .groupBy("lag_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate burst days (exact-integer z-score flag)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_burst_days",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)    AS n,
+               CAST(SUM(c) AS BIGINT)      AS tot,
+               CAST(SUM(c * c) AS BIGINT)  AS sq
+        FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.c AS n_events
+    FROM d JOIN s USING (event_type)
+    WHERE s.n > 1 AND (s.n * d.c - s.tot) > 0
+      AND CAST(s.n * d.c - s.tot AS HUGEINT) * (s.n * d.c - s.tot)
+              * (s.n - 1)
+          > 4 * CAST(s.n AS HUGEINT)
+              * (CAST(s.n AS HUGEINT) * s.sq
+                 - CAST(s.tot AS HUGEINT) * s.tot)
+    """,
+)
+def q_event_burst_days(spark, sf_dir):
+    """Days whose event count exceeds the type's mean by more than two
+    sample standard deviations — the ops anomaly feed over the same
+    daily rollup hourly_event_rates serves (incident days, bot bursts,
+    campaign spikes).
+
+    The z-test runs ENTIRELY in exact integers: with per-type n days,
+    tot = Σc, sq = Σc², the condition c > μ + 2σ cross-multiplies to
+    ``(n·c − tot)² · (n−1) > 4·n·(n·sq − tot²)`` (and n·c − tot > 0 for
+    the upper tail) — no float mean/stddev to diverge between engines.
+    The products are DECIMAL(38)/HUGEINT: day counts at petabyte scale
+    push (n·c)² past int64 (NOTES rule 10's wide-type discipline).
+    2σ, not 3σ: measured max |z| across the testdata's types is ~1.6-3.0
+    at every sf (counts are near-Poisson by construction), so 3σ would
+    be vacuously empty — the anti-vacuity rule from the r3
+    suppliers_above_nation_avg lesson; the keyed replicator scales
+    counts ×k per day, leaving z invariant, so the flag set is stable
+    across scale decades.
+
+    Plan: one (type, day) groupBy, a |types|-row broadcast join back, a
+    pure-integer filter. Output is the flagged sliver only."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = F.col("n") * F.col("c") - F.col("tot")
+    lhs = d38(dev) * d38(dev) * d38(F.col("n") - 1)
+    rhs = (
+        F.lit(4).cast("decimal(38,0)")
+        * d38(F.col("n"))
+        * (d38(F.col("n")) * d38(F.col("sq"))
+           - d38(F.col("tot")) * d38(F.col("tot")))
+    )
+    return j.filter(
+        (F.col("n") > 1) & (dev > 0) & (lhs > rhs)
+    ).select("event_type", "day", F.col("c").alias("n_events"))

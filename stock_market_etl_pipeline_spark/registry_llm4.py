@@ -1,0 +1,203 @@
+"""LLM/corpus operators, part 4: corpus novelty attribution and
+embedding-space outlier audit.
+
+Two curation measures a training-data pipeline runs between dedup and
+sampling:
+
+- ``doc_novelty_fraction`` — how much of each document's content the
+  corpus had NOT seen before it (by ingestion order): the per-doc
+  complement of ``vocabulary_growth``'s corpus curve, and the signal
+  behind "stop crawling this source, it's recycling itself".
+- ``label_embedding_outliers`` — the top-k vectors farthest from their
+  label's centroid: mislabeled / out-of-distribution candidates, the
+  per-vector drill-down of ``label_centroid_distances``' class-level
+  matrix (same exact-rational centroid arithmetic).
+
+Both follow the novelty decomposition trick that keeps gram-scale work
+off the join path: novelty is attributed via ``min(doc_id)`` per shingle
+— a doc's novel-shingle count is just the number of shingles whose
+MINIMUM owner it is — so the query is two aggregates over the exploded
+table plus a doc-level join, never a gram-level join-back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .functions.text import word_shingles, ws_tokens
+from .registry import register
+from .sources.tables import load_table
+
+_SHINGLE_K = 3
+
+
+@register(
+    "doc_novelty_fraction",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_K - 1}], ' ') AS g
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - {_SHINGLE_K - 1}, 0)))
+                 AS s(i)
+    ),
+    firstseen AS (
+        SELECT g, MIN(doc_id) AS d0 FROM grams GROUP BY 1
+    ),
+    novel AS (
+        SELECT d0 AS doc_id, COUNT(*) AS n_novel FROM firstseen GROUP BY 1
+    ),
+    tot AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM grams GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT)           AS n_shingles,
+           CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(COALESCE(nv.n_novel, 0) * 1.0 / t.n_shingles, 6)
+               AS novelty_frac
+    FROM tot t LEFT JOIN novel nv USING (doc_id)
+    WHERE t.n_shingles > 0
+    """,
+)
+def q_doc_novelty_fraction(spark, sf_dir):
+    """Per-document novelty: the fraction of a doc's DISTINCT word
+    3-shingles that no lower-numbered document contains — i.e. the
+    content this doc introduced to the corpus, under doc_id as the
+    ingestion order.
+
+    The naive formulation joins every (doc, shingle) pair back to a
+    first-seen table — a gram-scale shuffle join. The min-owner
+    decomposition avoids it: ``first_seen(g) = min(doc_id)`` attributes
+    each shingle to exactly one doc, so ``n_novel(d) = |{{g :
+    min_owner(g) = d}}|`` falls out of a COUNT over the (vocab-sized)
+    first-seen table, and the only join is doc-level totals × doc-level
+    novel counts. The exploded distinct-shingle table is
+    localCheckpoint'd once and shared by both aggregates
+    (boilerplate_ngram_coverage's shared-subtree pattern). Docs shorter
+    than 3 tokens have no shingles and are excluded (guard in
+    word_shingles). Exact-int division, rounded 6dp for uniformity with
+    the other coverage fractions."""
+    from .operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    gd = docs.select(
+        "doc_id",
+        F.explode(word_shingles(ws_tokens(F.col("text")), _SHINGLE_K)).alias("g"),
+    ).localCheckpoint()
+    firstseen = gd.groupBy("g").agg(F.min("doc_id").alias("d0"))
+    novel = firstseen.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    tot = gd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        tot.join(novel, "doc_id", "left")
+        .filter(F.col("n_shingles") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) * F.lit(1.0)
+                / F.col("n_shingles"),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+_OUTLIER_K = 3
+
+
+@register(
+    "label_embedding_outliers",
+    f"""
+    WITH ex AS (
+        SELECT vec_id, label, CAST(u.pos - 1 AS INTEGER) AS pos,
+               CAST(ROUND(CAST(u.val AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM (
+            SELECT vec_id, label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ) u(vec_id, label, val, pos)
+    ),
+    cen AS (
+        SELECT label, pos,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT e.vec_id, e.label,
+               SUM(CAST(c.n * e.q - c.s AS HUGEINT)
+                   * (c.n * e.q - c.s)) AS d2,
+               MAX(c.n) AS n
+        FROM ex e JOIN cen c ON e.label = c.label AND e.pos = c.pos
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT label, vec_id, d2, n,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY d2 DESC, vec_id) AS nn_rank
+        FROM d
+    )
+    SELECT label, nn_rank, vec_id,
+           CAST(d2 AS DOUBLE)
+               / (CAST(n * n AS DOUBLE) * 1000000000000.0) AS dist2
+    FROM r WHERE nn_rank <= {_OUTLIER_K}
+    """,
+)
+def q_label_embedding_outliers(spark, sf_dir):
+    """Top-3 vectors farthest (squared Euclidean) from their label's
+    centroid — the mislabeled/out-of-distribution audit list a curator
+    reviews per class.
+
+    Exactness (label_centroid_distances' quantize-first discipline,
+    registry_llm2.py): values quantize to 1e-6 ints BEFORE aggregation;
+    with s = Σq and n per (label, dim), the scaled squared distance
+    Σ_dims (n·q − s)² is an exact integer — it clears the rational
+    centroid q̄ = s/n without ever forming a float — accumulated in
+    DECIMAL(38)/HUGEINT (n·q ≈ 10¹³ squares past int64 at corpus
+    scale). Ranking compares those exact integers (ties broken by
+    vec_id), so the top-k set is deterministic in both engines; the
+    reported dist2 rescales by 1/(n²·10¹²) via identical cast/multiply/
+    divide chains on identical wide ints — emitted raw.
+
+    Plan: posexplode → (label, dim) centroid aggregate (|labels|·|dim|
+    rows, BROADCAST back to the exploded side — no gram-scale shuffle
+    join), one vec_id aggregate, one |vecs|-row ranking window. Output
+    is |labels|·3 rows at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", "label", "pos",
+        F.round(F.col("val").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    cen = ex.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = (F.col("n") * F.col("q") - F.col("s")).cast("decimal(38,0)")
+    d = (
+        ex.join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(dev * dev).alias("d2"), F.max("n").alias("n"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2").desc(), F.col("vec_id")
+    )
+    r = d.withColumn("nn_rank", F.row_number().over(w))
+    return r.filter(F.col("nn_rank") <= _OUTLIER_K).select(
+        "label", "nn_rank", "vec_id",
+        (
+            F.col("d2").cast("double")
+            / ((F.col("n") * F.col("n")).cast("double") * F.lit(1.0e12))
+        ).alias("dist2"),
+    )
