@@ -260,6 +260,7 @@ class TxTable:
         key_cols: list[str],
         when_matched: str = "update",
         txn_id: str | None = None,
+        delete_where: Column | str | None = None,
     ) -> int:
         """MERGE INTO by key: replace rows whose ``key_cols`` match a row
         of ``updates`` and insert the rest (``when_matched='update'``,
@@ -278,14 +279,30 @@ class TxTable:
         narrow key range touches few files by construction. The
         driver-side collect is the affected FILE LIST (bounded by file
         count, never rows). Conflict and txn_id semantics as in append.
+
+        ``delete_where`` (update mode only) is the conditional-delete
+        clause of a full MERGE (Delta's WHEN MATCHED AND cond THEN
+        DELETE): update rows satisfying it remove their matched table
+        rows WITHOUT being re-inserted — upserts and keyed deletes land
+        in ONE atomic commit, which is what makes a read-modify-write
+        refresher (operators/txview.py) replay-idempotent under a
+        single txn_id.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        if delete_where is not None and when_matched != "update":
+            raise ValueError("delete_where only composes with when_matched='update'")
+        del_cond = (
+            F.expr(delete_where) if isinstance(delete_where, str) else delete_where
+        )
         base = self.latest_snapshot()
         if base is None:
             if when_matched == "delete":
                 raise SnapshotUnavailable("table has no commits")
-            return self.append(updates, txn_id=txn_id)
+            inserts = (
+                updates if del_cond is None else updates.filter(~del_cond)
+            )
+            return self.append(inserts, txn_id=txn_id)
         m = self._manifest(base)
         schema = m["schema"]
         if when_matched == "update" and updates.schema.simpleString() != schema:
@@ -311,7 +328,13 @@ class TxTable:
                 F.broadcast(keys), on=key_cols, how="left_anti"
             )
         if when_matched == "update":
-            new_data = updates if survivors is None else survivors.unionByName(updates)
+            inserts = (
+                updates if del_cond is None else updates.filter(~del_cond)
+            )
+            new_data = (
+                inserts if survivors is None
+                else survivors.unionByName(inserts)
+            )
         else:
             if survivors is None:
                 return base  # nothing matched: the delete is a no-op
