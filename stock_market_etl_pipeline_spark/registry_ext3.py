@@ -1563,3 +1563,201 @@ def q_event_burst_days(spark, sf_dir):
     return j.filter(
         (F.col("n") > 1) & (dev > 0) & (lhs > rhs)
     ).select("event_type", "day", F.col("c").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions per day (distributed sweep line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peak_concurrency_by_day",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid,
+               ts
+        FROM gaps
+    ),
+    iv AS (
+        SELECT user_id, sid,
+               epoch_us(MIN(ts)) AS start_us,
+               epoch_us(MAX(ts)) AS end_us
+        FROM sess GROUP BY 1, 2
+    ),
+    carried AS (
+        SELECT CAST(d.cd AS DATE) AS day, COUNT(*) AS base
+        FROM iv,
+             UNNEST(generate_series(
+                 CAST(make_timestamp(start_us) AS DATE) + 1,
+                 CAST(make_timestamp(end_us) AS DATE),
+                 INTERVAL 1 DAY)) AS d(cd)
+        GROUP BY 1
+    ),
+    deltas AS (
+        SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+               start_us AS t, 1 AS delta
+        FROM iv
+        UNION ALL
+        SELECT CAST(make_timestamp(end_us + 1) AS DATE) AS day,
+               end_us + 1 AS t, -1 AS delta
+        FROM iv
+    ),
+    net AS (
+        SELECT day, t, CAST(SUM(delta) AS BIGINT) AS net
+        FROM deltas GROUP BY 1, 2
+    ),
+    run AS (
+        SELECT day, t,
+               SUM(net) OVER (PARTITION BY day ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        FROM net
+    ),
+    inday AS (
+        SELECT day, CAST(MAX(r) AS BIGINT) AS max_run FROM run GROUP BY 1
+    ),
+    starts AS (
+        SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+               COUNT(*) AS n_starts
+        FROM iv GROUP BY 1
+    ),
+    days AS (
+        SELECT day FROM inday
+        UNION SELECT day FROM carried
+    )
+    SELECT d.day,
+           CAST(GREATEST(
+               COALESCE(c.base, 0),
+               COALESCE(c.base, 0) + COALESCE(i.max_run, 0)
+           ) AS BIGINT)                          AS peak_concurrency,
+           CAST(COALESCE(s.n_starts, 0) AS BIGINT) AS n_sessions_started
+    FROM days d
+    LEFT JOIN carried c USING (day)
+    LEFT JOIN inday  i USING (day)
+    LEFT JOIN starts s USING (day)
+    WHERE GREATEST(COALESCE(c.base, 0),
+                   COALESCE(c.base, 0) + COALESCE(i.max_run, 0)) > 0
+       OR COALESCE(s.n_starts, 0) > 0
+    """,
+)
+def q_peak_concurrency_by_day(spark, sf_dir):
+    """Maximum number of simultaneously-open sessions per calendar day —
+    the capacity-planning number behind "how many concurrent users must
+    this system hold?". Sessions are the 30-minute-gap windows of
+    sessionize_events, treated as closed intervals [first_ts, last_ts].
+
+    Distributed sweep line with a day-level carry decomposition, so no
+    global ordering is ever materialized:
+
+    - in-day: +1 at each session start, −1 at end+1µs, aggregated per
+      instant (so simultaneous boundary events apply atomically), then a
+      running sum ORDERED WITHIN THE DAY ONLY gives the concurrency
+      delta relative to midnight; its max is the in-day peak component.
+    - cross-day: sessions spanning midnight contribute a +1 "base" to
+      each fully/partially covered later day via a bounded sequence
+      explode (sessions are gap-bounded — the fan-out is end_day −
+      start_day, ~1). base(d) counts sessions open AT midnight exactly
+      (end ≥ day start ⇔ the −1 lands in-day), so
+      peak = max(base, base + max_run) is the true supremum over the
+      whole day, midnight boundary included — the µs tie rules
+      (end+1 rollover) are frozen in tests/test_event_analytics style
+      boundary cases.
+
+    Every quantity is an exact integer. At 1000× the per-day volume the
+    day-partition running sum becomes the hot key; the same
+    decomposition nests hierarchically (hour-chunk running sums + chunk
+    carries — operators/skewsafe.py's halo pattern), which is the
+    documented scale path. Classic result used: interval-overlap
+    maxima occur at interval starts (or carried midnights), so sampling
+    concurrency at boundary instants loses nothing."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    ).localCheckpoint()  # shared by carried/deltas/starts (3 consumers)
+    start_day = F.to_date(F.timestamp_micros(F.col("start_us")))
+    end_day = F.to_date(F.timestamp_micros(F.col("end_us")))
+    carried = (
+        iv.select(
+            F.explode(
+                # guard: sequence(a, b) DESCENDS when a > b (Spark default
+                # step -1) — short sessions must yield an empty cover set
+                F.when(
+                    end_day > start_day,
+                    F.sequence(F.date_add(start_day, 1), end_day),
+                ).otherwise(F.array().cast("array<date>"))
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("base"))
+    )
+    deltas = iv.select(
+        start_day.alias("day"), F.col("start_us").alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        iv.select(
+            F.to_date(F.timestamp_micros(F.col("end_us") + 1)).alias("day"),
+            (F.col("end_us") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = deltas.groupBy("day", "t").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    run = net.withColumn(
+        "r",
+        F.sum("net").over(
+            Window.partitionBy("day").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    inday = run.groupBy("day").agg(F.max("r").cast("long").alias("max_run"))
+    starts = iv.groupBy(start_day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_starts")
+    )
+    days = inday.select("day").union(carried.select("day")).distinct()
+    base = F.coalesce(F.col("base"), F.lit(0))
+    return (
+        days.join(carried, "day", "left")
+        .join(inday, "day", "left")
+        .join(starts, "day", "left")
+        .select(
+            "day",
+            F.greatest(
+                base, base + F.coalesce(F.col("max_run"), F.lit(0))
+            ).cast("long").alias("peak_concurrency"),
+            F.coalesce(F.col("n_starts"), F.lit(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+        # a session ending at 23:59:59.999999 parks its -1 at the next
+        # midnight: that day is a rollover artifact (peak 0, no starts,
+        # no coverage) on both engines -- drop it from the report
+        .filter(
+            (F.col("peak_concurrency") > 0)
+            | (F.col("n_sessions_started") > 0)
+        )
+    )
