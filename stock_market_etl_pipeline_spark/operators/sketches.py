@@ -264,3 +264,86 @@ def hll_sliding_distinct(
             "approx_distinct"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as a DataFrame-native table (heavy-hitter frequencies)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def count_min_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Level 1 of the frequency-sketch family: a count-min sketch per
+    group, stored as PLAIN ROWS ``(group..., seed, bucket, cnt)`` rather
+    than an opaque binary — ≤ depth·width rows per group regardless of
+    how many values the group saw.
+
+    Why rows, not a binary blob: Spark exposes ``count_min_sketch`` as
+    an aggregate but no SQL function to QUERY or MERGE the blob, so the
+    relational encoding IS the portable one — merging sketches is
+    ``SUM(cnt) GROUP BY (seed, bucket)`` (exact, associative,
+    commutative: counters are linear), estimation is a join + MIN, and
+    both stay inside codegen. The counters are additive, so the
+    streaming maintainer pattern is the HLL merge-based one
+    (streaming/sketch_rollup.py), not KLL's recompute.
+
+    Row i of the depth axis uses ``xxhash64(value, seed=i) mod width``;
+    per-row independence across seeds is what the min-estimate needs.
+    One shuffle on (group, seed, bucket); partial aggregation compresses
+    each map task's contribution to sketch size before the exchange.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    e = df.select(
+        *group_cols,
+        F.explode(seeds).alias("seed"),
+        F.col(value_col).alias("__v"),
+    )
+    bucket = F.pmod(F.xxhash64("__v", "seed"), F.lit(width)).cast("int")
+    return e.groupBy(
+        *group_cols, "seed", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def count_min_merge(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge per-subgroup sketches by dropping the extra grouping levels:
+    counters add LOSSLESSLY (the merged table equals the sketch of the
+    concatenated input — asserted in tests/test_sketches.py), the
+    defining property that lets the 100 TB path persist fine-grained
+    sketches and answer any coarser rollup without rescanning."""
+    return rollup.groupBy(*group_cols, "seed", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a (merged, ungrouped)
+    sketch: hash each key with every seed, look up the depth counters,
+    take the MIN (missing bucket ⇒ 0). Guarantees (Cormode–Muthukrishnan):
+    never an underestimate; overestimate ≤ (e/width)·N with probability
+    ≥ 1 − e^(−depth) per key. The sketch side is ≤ depth·width rows —
+    broadcast to the keys, so estimation never shuffles the key set."""
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(seeds).alias("seed"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(key_col, "seed"), F.lit(width)).cast("int")
+    )
+    joined = probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_n")
+    )

@@ -209,3 +209,39 @@ def q_sketch_rolling_active_users(spark, sf_dir):
     return hll_sliding_distinct(daily, window_days=30).select(
         "day", F.col("approx_distinct").alias("mau_30d_est")
     )
+
+
+@register("sketch_token_counts")  # rows-only: sketch layout is a design choice
+def q_sketch_token_counts(spark, sf_dir):
+    """Heavy-hitter token frequencies from a MERGED count-min sketch —
+    the frequency member of the sketch quartet (HLL distinct / KLL
+    quantiles / theta set algebra / CM frequencies). Per-source CM
+    tables (operators/sketches.count_min_rollup — depth·width rows per
+    source, regardless of token volume) are persisted at level 1; this
+    query sum-merges them (lossless: counters are linear) and reads the
+    top-100 tokens by ESTIMATED count over the distinct-token candidate
+    set, the classic CM heavy-hitter workflow. The hash-green exact
+    twin is `token_frequencies`; test_sketches.py certifies the CM
+    guarantees against it: estimates never under-count, and the
+    overestimate stays within (e/width)·N.
+
+    Plan: the merged sketch is ≤ depth·width rows and BROADCASTS to the
+    candidate probes — estimation never shuffles the token set; the
+    top-100 is TakeOrderedAndProject, exactly like the exact twin."""
+    from .functions.text import ws_tokens
+    from .operators.sketches import (
+        count_min_estimate,
+        count_min_merge,
+        count_min_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(ws_tokens(F.col("text"))).alias("tok"),
+    ).select("source", F.lower("tok").alias("token"))
+    per_source = count_min_rollup(toks, ["source"], "token")
+    merged = count_min_merge(per_source, [])
+    candidates = toks.select("token").distinct()
+    est = count_min_estimate(merged, candidates, "token")
+    return est.orderBy(F.col("est_n").desc(), "token").limit(100)

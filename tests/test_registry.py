@@ -53,6 +53,7 @@ ROWS_ONLY_TWINS = {
     "theta_customer_set_algebra": "customer_priority_set_algebra",
     "enriched_volume_approx_quartiles": "enriched_categories",
     "sketch_rolling_active_users": "rolling_active_users",
+    "sketch_token_counts": "token_frequencies",
 }
 
 

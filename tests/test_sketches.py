@@ -271,3 +271,92 @@ def test_hll_sliding_mau_within_error_of_exact_twin(spark):
         assert abs(approx[day] - n) <= max(1, REL_TOL * n), (
             day, approx[day], n,
         )
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch (relational encoding)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_tokens(spark):
+    from stock_market_etl_pipeline_spark.functions.text import ws_tokens
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs.select(
+        "source", F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).select("source", F.lower("tok").alias("token"))
+
+
+def test_count_min_never_underestimates_and_bounds_overestimate(spark):
+    """The two CM guarantees, measured against the exact hash-green twin
+    on every top-100 token: est >= true always (hard guarantee — any
+    violation is a hashing bug), and est <= true + (e/width)·N (holds
+    w.p. 1-e^-depth per key; deterministic here since data and seeds are
+    fixed)."""
+    import math
+
+    from stock_market_etl_pipeline_spark.operators.sketches import (
+        CM_WIDTH,
+        count_min_estimate,
+        count_min_merge,
+        count_min_rollup,
+    )
+
+    toks = _corpus_tokens(spark).cache()
+    n_total = toks.count()
+    exact = {
+        r.token: r.n
+        for r in registry.queries()["token_frequencies"](spark, SF_DIR).collect()
+    }
+    sketch = count_min_merge(count_min_rollup(toks, ["source"], "token"), [])
+    keys = spark.createDataFrame([(t,) for t in exact], "token string")
+    est = {
+        r.token: r.est_n
+        for r in count_min_estimate(sketch, keys, "token").collect()
+    }
+    slack = math.e / CM_WIDTH * n_total
+    assert set(est) == set(exact)
+    for t, true_n in exact.items():
+        assert est[t] >= true_n, f"CM underestimated {t!r}: {est[t]} < {true_n}"
+        assert est[t] <= true_n + slack, (
+            f"CM overestimate bound violated for {t!r}: "
+            f"{est[t]} > {true_n} + {slack:.1f}"
+        )
+    toks.unpersist()
+
+
+def test_count_min_merge_is_lossless(spark):
+    """Sum-merging per-source sketches equals the sketch of the whole
+    corpus ROW FOR ROW — the linearity property that lets fine-grained
+    persisted sketches answer any coarser rollup exactly as well as a
+    one-shot build."""
+    from stock_market_etl_pipeline_spark.operators.sketches import (
+        count_min_merge,
+        count_min_rollup,
+    )
+
+    toks = _corpus_tokens(spark)
+    merged = count_min_merge(count_min_rollup(toks, ["source"], "token"), [])
+    direct = count_min_rollup(toks, [], "token")
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+
+
+def test_count_min_recovers_heavy_hitters(spark):
+    """The exact top-10 tokens all surface in the sketch query's top-100
+    — the heavy-hitter recovery the workflow exists for."""
+    exact_top10 = [
+        r.token
+        for r in registry.queries()["token_frequencies"](spark, SF_DIR)
+        .orderBy(F.col("n").desc(), "token")
+        .limit(10)
+        .collect()
+    ]
+    sketch_top = {
+        r.token
+        for r in registry.queries()["sketch_token_counts"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact_top10) <= sketch_top
