@@ -138,6 +138,17 @@ DEFAULT_QUERIES = [
     "new_vs_returning_revenue",
     "balanced_shards",
     "embedding_hadamard_projection",
+    # round-5 fifth-session additions
+    "cmf_20",
+    "ultimate_oscillator",
+    "dmi_14",
+    "vortex_14",
+    "pivot_points",
+    "doc_novelty_fraction",
+    "label_embedding_outliers",
+    "event_burst_days",
+    "peak_concurrency_by_day",
+    "sketch_token_counts",
 ]
 
 
