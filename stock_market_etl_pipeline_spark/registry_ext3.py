@@ -1761,3 +1761,44 @@ def q_peak_concurrency_by_day(spark, sf_dir):
             | (F.col("n_sessions_started") > 0)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Part-graph PageRank (iterative power method)
+# ---------------------------------------------------------------------------
+
+
+@register("part_pagerank")  # rows-only: iterative float fixpoint has no SQL oracle
+def q_part_pagerank(spark, sf_dir):
+    """Top-50 parts by PageRank over the co-purchase graph (edges =
+    part pairs bought together in >= 2 orders, the oracled
+    part_cooccurrence sliver) — "centrality in the basket graph" ranks
+    hub products the way raw co-occurrence counts cannot (a part
+    co-bought with many DIFFERENT well-connected parts outranks one
+    co-bought often with a single partner).
+
+    The genuinely ITERATIVE registry entry: ten power-method rounds as
+    a driver loop of join+aggregate with per-round lineage checkpoints
+    (operators/graph.py::pagerank — the brief's 'iterative algorithms'
+    slot beside connected components). Rows-only by design: a float
+    fixpoint is not SQL-expressible for the DuckDB oracle; its anchor
+    twin is part_cooccurrence (same edge construction, hash-green) and
+    the numerical certificate is numpy power-iteration agreement +
+    mass conservation in tests/test_graph_pagerank.py.
+
+    Determinism of the emitted rows: ranks are reproducible to ~1e-12
+    (not bit-exact across partitionings), so the top-50 cut orders by
+    (rank DESC, part) with rank rounded to 9dp — far above float noise,
+    far below rank gaps."""
+    from .operators.graph import pagerank
+
+    edges = q_part_cooccurrence(spark, sf_dir).select("part_a", "part_b")
+    pr = pagerank(edges, "part_a", "part_b", damping=0.85, iters=10)
+    return (
+        pr.select(
+            F.col("node").alias("part"),
+            F.round("rank", 9).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "part")
+        .limit(50)
+    )

@@ -912,3 +912,78 @@ def q_new_vs_returning_revenue(spark, sf_dir):
         F.countDistinct("o_custkey").alias("n_customers"),
         (F.sum("price_cents").cast("bigint") / 100.0).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discount-band revenue effectiveness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discount_band_revenue",
+    """
+    WITH b AS (
+        SELECT CAST(round(l_discount * 100) AS INTEGER)    AS discount_pct,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                                                            AS net_e4,
+               l_quantity
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(SUM(net_e4) AS BIGINT) AS t FROM b)
+    SELECT discount_pct,
+           CAST(COUNT(*) AS BIGINT)                    AS n_items,
+           CAST(SUM(price_cents) AS BIGINT) / 100.0    AS gross_revenue,
+           CAST(SUM(net_e4) AS BIGINT) / 10000.0       AS net_revenue,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               * 1.0 / COUNT(*)                        AS avg_quantity,
+           CAST(SUM(net_e4) AS BIGINT) * 1.0 / t       AS revenue_share
+    FROM b, tot
+    GROUP BY discount_pct, t
+    """,
+)
+def q_discount_band_revenue(spark, sf_dir):
+    """Revenue mix by discount percentage band (0%..10% — l_discount
+    lives on the 1% grid): item counts, gross vs net revenue, average
+    order quantity, and each band's share of total net revenue — the
+    'is discounting buying us volume?' rollup behind Q19's banded
+    predicates.
+
+    Exactness: the band key rounds the 2dp discount onto its integer
+    percent; revenue is the revenue_sum_dec cents×(100−disc) idiom
+    (exact int64, ÷10⁴ once); avg_quantity divides two exact ints
+    (quantities are integer-valued doubles); revenue_share divides the
+    band's exact int64 by the broadcast 1-row exact total. Every
+    emitted double is ONE division of identical integers — raw, no
+    rounding needed.
+
+    Plan: one lineitem scan, one 11-group aggregate, one broadcast of
+    the 1-row total — the share never re-scans the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        cents("l_discount").cast("int").alias("discount_pct"),
+        cents("l_extendedprice").alias("price_cents"),
+        (
+            cents("l_extendedprice")
+            * (F.lit(100) - cents("l_discount"))
+        ).alias("net_e4"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    agg = b.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("price_cents").alias("gross_cents"),
+        F.sum("net_e4").alias("net_e4"),
+        F.sum("qty").alias("qty_sum"),
+    )
+    tot = agg.agg(F.sum("net_e4").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "discount_pct",
+        "n_items",
+        (F.col("gross_cents") / F.lit(100.0)).alias("gross_revenue"),
+        (F.col("net_e4") / F.lit(10000.0)).alias("net_revenue"),
+        (F.col("qty_sum") * F.lit(1.0) / F.col("n_items")).alias(
+            "avg_quantity"
+        ),
+        (F.col("net_e4") * F.lit(1.0) / F.col("t")).alias("revenue_share"),
+    )

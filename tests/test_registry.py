@@ -54,6 +54,7 @@ ROWS_ONLY_TWINS = {
     "enriched_volume_approx_quartiles": "enriched_categories",
     "sketch_rolling_active_users": "rolling_active_users",
     "sketch_token_counts": "token_frequencies",
+    "part_pagerank": "part_cooccurrence",
 }
 
 
