@@ -1802,3 +1802,88 @@ def q_part_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "part")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day user overlap (churn adjacency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "day_over_day_user_overlap",
+    """
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    pairs AS (
+        SELECT a.day AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM ud a JOIN ud b
+          ON a.user_id = b.user_id AND b.day = a.day - 1
+        GROUP BY 1
+    ),
+    daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users FROM ud GROUP BY 1
+    )
+    SELECT d.day,
+           d.n_users,
+           p.n_users                                   AS n_prev_users,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT)    AS n_overlap,
+           COALESCE(o.n_overlap, 0) * 1.0
+               / (d.n_users + p.n_users - COALESCE(o.n_overlap, 0))
+                                                       AS jaccard
+    FROM daily d
+    JOIN daily p ON p.day = d.day - 1
+    LEFT JOIN pairs o ON o.day = d.day
+    """,
+)
+def q_day_over_day_user_overlap(spark, sf_dir):
+    """For each day with a preceding active day: users active on both
+    days, and the Jaccard overlap of the two daily user sets — the
+    adjacency view of churn (day_over_day stickiness), complementing
+    dau_mau_stickiness' 30-day window with a 1-day one.
+
+    Plan: ONE distinct user-day table feeds all three legs; the overlap
+    join shuffles on user_id (b-side shifted by +1 day via the join
+    condition — no second distinct pass), daily counts are a (day)
+    aggregate, and the final joins are day-level (bounded by calendar
+    size — broadcast). Jaccard = exact int64 overlap / exact
+    inclusion-exclusion union: one division of identical ints, raw."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().localCheckpoint()
+    a = ud.alias("a")
+    b = ud.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.date_sub(F.col("a.day"), 1)),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    d = daily.alias("d")
+    p = daily.select(
+        F.date_add("day", 1).alias("day"),
+        F.col("n_users").alias("n_prev_users"),
+    ).alias("p")
+    ov = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return (
+        d.join(p, "day")
+        .join(F.broadcast(pairs), "day", "left")
+        .select(
+            "day",
+            "n_users",
+            "n_prev_users",
+            ov.cast("long").alias("n_overlap"),
+            (
+                ov * F.lit(1.0)
+                / (F.col("n_users") + F.col("n_prev_users") - ov)
+            ).alias("jaccard"),
+        )
+    )

@@ -327,3 +327,90 @@ def sliding_distinct_from_store(
 
     store = spark.read.parquet(sketch_dir).select("day", "hll")
     return hll_sliding_distinct(store, window_days=window_days)
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency store: the THIRD exactly-once pattern
+# ---------------------------------------------------------------------------
+
+
+def start_frequency_sketch_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    schema=None,
+):
+    """Maintain a count-min frequency store over the landing rows —
+    via BATCH-PARTITIONED IDEMPOTENT DELTAS, the third maintenance
+    pattern in this module, chosen by the merge algebra:
+
+    - HLL/theta union is idempotent → PURE MERGE (replay is a no-op by
+      algebra).
+    - KLL merge is lossy under replay → PARTITION RECOMPUTE (replay is
+      a no-op by idempotent overwrite from the source of truth).
+    - CM counters are ADDITIVE — merge is lossless (linearity) but NOT
+      idempotent (a re-added batch double-counts), and unlike KLL the
+      sum NEVER needs the raw rows again. So each micro-batch writes
+      its own depth·width counter table under ``batch_id=N``: a
+      replayed batch dynamically overwrites ITS OWN partition —
+      exactly-once from partition-keyed idempotence — and readers just
+      SUM across batch partitions (linearity makes the delta store
+      exactly equal to a one-shot sketch). The delta/compaction split
+      every log-structured store uses, here at sketch size.
+
+    Returns the started availableNow StreamingQuery."""
+    from ..operators.sketches import count_min_rollup
+
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        cm = count_min_rollup(batch_df, [], value_col)
+        if not cm.take(1):
+            return
+        (
+            cm.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def frequency_estimates(
+    spark: SparkSession, sketch_dir: str, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Point-frequency estimates over ALL ingested history from the
+    delta store alone: sum-merge the batch partitions (exact, by
+    counter linearity), then the standard CM min-probe."""
+    from ..operators.sketches import count_min_estimate, count_min_merge
+
+    store = spark.read.parquet(sketch_dir).drop("batch_id")
+    merged = count_min_merge(store, [])
+    return count_min_estimate(merged, keys, key_col)
+
+
+def compact_frequency_store(spark: SparkSession, sketch_dir: str) -> None:
+    """Fold all batch partitions into one: the store grows by
+    depth·width rows per batch, so a periodic compaction keeps it
+    bounded. Sum-merging is exact, so estimates before and after are
+    identical (asserted in tests). The rewrite is idempotent — a
+    crashed-and-rerun compaction converges to the same single
+    partition."""
+    from ..operators.sketches import count_min_merge
+
+    store = spark.read.parquet(sketch_dir).drop("batch_id")
+    merged = count_min_merge(store, []).withColumn(
+        "batch_id", F.lit(-1)
+    ).localCheckpoint()  # reads the dir it rewrites
+    merged.write.mode("overwrite").partitionBy("batch_id").parquet(sketch_dir)

@@ -306,3 +306,130 @@ def test_sliding_mau_from_streaming_store_equals_batch(spark, tmp_path):
     # (day 41 window covers days 12..41 -> users 4 and 1)
     assert got[str(dt.date(2024, 5, 6))] == 3.0
     assert got[str(dt.date(2024, 6, 11))] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Count-min delta store (batch-partitioned idempotent maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _cm_est(spark, store, toks):
+    from stock_market_etl_pipeline_spark.streaming.sketch_rollup import (
+        frequency_estimates,
+    )
+
+    keys = toks.select("token").distinct()
+    return {
+        r.token: r.est_n
+        for r in frequency_estimates(spark, store, keys, "token").collect()
+    }
+
+
+def _tok_table(spark):
+    from stock_market_etl_pipeline_spark.functions.text import ws_tokens
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+
+
+def test_cm_delta_store_incremental_equals_oneshot_and_compacts(spark, tmp_path):
+    """Two ingestion waves through the streaming maintainer must yield
+    the SAME estimates as one batch-built sketch of everything (counter
+    linearity), and compaction must fold the batch partitions without
+    changing a single estimate."""
+    from stock_market_etl_pipeline_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_rollup,
+    )
+    from stock_market_etl_pipeline_spark.streaming.sketch_rollup import (
+        compact_frequency_store,
+        start_frequency_sketch_rollup,
+    )
+
+    toks = _tok_table(spark).cache()
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "cm")
+    ckpt = str(tmp_path / "ckpt")
+
+    toks.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(landing)
+    q = start_frequency_sketch_rollup(spark, landing, store, ckpt, "token")
+    q.awaitTermination(120)
+    toks.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(landing)
+    q = start_frequency_sketch_rollup(spark, landing, store, ckpt, "token")
+    q.awaitTermination(120)
+
+    keys = toks.select("token").distinct()
+    oneshot = {
+        r.token: r.est_n
+        for r in count_min_estimate(
+            count_min_rollup(toks, [], "token"), keys, "token"
+        ).collect()
+    }
+    assert _cm_est(spark, store, toks) == oneshot
+
+    n_parts = spark.read.parquet(store).select("batch_id").distinct().count()
+    assert n_parts >= 2
+    compact_frequency_store(spark, store)
+    assert spark.read.parquet(store).select("batch_id").distinct().count() == 1
+    assert _cm_est(spark, store, toks) == oneshot
+    toks.unpersist()
+
+
+def test_cm_replayed_batch_overwrites_its_own_partition(spark, tmp_path):
+    """The exactly-once mechanism itself: re-running a batch under the
+    same batch_id replaces its partition instead of double-counting —
+    while a NAIVE additive merge of the same delivery visibly inflates
+    counts (the reason pure merge is wrong for CM)."""
+    from stock_market_etl_pipeline_spark.operators.sketches import (
+        count_min_merge,
+        count_min_rollup,
+    )
+
+    toks = _tok_table(spark).limit(500).cache()
+    store = str(tmp_path / "cm")
+    cm = count_min_rollup(toks, [], "token").withColumn("batch_id", F.lit(7))
+    for _ in range(2):  # deliver, then replay the SAME batch
+        (
+            cm.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+    est = _cm_est(spark, store, toks)
+    true_n = {
+        r.token: r.n
+        for r in toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert all(est[t] >= n for t, n in true_n.items())
+    total = sum(true_n.values())
+    # replay did NOT double-count: estimates stay within the CM bound
+    import math
+
+    assert all(
+        est[t] <= n + math.e / 1024 * total for t, n in true_n.items()
+    )
+    # the naive double-merge DOES double-count every heavy token
+    doubled = count_min_merge(
+        spark.read.parquet(store).drop("batch_id").unionByName(
+            cm.drop("batch_id")
+        ),
+        [],
+    )
+    top = max(true_n, key=true_n.get)
+    from stock_market_etl_pipeline_spark.operators.sketches import (
+        count_min_estimate,
+    )
+
+    d_est = {
+        r.token: r.est_n
+        for r in count_min_estimate(
+            doubled, toks.select("token").distinct(), "token"
+        ).collect()
+    }
+    assert d_est[top] >= 2 * true_n[top]
+    toks.unpersist()
