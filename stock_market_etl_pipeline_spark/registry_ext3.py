@@ -1887,3 +1887,47 @@ def q_day_over_day_user_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-week activity heatmap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hour_of_week_heatmap",
+    """
+    SELECT CAST((dayofweek(CAST(ts AS DATE)) + 6) % 7 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER)                              AS hour,
+           CAST(COUNT(*) AS BIGINT)                               AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)                AS n_users,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT)                                        AS n_errors
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hour_of_week_heatmap(spark, sf_dir):
+    """Events per (day-of-week, hour-of-day) cell with distinct users and
+    error counts — the 7×24 heatmap behind "when is this system busy /
+    fragile" capacity views; complements hourly_event_rates' calendar
+    axis with the cyclic one.
+
+    dow is the pandas 0=Monday convention (functions/dateparts.py — the
+    Spark +5 / DuckDB +6 remap divergence is the repo's documented
+    cross-engine date-part gotcha). One groupBy shuffle on 168 cyclic
+    keys; COUNT DISTINCT expands to the standard two-phase plan; all
+    outputs exact integers."""
+    from .functions.dateparts import pandas_day_of_week
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        pandas_day_of_week(F.to_date("ts")).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("n_errors"),
+    )

@@ -201,3 +201,110 @@ def q_label_embedding_outliers(spark, sf_dir):
             / ((F.col("n") * F.col("n")).cast("double") * F.lit(1.0e12))
         ).alias("dist2"),
     )
+
+
+@register(
+    "lang_trigram_similarity",
+    r"""
+    WITH s AS (
+        SELECT lang, lower(text) AS s FROM documents
+    ),
+    tri AS (
+        SELECT lang, substr(s, CAST(u.i AS INTEGER), 3) AS g
+        FROM s, UNNEST(generate_series(1, greatest(length(s) - 2, 0)))
+             AS u(i)
+    ),
+    prof AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT lang, SUM(CAST(n AS HUGEINT) * n) AS n2 FROM prof GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               SUM(CAST(a.n AS HUGEINT) * b.n) AS dot
+        FROM prof a JOIN prof b ON a.g = b.g AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT d.lang_a, d.lang_b,
+           CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS trigram_cosine
+    FROM dots d
+    JOIN norms na ON d.lang_a = na.lang
+    JOIN norms nb ON d.lang_b = nb.lang
+    """,
+)
+def q_lang_trigram_similarity(spark, sf_dir):
+    """Pairwise cosine similarity between per-language character-trigram
+    frequency profiles — the classic n-gram language model distance
+    (Cavnar–Trenkle): languages whose corpora read alike (shared
+    vocabulary, same script) score high, and the matrix audits whether
+    the lang labels actually partition the corpus into distinct
+    character distributions (lang_id_confusion's model-free sibling).
+
+    Exactness: profiles are exact int64 counts per (lang, trigram); dot
+    products and norms accumulate count products in DECIMAL(38)/HUGEINT
+    (corpus-scale counts square past int64), and the cosine closes with
+    sqrt·sqrt-multiply-divide on the correctly-rounded wide→double
+    casts — single IEEE ops on identical inputs, emitted raw.
+
+    Plan: the trigram explode is the corpus-chars pass (bounded-cost
+    interpreted HOF, same budget class as the shingle ops); after the
+    (lang, trigram) aggregate everything is |langs|·|charset³|-bounded —
+    the pair join runs on the PROFILE table, never on documents. Short
+    texts (<3 chars) contribute nothing via the sequence guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("lang", F.lower(F.col("text")).alias("s"))
+    # substring's start must be dynamic per element -> SQL lambda form
+    # (python F.substring takes a literal start); CASE guards short text
+    # against sequence()'s descending-default trap (ADVICE r4)
+    tri = s.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform("
+                "  CASE WHEN length(s) >= 3"
+                "       THEN sequence(1, length(s) - 2)"
+                "       ELSE array() END,"
+                "  i -> substring(s, i, 3))"
+            )
+        ).alias("g"),
+    )
+    prof = tri.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    norms = prof.groupBy("lang").agg(F.sum(nd * nd).alias("n2"))
+    a = prof.select(F.col("lang").alias("lang_a"), "g", F.col("n").alias("na"))
+    b = prof.select(
+        F.col("lang").alias("lang_b"), F.col("g").alias("gb"),
+        F.col("n").alias("nb"),
+    )
+    dots = (
+        a.join(b, (a.g == b.gb) & (F.col("lang_a") < F.col("lang_b")))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(
+                F.col("na").cast("decimal(38,0)")
+                * F.col("nb").cast("decimal(38,0)")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col("lang").alias("la"), F.col("n2").alias("na2"))
+    nb2 = norms.select(F.col("lang").alias("lb"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), F.col("lang_a") == F.col("la"))
+        .join(F.broadcast(nb2), F.col("lang_b") == F.col("lb"))
+        .select(
+            "lang_a", "lang_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("trigram_cosine"),
+        )
+    )
