@@ -387,6 +387,50 @@ def jaccard_pairs_from_shingles(
     )
 
 
+def containment_pairs_from_shingles(
+    sh: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric-containment pairs over a (doc_id, shingle) table:
+    C(A,B) = |A∩B| / min(|A|,|B|) ≥ ``threshold``.
+
+    The small-in-large detector Jaccard structurally misses: a document
+    fully embedded in one 3× its size has J ≈ 0.33 but containment 1.0
+    (quote farms, pagination supersets, article + boilerplate wrappers).
+    Same inverted-index plan as :func:`jaccard_pairs_from_shingles`
+    (bucket_pairs per shingle — one pass, no self-join; pair cost bounded
+    by the stop-shingle cap the caller applies), only the closing score
+    changes: n_common over the SMALLER set's size, one int÷int division —
+    bit-identical across engines. A contained doc shares ALL its
+    shingles with its container, so any of its sub-cap shingles surfaces
+    the pair — recall degrades only for docs composed entirely of
+    stop-shingles, which the boilerplate queries own."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        bucket_pairs(sh, ["shingle"], distinct=False)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    small = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", F.col("n_common") / small)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            small.cast("long").alias("size_small"),
+            "containment",
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 3, num_hashes: int = 16,
     *, shingles: DataFrame | None = None,

@@ -796,3 +796,4 @@ from . import registry_llm2  # noqa: E402,F401
 from . import registry_llm3  # noqa: E402,F401
 from . import registry_fin3  # noqa: E402,F401
 from . import registry_llm4  # noqa: E402,F401
+from . import registry_stats  # noqa: E402,F401

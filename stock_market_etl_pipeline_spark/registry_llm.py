@@ -1601,9 +1601,9 @@ _QF_MAX_SYMBOL = 0.25
 _QF_MIN_DISTINCT = 0.2
 
 
-@register(
-    "doc_quality_score",
-    "WITH " + _TOKS_CTE + rf""",
+# m/f relations shared with quality_filter_funnel (registry_llm4): the
+# funnel MUST count attrition under the exact flags this filter applies.
+_QUALITY_FLAGS_CTES = rf""",
     m AS (
         SELECT doc_id,
                len(t) AS n_tokens,
@@ -1626,6 +1626,12 @@ _QF_MIN_DISTINCT = 0.2
             distinct_ratio >= {_QF_MIN_DISTINCT!r} AS ok_distinct
         FROM m
     )
+"""
+
+
+@register(
+    "doc_quality_score",
+    "WITH " + _TOKS_CTE + _QUALITY_FLAGS_CTES + """
     SELECT doc_id,
            CAST(n_tokens AS INTEGER) AS n_tokens,
            avg_token_len, stopword_ratio, symbol_ratio, distinct_ratio,

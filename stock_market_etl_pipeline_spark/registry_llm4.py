@@ -32,6 +32,175 @@ from .sources.tables import load_table
 _SHINGLE_K = 3
 
 
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (small-in-large)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_THRESHOLD = 0.8
+_CONTAIN_OFFSET = 4_000_000
+
+
+@register(
+    "dedup_containment",
+    rf"""
+    WITH toks0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    trunc AS (
+        SELECT doc_id + {_CONTAIN_OFFSET} AS doc_id,
+               list_slice(t, 1,
+                   GREATEST(CAST(ceil(len(t) / 2.0) AS INT), 8)) AS t
+        FROM toks0 WHERE doc_id < 25
+    ),
+    toks AS (
+        SELECT doc_id, t FROM toks0 UNION ALL SELECT doc_id, t FROM trunc
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ),
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(LEAST(sa.n, sb.n) AS BIGINT) AS size_small,
+           n_common * 1.0 / LEAST(sa.n, sb.n) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / LEAST(sa.n, sb.n) >= {_CONTAIN_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric-containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.8
+    over capped word-3-shingles — the small-in-large duplication family
+    (quoted articles, boilerplate-wrapped reposts, pagination supersets)
+    that Jaccard structurally underweights (a doc inside one 3× its size
+    scores J ≈ 0.33, containment ≈ 1.0) and that
+    dedup_prefix_containment only catches when the overlap is a PREFIX.
+
+    Runs over the corpus ∪ planted half-length truncations of the first
+    25 docs (plant_prefix_duplicates at offset 4e6, mirrored in the
+    oracle CTE): a truncation twin has containment ≈ 1 but Jaccard
+    ≈ 0.5 against its source — below the jaccard query's threshold, so
+    this query's planted positives are invisible to that one (the two
+    queries witness different pair families by construction). Candidates
+    come from the same stop-shingle-capped inverted index as
+    dedup_ngram_jaccard (bucket_pairs, Σ bucket² bounded by the df cap);
+    the score is one int÷int division, emitted raw."""
+    from .operators.dedup import (
+        capped_shingles,
+        containment_pairs_from_shingles,
+        plant_prefix_duplicates,
+    )
+    from .registry_llm import NGRAM_MAX_DOC_FREQ
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = plant_prefix_duplicates(docs, n=25, id_offset=_CONTAIN_OFFSET)
+    sh = capped_shingles(corpus, k=_SHINGLE_K, max_doc_freq=NGRAM_MAX_DOC_FREQ)
+    return containment_pairs_from_shingles(sh, threshold=_CONTAIN_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel (per-rule attrition of doc_quality_score)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = [
+    ("all_docs", None),
+    ("min_max_tokens", "ok_n_tokens"),
+    ("avg_token_len", "ok_avg_token_len"),
+    ("stopword_ratio", "ok_stopword"),
+    ("symbol_ratio", "ok_symbol"),
+    ("distinct_ratio", "ok_distinct"),
+]
+
+
+def _funnel_oracle() -> str:
+    from .registry_llm import _QUALITY_FLAGS_CTES, _TOKS_CTE
+
+    sums, conj = [], []
+    for i, (_, flag) in enumerate(_FUNNEL_STAGES):
+        if flag is not None:
+            conj.append(flag)
+        cond = " AND ".join(conj) if conj else "TRUE"
+        sums.append(
+            f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS n{i}"
+        )
+    rows = []
+    for i, (rule, _) in enumerate(_FUNNEL_STAGES):
+        dropped = "0" if i == 0 else f"n{i - 1} - n{i}"
+        rows.append(
+            f"SELECT CAST({i} AS INTEGER) AS stage, '{rule}' AS rule, "
+            f"CAST(n{i} AS BIGINT) AS n_surviving, "
+            f"CAST({dropped} AS BIGINT) AS n_dropped FROM agg"
+        )
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + _QUALITY_FLAGS_CTES
+        + ", agg AS (SELECT "
+        + ", ".join(sums)
+        + " FROM f) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("quality_filter_funnel", _funnel_oracle())
+def q_quality_filter_funnel(spark, sf_dir):
+    """Per-rule attrition of the Gopher-style quality filter: for each
+    rule in doc_quality_score's fixed order, how many documents survive
+    the CONJUNCTION of rules so far and how many that rule drops — the
+    observability readout a curation pipeline watches to see which gate
+    is doing the cutting (a rule dropping 40% of a trusted source signals
+    a miscalibrated threshold, not bad data).
+
+    Composes the registered doc_quality_score (same flags, same scan —
+    the funnel can never disagree with the filter) into ONE aggregate
+    row of six conjunction counts, unpivoted to six rows driver-side via
+    an inline struct array: output is 6 rows at any corpus size, and the
+    only data-sized work is doc_quality_score's own embarrassingly
+    parallel scan."""
+    from .registry_llm import q_doc_quality_score
+
+    flags = q_doc_quality_score(spark, sf_dir)
+    aggs, conj = [], None
+    for i, (_, flag) in enumerate(_FUNNEL_STAGES):
+        if flag is None:
+            aggs.append(F.count(F.lit(1)).alias(f"n{i}"))
+        else:
+            conj = F.col(flag) if conj is None else conj & F.col(flag)
+            aggs.append(
+                F.sum(F.when(conj, 1).otherwise(0)).alias(f"n{i}")
+            )
+    agg = flags.agg(*aggs)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(rule).alias("rule"),
+                F.col(f"n{i}").cast("long").alias("n_surviving"),
+                (
+                    (F.col(f"n{i - 1}") - F.col(f"n{i}")) if i else F.lit(0)
+                )
+                .cast("long")
+                .alias("n_dropped"),
+            )
+            for i, (rule, _) in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.rule", "s.n_surviving", "s.n_dropped"
+    )
+
+
 @register(
     "doc_novelty_fraction",
     rf"""

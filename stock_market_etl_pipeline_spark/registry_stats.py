@@ -1,0 +1,406 @@
+"""Distributional statistics: concentration indices, autocorrelation,
+quality-funnel observability, session bounce rates.
+
+The concentration pair (Gini, HHI) is the inequality toolkit an analyst
+runs over revenue rollups; the ACF query is the time-series diagnostic
+behind "is this series momentum or noise"; the funnel makes the
+doc-quality filter's per-rule attrition visible (which rule is doing the
+cutting); bounce rate is the classic session-quality KPI.
+
+Exactness discipline (NOTES rules 10/11): every statistic here is closed
+over EXACT integer aggregates (cents, ranks, counts) widened to
+DECIMAL(38)/HUGEINT where products clear int64, and finished by a
+constant number of correctly-rounded double ops (cast / sqrt / one
+multiply chain / one divide) — identical on both engines, emitted raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import cents, register
+from .sources.events import load_events
+from .sources.tables import load_table
+from .sources.ticks import ticks
+from .oracles import WITH_TICKS
+
+
+def _dec(c):
+    return c.cast("decimal(38,0)")
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue, per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c.c_nationkey AS nationkey, cust.spend_cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_nationkey
+                   ORDER BY cust.spend_cents, cust.custkey) AS rn
+        FROM cust JOIN customer c ON cust.custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS HUGEINT)                    AS n,
+               SUM(CAST(spend_cents AS HUGEINT))            AS s,
+               SUM(CAST(rn AS HUGEINT) * spend_cents)       AS sw
+        FROM ranked GROUP BY 1
+    )
+    SELECT n.n_name,
+           CAST(g.n AS BIGINT) AS n_customers,
+           CAST(2 * g.sw - (g.n + 1) * g.s AS DOUBLE)
+               / CAST(g.n * g.s AS DOUBLE) AS gini
+    FROM g JOIN nation n ON g.nationkey = n.n_nationkey
+    """,
+)
+def q_gini_revenue_concentration(spark, sf_dir):
+    """Gini coefficient of customer order-revenue inequality per nation:
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over each nation's customers
+    ranked by total spend ascending.
+
+    Exactness: spend is exact int64 cents; the rank-weighted sum and the
+    closing products run in DECIMAL(38)/HUGEINT (rn·x ≈ 10¹³ and n·Σx
+    clear int64 once nations hold ~10⁶ customers), so numerator and
+    denominator are exact integers — ties in spend are rank-order
+    invariant for Σ i·xᵢ (swapping equal x across adjacent ranks changes
+    nothing), and the custkey tiebreak makes the ranking deterministic
+    anyway. One double division closes it, emitted raw.
+
+    Plan: orders aggregate to customer grain first (the big shuffle runs
+    on o_custkey and REDUCES 10:1 before anything joins), customer dim
+    joins on the rollup, and the ranking window partitions by nation over
+    customer-grain rows only. Output is 25 rows at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents("o_totalprice")).alias("spend_cents")
+    )
+    ranked = cust.join(
+        customer.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        ),
+        "custkey",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("nationkey").orderBy("spend_cents", "custkey")
+        ),
+    )
+    g = ranked.groupBy("nationkey").agg(
+        _dec(F.count(F.lit(1))).alias("n"),
+        F.sum(_dec(F.col("spend_cents"))).alias("s"),
+        F.sum(_dec(F.col("rn")) * _dec(F.col("spend_cents"))).alias("sw"),
+    )
+    return g.join(
+        F.broadcast(nation),
+        g.nationkey == F.col("n_nationkey"),
+    ).select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        (
+            (F.lit(2) * F.col("sw") - (F.col("n") + 1) * F.col("s"))
+            .cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman index of supplier revenue, per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hhi_supplier_concentration",
+    """
+    WITH srev AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    bynat AS (
+        SELECT s.s_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT)            AS n_suppliers,
+               SUM(CAST(srev.rev AS HUGEINT))      AS s,
+               SUM(CAST(srev.rev AS HUGEINT) * srev.rev) AS d2,
+               MAX(srev.rev)                       AS rmax
+        FROM srev JOIN supplier s ON srev.suppkey = s.s_suppkey
+        GROUP BY 1
+    )
+    SELECT n.n_name, n_suppliers,
+           10000.0 * (CAST(d2 AS DOUBLE)
+                      / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS hhi,
+           CAST(rmax AS DOUBLE) / CAST(s AS DOUBLE)              AS top_share
+    FROM bynat JOIN nation n ON bynat.nationkey = n.n_nationkey
+    """,
+)
+def q_hhi_supplier_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman index (×10000, the antitrust scale) of
+    supplier revenue concentration per nation, plus the single-supplier
+    top share (CR1).
+
+    Exactness: per-supplier revenue is the exact cents·(100−disc) int64
+    sum (revenue_sum_dec's integers, undivided); squares accumulate in
+    DECIMAL(38)/HUGEINT (rev² ≈ 10²⁴ at cluster scale). HHI closes with
+    cast/multiply/divide/multiply on identical exact integers — four
+    correctly-rounded IEEE ops, emitted raw.
+
+    Plan: lineitem aggregates to supplier grain on ONE l_suppkey shuffle
+    (the only data-sized exchange), the supplier dim broadcasts onto the
+    rollup, and the nation aggregate touches |suppliers| rows. 25 rows
+    out at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    srev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+        ).alias("rev")
+    )
+    bynat = srev.join(
+        F.broadcast(
+            supplier.select(
+                F.col("s_suppkey").alias("suppkey"),
+                F.col("s_nationkey").alias("nationkey"),
+            )
+        ),
+        "suppkey",
+    ).groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(_dec(F.col("rev"))).alias("s"),
+        F.sum(_dec(F.col("rev")) * _dec(F.col("rev"))).alias("d2"),
+        F.max("rev").alias("rmax"),
+    )
+    return bynat.join(
+        F.broadcast(nation), bynat.nationkey == F.col("n_nationkey")
+    ).select(
+        "n_name",
+        "n_suppliers",
+        (
+            F.lit(10000.0)
+            * (
+                F.col("d2").cast("double")
+                / (F.col("s").cast("double") * F.col("s").cast("double"))
+            )
+        ).alias("hhi"),
+        (F.col("rmax").cast("double") / F.col("s").cast("double")).alias(
+            "top_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of daily close changes, lags 1..5, per symbol
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 5
+
+
+@register(
+    "price_change_acf",
+    WITH_TICKS
+    + f""",
+    d0 AS (
+        SELECT symbol, date,
+               CAST(ROUND(close * 100, 0) AS BIGINT)
+               - LAG(CAST(ROUND(close * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY symbol ORDER BY date) AS d
+        FROM ticks
+    ),
+    d AS (
+        SELECT symbol, d,
+               ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS rn
+        FROM d0 WHERE d IS NOT NULL
+    ),
+    xl AS (
+        SELECT symbol, rn, d, CAST(u.lag AS INTEGER) AS lag,
+               rn - u.lag AS j
+        FROM d, UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS u(lag)
+    ),
+    m AS (
+        SELECT x.symbol, x.lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x.d) AS BIGINT)  AS sx,
+               CAST(SUM(b.d) AS BIGINT)  AS sy,
+               CAST(SUM(x.d * b.d) AS BIGINT) AS sxy,
+               CAST(SUM(x.d * x.d) AS BIGINT) AS sxx,
+               CAST(SUM(b.d * b.d) AS BIGINT) AS syy
+        FROM xl x JOIN d b ON x.symbol = b.symbol AND x.j = b.rn
+        GROUP BY 1, 2
+    )
+    SELECT symbol, lag, n AS n_pairs,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+                THEN CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                ELSE NULL END AS acf
+    FROM m
+    """,
+)
+def q_price_change_acf(spark, sf_dir):
+    """Per-symbol autocorrelation of daily close CHANGES at lags 1..5 —
+    the momentum-vs-mean-reversion diagnostic (returns ACF ≈ 0 is the
+    efficient-market null; persistent positive lags flag trending).
+
+    Works on integer cent differences, not float returns: all five
+    moment sums (Σx, Σy, Σxy, Σx², Σy²) are exact int64 over each
+    (symbol, lag) group (group size is the symbol's history, constant
+    under keyed scale-up), the Pearson numerator/denominators widen to
+    DECIMAL(38)/HUGEINT for the closing products (n·Σxy ≈ 10¹⁹ clears
+    int64), and r closes as num / (√denx·√deny) — cast, two sqrts, one
+    multiply, one divide, all correctly rounded on identical exact
+    integers, emitted raw. Constant series (zero variance) yield NULL.
+
+    Plan: ONE symbol exchange serves the date-ordered lag window for the
+    diff and all five lag columns (one Window node); the lag dimension
+    unpivots via an inline struct array (no join, no re-shuffle), and
+    the final aggregate groups |symbols|·5 keys. DuckDB mirrors the
+    unpivot with generate_series + a per-(symbol,lag) window — same
+    pairs by construction.
+    """
+    t = ticks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    c = cents("close")
+    d = t.select(
+        "symbol", "date", (c - F.lag(c).over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    lag_cols = [
+        F.lag("d", L).over(w).alias(f"y{L}")
+        for L in range(1, _ACF_MAX_LAG + 1)
+    ]
+    wide = d.select("symbol", "date", "d", *lag_cols)
+    pairs = wide.select(
+        "symbol",
+        F.col("d").alias("x"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("lag"), F.col(f"y{L}").alias("y")
+                    )
+                    for L in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("symbol", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y"))
+    m = pairs.filter(F.col("y").isNotNull()).groupBy("symbol", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = _dec(F.col("n")) * _dec(F.col("sxy")) - _dec(F.col("sx")) * _dec(
+        F.col("sy")
+    )
+    denx = _dec(F.col("n")) * _dec(F.col("sxx")) - _dec(F.col("sx")) * _dec(
+        F.col("sx")
+    )
+    deny = _dec(F.col("n")) * _dec(F.col("syy")) - _dec(F.col("sy")) * _dec(
+        F.col("sy")
+    )
+    return m.select(
+        "symbol",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_bounce_rate",
+    """
+    WITH gaps AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts) AS DATE) AS day,
+               COUNT(*)              AS n_events
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT)                        AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                                 AS n_bounces,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*)                                  AS bounce_rate
+    FROM per_session GROUP BY 1
+    """,
+)
+def q_session_bounce_rate(spark, sf_dir):
+    """Daily bounce rate: fraction of sessions (30-min-gap islands, the
+    sessionize_events definition verbatim) containing exactly one event,
+    keyed by the session's start day.
+
+    bounce_rate is one int÷int division — bit-identical, emitted raw.
+    Plan: the single user_id exchange serves the lag window, the running
+    session-id sum, and the per-session aggregate (sessionize_events'
+    reuse pattern); the daily rollup then groups |sessions| rows by
+    ~|days| keys. Output is bounded by the calendar at any scale.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(bounce).cast("bigint").alias("n_bounces"),
+        (F.sum(bounce) * F.lit(1.0) / F.count(F.lit(1))).alias("bounce_rate"),
+    )

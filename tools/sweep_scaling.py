@@ -149,6 +149,19 @@ DEFAULT_QUERIES = [
     "event_burst_days",
     "peak_concurrency_by_day",
     "sketch_token_counts",
+    # round-5 sixth-session additions
+    "part_pagerank",
+    "discount_band_revenue",
+    "day_over_day_user_overlap",
+    "hour_of_week_heatmap",
+    "lang_trigram_similarity",
+    # round-5 seventh-session additions
+    "gini_revenue_concentration",
+    "hhi_supplier_concentration",
+    "price_change_acf",
+    "session_bounce_rate",
+    "dedup_containment",
+    "quality_filter_funnel",
 ]
 
 
