@@ -477,3 +477,71 @@ def q_lang_trigram_similarity(spark, sf_dir):
             ).alias("trigram_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH band calibration (geometry observability)
+# ---------------------------------------------------------------------------
+
+
+def _band_calibration_oracle() -> str:
+    from .registry_llm import _MINHASH_CTES
+
+    return (
+        "WITH "
+        + _MINHASH_CTES
+        + """,
+    buckets AS (
+        SELECT band, band_sig, COUNT(*) AS m
+        FROM banded GROUP BY 1, 2
+    )
+    SELECT CAST(band AS INTEGER)            AS band,
+           CAST(COUNT(*) AS BIGINT)         AS n_buckets,
+           CAST(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                            AS n_collision_buckets,
+           CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(m) AS BIGINT)           AS max_bucket
+    FROM buckets GROUP BY 1
+    """
+    )
+
+
+@register("minhash_band_calibration", _band_calibration_oracle())
+def q_minhash_band_calibration(spark, sf_dir):
+    """Per-band health report of the MinHash-LSH index that
+    dedup_minhash_lsh queries: bucket count, collision-bucket count,
+    candidate-pair mass Σ m·(m−1)/2, and the largest bucket — the
+    numbers an operator watches to size the geometry BEFORE a scale
+    cliff (NOTES r4: the ×43 near-pairs cliff was exactly
+    candidate_pairs going quadratic; max_bucket nearing the
+    bucket_pairs cap is the widen-planes signal, candidate_pairs far
+    below corpus size means the bands are too fine and recall is
+    leaking).
+
+    Same signature/banding derivation as the dedup queries (shared
+    _MINHASH CTEs in the oracle, minhash_banded on the Spark side), so
+    the report describes the index actually used. All counts are exact
+    ints; output is |bands| rows at any corpus size, and the only work
+    beyond signature computation is one (band, band_sig) aggregate —
+    the index table's own grain."""
+    from .operators.dedup import minhash_banded
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = minhash_banded(docs, k=3, num_hashes=16, bands=4)
+    buckets = banded.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    m = F.col("m")
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(m >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collision_buckets"),
+        F.sum((m * (m - 1) / 2).cast("long")).cast("bigint").alias(
+            "candidate_pairs"
+        ),
+        F.max(m).cast("bigint").alias("max_bucket"),
+    ).select(
+        F.col("band").cast("int").alias("band"),
+        "n_buckets", "n_collision_buckets", "candidate_pairs", "max_bucket",
+    )

@@ -404,3 +404,291 @@ def q_session_bounce_rate(spark, sf_dir):
         F.sum(bounce).cast("bigint").alias("n_bounces"),
         (F.sum(bounce) * F.lit(1.0) / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles (the distribution behind the Gini scalar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lorenz_revenue_deciles",
+    """
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c.c_nationkey AS nationkey, cust.spend_cents,
+               NTILE(10) OVER (
+                   PARTITION BY c.c_nationkey
+                   ORDER BY cust.spend_cents, cust.custkey) AS decile
+        FROM cust JOIN customer c ON cust.custkey = c.c_custkey
+    ),
+    d AS (
+        SELECT nationkey, CAST(decile AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(spend_cents AS HUGEINT)) AS BIGINT)
+                   AS decile_spend_cents
+        FROM ranked GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT *,
+               SUM(CAST(decile_spend_cents AS HUGEINT)) OVER (
+                   PARTITION BY nationkey ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(CAST(decile_spend_cents AS HUGEINT)) OVER (
+                   PARTITION BY nationkey) AS tot
+        FROM d
+    )
+    SELECT n.n_name, decile, n_customers, decile_spend_cents,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+    FROM c JOIN nation n ON c.nationkey = n.n_nationkey
+    """,
+)
+def q_lorenz_revenue_deciles(spark, sf_dir):
+    """Lorenz curve of customer revenue per nation at decile resolution —
+    the distribution gini_revenue_concentration summarizes to a scalar:
+    each nation's customers ranked by spend ascending, NTILE(10)
+    bucketed, with the decile's exact cents total and the cumulative
+    revenue share up to it ("the bottom 80% of customers hold cum_share
+    of revenue").
+
+    NTILE is deterministic under the (spend, custkey) total order and
+    both engines implement the SQL-standard split (size difference ≤ 1,
+    larger buckets first). All sums are exact cents in
+    DECIMAL(38)/HUGEINT; cum_share is one division of two exact wide
+    ints per output row, emitted raw.
+
+    Plan: same shape as the Gini query (orders reduce on the custkey
+    shuffle BEFORE the dim join; windows run on customer-grain rows,
+    partitioned by nation); the decile rollup is 250 rows, and the
+    cumulative window runs on those 250 only. Output 25·10 rows at any
+    scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents("o_totalprice")).alias("spend_cents")
+    )
+    ranked = cust.join(
+        customer.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        ),
+        "custkey",
+    ).withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.partitionBy("nationkey").orderBy("spend_cents", "custkey")
+        ),
+    )
+    d = ranked.groupBy("nationkey", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("decile_spend_cents"),
+    )
+    wn = Window.partitionBy("nationkey")
+    cum = (
+        F.sum(_dec(F.col("decile_spend_cents")))
+        .over(wn.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = F.sum(_dec(F.col("decile_spend_cents"))).over(wn)
+    c = d.select(
+        "nationkey", "decile", "n_customers", "decile_spend_cents",
+        (cum.cast("double") / tot.cast("double")).alias("cum_share"),
+    )
+    return c.join(
+        F.broadcast(nation), c.nationkey == F.col("n_nationkey")
+    ).select(
+        "n_name", "decile", "n_customers", "decile_spend_cents", "cum_share"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase rate per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repeat_order_rate_by_nation",
+    """
+    WITH cust AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    bynat AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT)        AS n_customers,
+               CAST(SUM(CASE WHEN cust.n_orders >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT)                 AS n_repeat,
+               CAST(SUM(cust.n_orders) AS BIGINT) AS n_orders
+        FROM cust JOIN customer c ON cust.custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT n.n_name, n_customers, n_repeat, n_orders,
+           n_repeat * 1.0 / n_customers AS repeat_rate,
+           n_orders * 1.0 / n_customers AS orders_per_customer
+    FROM bynat JOIN nation n ON bynat.nationkey = n.n_nationkey
+    """,
+)
+def q_repeat_order_rate_by_nation(spark, sf_dir):
+    """Repeat-ORDER rate per nation: share of (ordering) customers
+    with >=2 orders, plus orders-per-customer — the retention KPI pair
+    (repeat_purchase_rate's orders/dim-join sibling, nation-resolved).
+    Both ratios are single int÷int divisions, emitted raw; the custkey
+    rollup reduces orders 10:1 before the dim join, and the nation
+    aggregate touches customer-grain rows only."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    bynat = cust.join(
+        customer.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        ),
+        "custkey",
+    ).groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+    return bynat.join(
+        F.broadcast(nation), bynat.nationkey == F.col("n_nationkey")
+    ).select(
+        "n_name", "n_customers", "n_repeat", "n_orders",
+        (F.col("n_repeat") * F.lit(1.0) / F.col("n_customers")).alias(
+            "repeat_rate"
+        ),
+        (F.col("n_orders") * F.lit(1.0) / F.col("n_customers")).alias(
+            "orders_per_customer"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "first_digit_distribution",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    )
+    SELECT digit, n,
+           n * 1.0 / (SELECT SUM(n) FROM counts) AS share
+    FROM counts
+    """,
+)
+def q_first_digit_distribution(spark, sf_dir):
+    """Leading-digit distribution of order totals — the Benford's-law
+    data-quality audit (fabricated or capped monetary data shows up as a
+    first-digit histogram far from the log-decaying Benford shape; the
+    synthetic testdata's uniform pricing is itself visibly non-Benford,
+    which is the point of the audit).
+
+    The digit comes from the exact integer dollar floor (FLOOR of a 2dp
+    double is exact; both engines cast-truncate identically via explicit
+    FLOOR per NOTES rule 4), the share is one int÷int division against a
+    broadcast 1-row total. One scan, one 9-key aggregate — trivially
+    cluster-scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("__tot"))
+    return counts.join(F.broadcast(tot)).select(
+        "digit", "n", (F.col("n") * F.lit(1.0) / F.col("__tot")).alias("share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer inter-order cadence percentiles per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_gap_percentiles",
+    """
+    WITH gaps AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day',
+                         CAST(LAG(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS DATE),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    ),
+    g AS (
+        SELECT c.c_nationkey AS nationkey, gaps.gap_days
+        FROM gaps JOIN customer c ON gaps.custkey = c.c_custkey
+        WHERE gaps.gap_days IS NOT NULL
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT)          AS n_gaps,
+           ROUND(quantile_cont(gap_days, 0.25), 6) AS p25_days,
+           ROUND(quantile_cont(gap_days, 0.50), 6) AS median_days,
+           ROUND(quantile_cont(gap_days, 0.75), 6) AS p75_days,
+           CAST(MAX(gap_days) AS BIGINT)     AS max_days
+    FROM g JOIN nation n ON g.nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_order_gap_percentiles(spark, sf_dir):
+    """Customer re-order cadence per nation: quartiles of the
+    days-between-consecutive-orders distribution (the inputs to "when is
+    this customer overdue" retention models). The events sibling is
+    inter_event_gaps; this is the orders/dim-join variant.
+
+    Gaps are exact integer days (date_diff of DATE casts); both engines
+    interpolate quantiles at (n−1)·p over the sorted ints, so the
+    quartile values live on the exact quarter grid (a + {{0,.25,.5,.75}}
+    ·(b−a) with int a,b is exactly representable) — rounded 6dp to
+    follow inter_event_gaps' precedent. One custkey exchange serves both
+    the lag window and (by key co-location) the dim join; the percentile
+    aggregate then groups by nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    g = gaps.join(
+        customer.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        ),
+        "custkey",
+    )
+    agg = g.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_days, 0.25)"), 6).alias("p25_days"),
+        F.round(F.expr("percentile(gap_days, 0.50)"), 6).alias("median_days"),
+        F.round(F.expr("percentile(gap_days, 0.75)"), 6).alias("p75_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )
+    return agg.join(
+        F.broadcast(nation), agg.nationkey == F.col("n_nationkey")
+    ).select("n_name", "n_gaps", "p25_days", "median_days", "p75_days",
+             "max_days")

@@ -179,3 +179,129 @@ def test_bounce_rate_consistency(spark):
         spark, SF_DIR
     ).count()
     assert total == n_sessions
+
+
+def test_lorenz_deciles_structure(spark):
+    rows = registry.queries()["lorenz_revenue_deciles"](spark, SF_DIR).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    gini = {
+        r.n_name: r
+        for r in registry.queries()["gini_revenue_concentration"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for name, rs in by_nation.items():
+        rs.sort(key=lambda r: r.decile)
+        # nations with < 10 customers fill only the first n NTILE buckets
+        n_buckets = len(rs)
+        assert [r.decile for r in rs] == list(range(1, n_buckets + 1))
+        assert n_buckets == min(10, sum(r.n_customers for r in rs))
+        # cum_share is nondecreasing, ends at exactly 1.0, and the curve
+        # lies under the diagonal (spend sorted ascending)
+        shares = [r.cum_share for r in rs]
+        assert all(b >= a for a, b in zip(shares, shares[1:]))
+        assert math.isclose(shares[-1], 1.0, rel_tol=1e-12)
+        # under the diagonal: cumulative revenue share <= cumulative
+        # POPULATION share (bucket sizes are unequal, so use the real one)
+        total_n = sum(r.n_customers for r in rs)
+        cum_n = 0
+        for r, s in zip(rs, shares):
+            cum_n += r.n_customers
+            assert s <= cum_n / total_n + 1e-9
+        # NTILE balance: bucket sizes differ by <= 1, larger first
+        sizes = [r.n_customers for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        # decile totals must sum to the same customer count Gini saw
+        assert sum(sizes) == gini[name].n_customers
+
+
+def test_repeat_order_rate_consistency(spark):
+    rows = registry.queries()["repeat_order_rate_by_nation"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_repeat <= r.n_customers
+        assert r.n_orders >= r.n_customers
+        assert math.isclose(
+            r.repeat_rate, r.n_repeat / r.n_customers, rel_tol=1e-12
+        )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.n_orders for r in rows) == orders.count()
+
+
+def test_first_digit_distribution(spark):
+    rows = registry.queries()["first_digit_distribution"](
+        spark, SF_DIR
+    ).collect()
+    assert all(1 <= r.digit <= 9 for r in rows)
+    assert math.isclose(sum(r.share for r in rows), 1.0, rel_tol=1e-9)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.n for r in rows) == orders.count()
+
+
+def test_order_gap_percentiles_reference(spark):
+    got = {
+        r.n_name: r
+        for r in registry.queries()["order_gap_percentiles"](
+            spark, SF_DIR
+        ).collect()
+    }
+    con = _duck()
+    rows = con.execute(
+        """
+        WITH g AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders
+        )
+        SELECT n.n_name, date_diff('day', g.prev, g.d) AS gap
+        FROM g
+        JOIN customer c ON g.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE g.prev IS NOT NULL
+        """
+    ).fetchall()
+    by_nation = {}
+    for name, gap in rows:
+        by_nation.setdefault(name, []).append(gap)
+
+    def q(xs, p):
+        xs = sorted(xs)
+        pos = (len(xs) - 1) * p
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(xs) - 1)
+        return xs[lo] + (pos - lo) * (xs[hi] - xs[lo])
+
+    assert set(got) == set(by_nation)
+    for name, xs in by_nation.items():
+        r = got[name]
+        assert r.n_gaps == len(xs)
+        assert math.isclose(r.median_days, q(xs, 0.5), abs_tol=1e-6)
+        assert math.isclose(r.p25_days, q(xs, 0.25), abs_tol=1e-6)
+        assert math.isclose(r.p75_days, q(xs, 0.75), abs_tol=1e-6)
+        assert r.p25_days <= r.median_days <= r.p75_days <= r.max_days
+
+
+def test_minhash_band_calibration_consistency(spark):
+    """The calibration report must describe the SAME index the dedup
+    query uses: total candidate-pair mass across bands bounds (>=) the
+    distinct candidate count dedup_minhash_lsh returns (a pair colliding
+    in k bands is counted k times here, once there)."""
+    rows = registry.queries()["minhash_band_calibration"](
+        spark, SF_DIR
+    ).collect()
+    assert sorted(r.band for r in rows) == [0, 1, 2, 3]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    for r in rows:
+        assert r.n_collision_buckets <= r.n_buckets <= n_docs
+        assert r.max_bucket >= 1
+        assert r.candidate_pairs >= r.n_collision_buckets  # each >=1 pair
+    n_cand = registry.queries()["dedup_minhash_lsh"](spark, SF_DIR).count()
+    assert sum(r.candidate_pairs for r in rows) >= n_cand

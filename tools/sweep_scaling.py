@@ -162,6 +162,11 @@ DEFAULT_QUERIES = [
     "session_bounce_rate",
     "dedup_containment",
     "quality_filter_funnel",
+    "lorenz_revenue_deciles",
+    "repeat_order_rate_by_nation",
+    "first_digit_distribution",
+    "order_gap_percentiles",
+    "minhash_band_calibration",
 ]
 
 
