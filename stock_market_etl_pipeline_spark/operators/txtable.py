@@ -125,6 +125,15 @@ class TxTable:
         shutil.rmtree(stage_dir)
         return files, n_rows
 
+    def _schema_struct(self, m: dict):
+        """The manifest's logical schema as a StructType (None for
+        manifests written before schema_json was recorded)."""
+        if m.get("schema_json"):
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(json.loads(m["schema_json"]))
+        return None
+
     def _commit(
         self,
         action: str,
@@ -135,6 +144,8 @@ class TxTable:
         keep_previous: bool,
         base: int | None = None,
         removed: list[str] | None = None,
+        schema_json: str | None = None,
+        allow_schema_change: bool = False,
     ) -> int:
         """Claim snapshot ``base + 1``. ``base`` is the table state the
         writer READ when it started (captured before staging); if a racer
@@ -156,10 +167,11 @@ class TxTable:
         if keep_previous and prev is not None:
             live = list(self._manifest(prev)["files"])
             prev_schema = self._manifest(prev)["schema"]
-            if prev_schema != schema:
+            if prev_schema != schema and not allow_schema_change:
                 raise ValueError(
                     f"append schema mismatch: table has {prev_schema}, "
-                    f"commit brings {schema}"
+                    f"commit brings {schema} "
+                    "(pass merge_schema=True to evolve by adding columns)"
                 )
         if removed:
             gone = set(removed)
@@ -172,6 +184,7 @@ class TxTable:
             "removed": sorted(removed) if removed else [],
             "n_rows_added": n_rows,
             "schema": schema,
+            "schema_json": schema_json,
             "txn_id": txn_id,
         }
         path = os.path.join(self.log_dir, f"{manifest['snapshot']:010d}.json")
@@ -191,17 +204,58 @@ class TxTable:
             os.unlink(tmp)
         return manifest["snapshot"]
 
-    def append(self, df: DataFrame, txn_id: str | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn_id: str | None = None,
+        merge_schema: bool = False,
+    ) -> int:
         """Atomically add df's rows. Returns the committed snapshot id.
         With txn_id, a replayed append of the same transaction is a
         no-op (exactly-once under at-least-once delivery). Raises
         CommitConflict if another writer committed since this call began
-        — retry by calling append again (it re-reads table state)."""
+        — retry by calling append again (it re-reads table state).
+
+        ``merge_schema=True`` enables ADD-COLUMN schema evolution (the
+        Delta/Iceberg mergeSchema contract): columns the batch brings
+        that the table lacks are appended to the logical schema, and
+        columns the batch omits stay — existing files are NEVER
+        rewritten; reads resolve every file against the unified logical
+        schema, null-filling what a file predates (see :meth:`read`).
+        Same-named columns must keep their exact type — type changes
+        raise (widening is a rewrite, not an evolution). Time travel is
+        schema-versioned: an old snapshot reads with the schema it was
+        committed under."""
         base = self.latest_snapshot()
+        schema_struct = df.schema
+        if merge_schema and base is not None:
+            prev = self._schema_struct(self._manifest(base))
+            if prev is not None:
+                from pyspark.sql.types import StructField, StructType
+
+                by_name = {f.name: f for f in df.schema.fields}
+                for f in prev.fields:
+                    nf = by_name.get(f.name)
+                    if nf is not None and nf.dataType != f.dataType:
+                        raise ValueError(
+                            f"schema evolution cannot change column "
+                            f"{f.name!r}: {f.dataType.simpleString()} -> "
+                            f"{nf.dataType.simpleString()}"
+                        )
+                old_names = {f.name for f in prev.fields}
+                schema_struct = StructType(
+                    list(prev.fields)
+                    + [
+                        StructField(f.name, f.dataType, True)
+                        for f in df.schema.fields
+                        if f.name not in old_names
+                    ]
+                )
         files, n = self._stage(df)
         return self._commit(
-            "append", files, n, df.schema.simpleString(), txn_id, True,
-            base=base,
+            "append", files, n, schema_struct.simpleString(), txn_id, True,
+            base=base, schema_json=schema_struct.json(),
+            allow_schema_change=merge_schema,
         )
 
     def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
@@ -212,7 +266,7 @@ class TxTable:
         files, n = self._stage(df)
         return self._commit(
             "overwrite", files, n, df.schema.simpleString(), txn_id, False,
-            base=base,
+            base=base, schema_json=df.schema.json(),
         )
 
     # -- reads ----------------------------------------------------------
@@ -231,17 +285,27 @@ class TxTable:
             raise SnapshotUnavailable(
                 f"snapshot {snap}: {len(missing)} data files vacuumed"
             )
-        return self._read_files(spark, m["files"], m["schema"])
+        return self._read_files(
+            spark, m["files"], m["schema"], struct=self._schema_struct(m)
+        )
 
     def _read_files(
-        self, spark: SparkSession, files: list[str], schema: str
+        self, spark: SparkSession, files: list[str], schema: str, struct=None
     ) -> DataFrame:
         """Read exactly ``files`` (basenames under data/); empty list
         resolves to an empty DataFrame with the manifest schema instead
-        of a filesystem probe."""
+        of a filesystem probe. With ``struct`` (the manifest's logical
+        schema), every file is resolved against it BY NAME — files
+        written before a schema evolution null-fill the columns they
+        predate, which is what makes add-column evolution a pure
+        metadata commit (no data rewrite)."""
         if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(
+            return spark.createDataFrame([], struct if struct is not None
+                                         else schema)
+        reader = spark.read
+        if struct is not None:
+            reader = reader.schema(struct)
+        return reader.parquet(
             *(os.path.join(self.data_dir, f) for f in files)
         )
 
@@ -305,13 +369,14 @@ class TxTable:
             return self.append(inserts, txn_id=txn_id)
         m = self._manifest(base)
         schema = m["schema"]
+        struct = self._schema_struct(m)
         if when_matched == "update" and updates.schema.simpleString() != schema:
             raise ValueError(
                 f"merge schema mismatch: table has {schema}, "
                 f"updates bring {updates.schema.simpleString()}"
             )
         keys = updates.select(*key_cols).distinct()
-        table = self._read_files(spark, m["files"], schema)
+        table = self._read_files(spark, m["files"], schema, struct=struct)
         affected_files = sorted(
             r["_file"]
             for r in (
@@ -324,9 +389,9 @@ class TxTable:
         )
         survivors = None
         if affected_files:
-            survivors = self._read_files(spark, affected_files, schema).join(
-                F.broadcast(keys), on=key_cols, how="left_anti"
-            )
+            survivors = self._read_files(
+                spark, affected_files, schema, struct=struct
+            ).join(F.broadcast(keys), on=key_cols, how="left_anti")
         if when_matched == "update":
             inserts = (
                 updates if del_cond is None else updates.filter(~del_cond)
@@ -343,6 +408,7 @@ class TxTable:
         return self._commit(
             "merge", files, n, schema, txn_id, True,
             base=base, removed=affected_files,
+            schema_json=m.get("schema_json"),
         )
 
     def delete_where(
@@ -364,7 +430,9 @@ class TxTable:
         if base is None:
             raise SnapshotUnavailable("table has no commits")
         m = self._manifest(base)
-        table = self._read_files(spark, m["files"], m["schema"])
+        table = self._read_files(
+            spark, m["files"], m["schema"], struct=self._schema_struct(m)
+        )
         affected_files = sorted(
             r["_file"]
             for r in (
@@ -377,13 +445,15 @@ class TxTable:
         )
         if not affected_files:
             return base
-        survivors = self._read_files(spark, affected_files, m["schema"]).where(
-            ~cond
-        )
+        survivors = self._read_files(
+            spark, affected_files, m["schema"],
+            struct=self._schema_struct(m),
+        ).where(~cond)
         files, n = self._stage(survivors)
         return self._commit(
             "delete", files, n, m["schema"], txn_id, True,
             base=base, removed=affected_files,
+            schema_json=m.get("schema_json"),
         )
 
     def changes(
@@ -413,8 +483,12 @@ class TxTable:
         old, new = set(mf["files"]), set(mt["files"])
         added = sorted(new - old)
         removed = sorted(old - new)
-        ins = self._read_files(spark, added, mt["schema"])
-        dels = self._read_files(spark, removed, mf["schema"])
+        ins = self._read_files(
+            spark, added, mt["schema"], struct=self._schema_struct(mt)
+        )
+        dels = self._read_files(
+            spark, removed, mf["schema"], struct=self._schema_struct(mf)
+        )
         return (
             ins.exceptAll(dels).withColumn("_change", F.lit("insert"))
             .unionByName(
@@ -444,7 +518,9 @@ class TxTable:
         if base is None:
             raise SnapshotUnavailable("table has no commits")
         m = self._manifest(base)
-        df = self._read_files(spark, m["files"], m["schema"])
+        df = self._read_files(
+            spark, m["files"], m["schema"], struct=self._schema_struct(m)
+        )
         if zorder_by:
             from .layout import zorder_key
 
@@ -460,6 +536,7 @@ class TxTable:
         return self._commit(
             "optimize", files, n, m["schema"], txn_id, True,
             base=base, removed=list(m["files"]),
+            schema_json=m.get("schema_json"),
         )
 
     def restore(self, snapshot: int) -> int:
@@ -479,7 +556,7 @@ class TxTable:
             )
         return self._commit(
             "restore", list(m["files"]), 0, m["schema"], None, False,
-            base=base,
+            base=base, schema_json=m.get("schema_json"),
         )
 
     # -- maintenance ----------------------------------------------------
