@@ -545,3 +545,77 @@ def q_minhash_band_calibration(spark, sf_dir):
         F.col("band").cast("int").alias("band"),
         "n_buckets", "n_collision_buckets", "candidate_pairs", "max_bucket",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication clusters (syndication audit)
+# ---------------------------------------------------------------------------
+
+
+def _cross_source_oracle() -> str:
+    from .registry_llm import _MINHASH_CAND_SELECT, _MINHASH_CTES
+
+    return (
+        "WITH RECURSIVE "
+        + _MINHASH_CTES
+        + """,
+    cand AS ("""
+        + _MINHASH_CAND_SELECT
+        + """),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, re.r FROM sym s JOIN reach re ON s.v = re.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+    SELECT cc.cluster_id,
+           CAST(COUNT(*) AS BIGINT)                 AS n_members,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list_distinct(list(d.source))), ',')
+                                                    AS sources,
+           COUNT(DISTINCT d.source) >= 2            AS cross_source
+    FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+    GROUP BY 1
+    """
+    )
+
+
+@register("dedup_cross_source_clusters", _cross_source_oracle())
+def q_dedup_cross_source_clusters(spark, sf_dir):
+    """Near-dup clusters annotated with their SOURCE spread: a cluster
+    whose members span ≥2 sources is syndication / mirroring (dedup
+    should keep one copy corpus-WIDE, and per-source dedup rates
+    under-count it), while single-source clusters are self-recycling
+    feeds (dedup_rate_by_source's territory). The source-resolved
+    rollup of dedup_clusters, composing the same connected components
+    with the documents dim.
+
+    Plan: CC runs over LSH candidates (banded, bounded); the rollup
+    joins cluster ids to documents on doc_id (one co-partitioned join)
+    and aggregates |clusters| rows. The sources list is sorted before
+    joining so the string is deterministic in both engines."""
+    from .operators.dedup import minhash_lsh_candidates
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=4)
+    cc = connected_components(cand).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    return (
+        cc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+            (F.countDistinct("source") >= 2).alias("cross_source"),
+        )
+    )

@@ -692,3 +692,263 @@ def q_order_gap_percentiles(spark, sf_dir):
         F.broadcast(nation), agg.nationkey == F.col("n_nationkey")
     ).select("n_name", "n_gaps", "p25_days", "median_days", "p75_days",
              "max_days")
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation matrix (top-k symbols)
+# ---------------------------------------------------------------------------
+
+_CORR_TOP_K = 10
+
+
+@register(
+    "symbol_correlation_matrix",
+    WITH_TICKS
+    + f""",
+    vol AS (
+        SELECT symbol FROM ticks GROUP BY symbol
+        ORDER BY SUM(volume) DESC, symbol LIMIT {_CORR_TOP_K}
+    ),
+    d AS (
+        SELECT t.symbol, t.date,
+               CAST(ROUND(t.close * 100, 0) AS BIGINT)
+               - LAG(CAST(ROUND(t.close * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY t.symbol ORDER BY t.date) AS d
+        FROM ticks t JOIN vol USING (symbol)
+    ),
+    p AS (
+        SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               CAST(SUM(a.d) AS BIGINT)      AS sx,
+               CAST(SUM(b.d) AS BIGINT)      AS sy,
+               CAST(SUM(a.d * b.d) AS BIGINT) AS sxy,
+               CAST(SUM(a.d * a.d) AS BIGINT) AS sxx,
+               CAST(SUM(b.d * b.d) AS BIGINT) AS syy
+        FROM d a JOIN d b ON a.date = b.date AND a.symbol < b.symbol
+        WHERE a.d IS NOT NULL AND b.d IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT symbol_a, symbol_b, n AS n_days,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+                THEN CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                ELSE NULL END AS corr
+    FROM p
+    """,
+)
+def q_symbol_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation of daily close CHANGES between the
+    top-10 symbols by total volume — the cross-asset co-movement matrix
+    (pair-trading screens, portfolio diversification audits);
+    rolling_beta_20's static, symbol×symbol sibling.
+
+    Scale: top-k selection is an aggregate + TakeOrdered (k rows,
+    broadcast back as a semi-join filter), so the date self-join runs on
+    k series only — C(10,2)=45 output rows and ≤k rows per date-key on
+    each join side regardless of corpus size. Exactness: the
+    price_change_acf discipline — int64 moment sums over cent diffs,
+    DECIMAL(38)/HUGEINT closing products, corr as cast / √·√ / divide
+    on identical exact integers, emitted raw; constant series → NULL.
+    """
+    t = ticks(spark, sf_dir)
+    top = (
+        t.groupBy("symbol")
+        .agg(F.sum("volume").alias("__v"))
+        .orderBy(F.col("__v").desc(), F.col("symbol").asc())
+        .limit(_CORR_TOP_K)
+        .select("symbol")
+    )
+    w = Window.partitionBy("symbol").orderBy("date")
+    c = cents("close")
+    d = (
+        t.join(F.broadcast(top), "symbol", "left_semi")
+        .select("symbol", "date", (c - F.lag(c).over(w)).alias("d"))
+        .filter(F.col("d").isNotNull())
+    )
+    a = d.select(
+        F.col("symbol").alias("symbol_a"), F.col("date").alias("da"),
+        F.col("d").alias("x"),
+    )
+    b = d.select(
+        F.col("symbol").alias("symbol_b"), F.col("date").alias("db"),
+        F.col("d").alias("y"),
+    )
+    p = (
+        a.join(b, (a.da == b.db) & (F.col("symbol_a") < F.col("symbol_b")))
+        .groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = _dec(F.col("n")) * _dec(F.col("sxy")) - _dec(F.col("sx")) * _dec(
+        F.col("sy")
+    )
+    denx = _dec(F.col("n")) * _dec(F.col("sxx")) - _dec(F.col("sx")) * _dec(
+        F.col("sx")
+    )
+    deny = _dec(F.col("n")) * _dec(F.col("syy")) - _dec(F.col("sy")) * _dec(
+        F.col("sy")
+    )
+    return p.select(
+        "symbol_a", "symbol_b", F.col("n").alias("n_days"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+        ).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly seasonality index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_seasonality_index",
+    WITH_TICKS
+    + """,
+    m AS (
+        SELECT CAST(month(date) AS INTEGER) AS month,
+               CAST(COUNT(*) AS BIGINT)     AS n_days,
+               CAST(SUM(CAST(ROUND(close * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS s_cents
+        FROM ticks GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(s_cents) AS BIGINT) AS s_all,
+               CAST(SUM(n_days) AS BIGINT)  AS n_all
+        FROM m
+    )
+    SELECT month, n_days,
+           ROUND(s_cents / (100.0 * n_days), 6) AS avg_close,
+           CAST(CAST(s_cents AS HUGEINT) * n_all AS DOUBLE)
+               / CAST(CAST(n_days AS HUGEINT) * s_all AS DOUBLE)
+               AS seasonal_index
+    FROM m, tot
+    """,
+)
+def q_monthly_seasonality_index(spark, sf_dir):
+    """Additive seasonal index per calendar month: the month's average
+    close relative to the all-time average (index 1.0 = no seasonality)
+    — the first chart of any seasonality screen.
+
+    The ratio of two averages clears both denominators exactly:
+    (Σm/nm)/(Σall/nall) = Σm·nall / (nm·Σall), products in
+    DECIMAL(38)/HUGEINT, closed by ONE double division — no float
+    average is ever formed (NOTES rule 10's avg_cents extended to
+    ratios of averages). avg_close itself uses the standard avg_cents
+    form. Plan: one 12-key aggregate off the ticks scan plus a 1-row
+    broadcast total."""
+    t = ticks(spark, sf_dir)
+    m = t.groupBy(F.month("date").cast("int").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(cents("close")).cast("bigint").alias("s_cents"),
+    )
+    tot = m.agg(
+        F.sum("s_cents").cast("bigint").alias("s_all"),
+        F.sum("n_days").cast("bigint").alias("n_all"),
+    )
+    return m.join(F.broadcast(tot)).select(
+        "month", "n_days",
+        F.round(F.col("s_cents") / (F.lit(100.0) * F.col("n_days")), 6).alias(
+            "avg_close"
+        ),
+        (
+            (_dec(F.col("s_cents")) * _dec(F.col("n_all"))).cast("double")
+            / (_dec(F.col("n_days")) * _dec(F.col("s_all"))).cast("double")
+        ).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volume vs |price move| correlation per symbol
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "volume_move_correlation",
+    WITH_TICKS
+    + """,
+    d AS (
+        SELECT symbol, date, volume,
+               abs(CAST(ROUND(close * 100, 0) AS BIGINT)
+                   - LAG(CAST(ROUND(close * 100, 0) AS BIGINT))
+                         OVER (PARTITION BY symbol ORDER BY date)) AS mv
+        FROM ticks
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT)        AS n,
+               CAST(SUM(volume) AS BIGINT)     AS sx,
+               CAST(SUM(mv) AS BIGINT)         AS sy,
+               CAST(SUM(volume * mv) AS BIGINT) AS sxy,
+               CAST(SUM(volume * volume) AS BIGINT) AS sxx,
+               CAST(SUM(mv * mv) AS BIGINT)    AS syy
+        FROM d WHERE mv IS NOT NULL GROUP BY 1
+    )
+    SELECT symbol, n AS n_days,
+           CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+                THEN CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                ELSE NULL END AS vol_move_corr
+    FROM m
+    """,
+)
+def q_volume_move_correlation(spark, sf_dir):
+    """Per-symbol Pearson correlation between daily volume and the
+    MAGNITUDE of the close move (cents) — the volume-volatility relation
+    (positive correlation is the classic liquidity signature; a symbol
+    where it breaks down is the anomaly worth a desk's look).
+
+    Same exact-moment machinery as price_change_acf: volume and |Δcents|
+    are both int64, all five sums exact per symbol, closing products in
+    DECIMAL(38)/HUGEINT, one √·√-divide finish, raw. One symbol
+    exchange serves lag window and aggregate; |symbols| rows out."""
+    t = ticks(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("date")
+    c = cents("close")
+    d = t.select(
+        "symbol", "volume",
+        F.abs(c - F.lag(c).over(w)).alias("mv"),
+    ).filter(F.col("mv").isNotNull())
+    m = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("volume").alias("sx"),
+        F.sum("mv").alias("sy"),
+        F.sum(F.col("volume") * F.col("mv")).alias("sxy"),
+        F.sum(F.col("volume") * F.col("volume")).alias("sxx"),
+        F.sum(F.col("mv") * F.col("mv")).alias("syy"),
+    )
+    num = _dec(F.col("n")) * _dec(F.col("sxy")) - _dec(F.col("sx")) * _dec(
+        F.col("sy")
+    )
+    denx = _dec(F.col("n")) * _dec(F.col("sxx")) - _dec(F.col("sx")) * _dec(
+        F.col("sx")
+    )
+    deny = _dec(F.col("n")) * _dec(F.col("syy")) - _dec(F.col("sy")) * _dec(
+        F.col("sy")
+    )
+    return m.select(
+        "symbol", F.col("n").alias("n_days"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+        ).alias("vol_move_corr"),
+    )

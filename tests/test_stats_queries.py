@@ -305,3 +305,51 @@ def test_minhash_band_calibration_consistency(spark):
         assert r.candidate_pairs >= r.n_collision_buckets  # each >=1 pair
     n_cand = registry.queries()["dedup_minhash_lsh"](spark, SF_DIR).count()
     assert sum(r.candidate_pairs for r in rows) >= n_cand
+
+
+def test_symbol_correlation_matrix_structure(spark):
+    rows = registry.queries()["symbol_correlation_matrix"](
+        spark, SF_DIR
+    ).collect()
+    syms = {r.symbol_a for r in rows} | {r.symbol_b for r in rows}
+    k = len(syms)
+    assert len(rows) == k * (k - 1) // 2  # full upper triangle
+    for r in rows:
+        assert r.symbol_a < r.symbol_b
+        if r.corr is not None:
+            assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+
+
+def test_monthly_seasonality_index_weighted_mean_is_one(spark):
+    rows = registry.queries()["monthly_seasonality_index"](
+        spark, SF_DIR
+    ).collect()
+    assert sorted(r.month for r in rows) == list(range(1, 13))
+    n = sum(r.n_days for r in rows)
+    wmean = sum(r.seasonal_index * r.n_days for r in rows) / n
+    assert math.isclose(wmean, 1.0, rel_tol=1e-9)
+
+
+def test_volume_move_correlation_bounds(spark):
+    rows = registry.queries()["volume_move_correlation"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.vol_move_corr is not None:
+            assert -1.0 - 1e-9 <= r.vol_move_corr <= 1.0 + 1e-9
+
+
+def test_cross_source_clusters_consistency(spark):
+    rows = registry.queries()["dedup_cross_source_clusters"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_members >= 2  # clusters come from pairs
+        assert 1 <= r.n_sources <= r.n_members
+        assert len(r.sources.split(",")) == r.n_sources
+        assert r.cross_source == (r.n_sources >= 2)
+    # cluster membership totals must agree with dedup_clusters
+    cc = registry.queries()["dedup_clusters"](spark, SF_DIR).count()
+    assert sum(r.n_members for r in rows) == cc

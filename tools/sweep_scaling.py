@@ -167,6 +167,10 @@ DEFAULT_QUERIES = [
     "first_digit_distribution",
     "order_gap_percentiles",
     "minhash_band_calibration",
+    "symbol_correlation_matrix",
+    "monthly_seasonality_index",
+    "volume_move_correlation",
+    "dedup_cross_source_clusters",
 ]
 
 
