@@ -619,3 +619,130 @@ def q_dedup_cross_source_clusters(spark, sf_dir):
             (F.countDistinct("source") >= 2).alias("cross_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration: signature-agreement vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calibration_oracle() -> str:
+    from .registry_llm import _MINHASH_CAND_SELECT, _MINHASH_CTES
+
+    return (
+        "WITH "
+        + _MINHASH_CTES
+        + """,
+    cand AS ("""
+        + _MINHASH_CAND_SELECT
+        + """),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                   AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hash_idx = sa.hash_idx
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.n_agree AS BIGINT) AS n_agree,
+           g.n_agree / 16.0          AS est_jaccard,
+           ROUND(COALESCE(i.n_common, 0) * 1.0
+                 / (sa.n + sb.n - COALESCE(i.n_common, 0)), 6)
+                                     AS exact_jaccard,
+           abs(g.n_agree / 16.0
+               - ROUND(COALESCE(i.n_common, 0) * 1.0
+                       / (sa.n + sb.n - COALESCE(i.n_common, 0)), 6))
+                                     AS abs_err
+    FROM agree g
+    LEFT JOIN inter i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+    JOIN sizes sa ON g.doc_a = sa.doc_id
+    JOIN sizes sb ON g.doc_b = sb.doc_id
+    """
+    )
+
+
+@register("minhash_estimate_calibration", _minhash_calibration_oracle())
+def q_minhash_estimate_calibration(spark, sf_dir):
+    """Estimator-calibration audit for the MinHash family: per LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (agreeing positions / 16 — the unbiased estimator banding theory is
+    built on) next to the EXACT shingle Jaccard, with the absolute
+    error. This is the query that justifies the 16-hash geometry with
+    data (E[err] ≈ √(J(1−J)/16) ≈ 0.12 worst case): run it after any
+    num_hashes/bands change and the error column says whether the
+    estimator still supports the banding thresholds.
+
+    minhash_band_calibration watches the INDEX (bucket geometry); this
+    watches the ESTIMATOR — together they are the LSH observability
+    pair. Exactness: n_agree and n_common are exact ints; est and exact
+    are single divisions (exact rounded 6dp per the jaccard-family
+    convention) and abs_err one subtraction of the two — identical IEEE
+    ops both engines, emitted raw. All joins run over candidate pairs
+    and the 16-row-per-doc signature table only; the shingle table is
+    localCheckpoint'd once and shared (jaccard_lsh_verified's plan)."""
+    from .operators.dedup import (
+        _doc_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, 3).localCheckpoint(eager=True)
+    cand = minhash_lsh_candidates(
+        docs, k=3, num_hashes=16, bands=4, shingles=sh
+    )
+    sig = minhash_signatures(docs, k=3, num_hashes=16, shingles=sh)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "hash_idx",
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "hash_idx",
+        F.col("minhash").alias("mh_b"),
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "hash_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = F.round(nc * 1.0 / (F.col("na") + F.col("nb") - nc), 6)
+    est = F.col("n_agree") / F.lit(16.0)
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -353,3 +353,20 @@ def test_cross_source_clusters_consistency(spark):
     # cluster membership totals must agree with dedup_clusters
     cc = registry.queries()["dedup_clusters"](spark, SF_DIR).count()
     assert sum(r.n_members for r in rows) == cc
+
+
+def test_minhash_calibration_estimator_quality(spark):
+    """The 16-hash agreement estimate must track exact Jaccard within
+    the binomial error band: per-pair |err| <= 0.35 (~4.6 sigma at the
+    J=0.5 worst case) and mean |err| well inside one sigma (0.125)."""
+    rows = registry.queries()["minhash_estimate_calibration"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert math.isclose(r.est_jaccard, r.n_agree / 16.0, rel_tol=1e-12)
+        assert r.abs_err <= 0.35
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err <= 0.125

@@ -171,6 +171,7 @@ DEFAULT_QUERIES = [
     "monthly_seasonality_index",
     "volume_move_correlation",
     "dedup_cross_source_clusters",
+    "minhash_estimate_calibration",
 ]
 
 
