@@ -44,3 +44,73 @@ def calendar_fill(
     for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.select(key, date_col, *fill_cols, *keep_cols, "is_gap")
+
+
+def calendar_interpolate(
+    df: DataFrame,
+    key: str = "symbol",
+    date_col: str = "date",
+    value_col: str = "close",
+) -> DataFrame:
+    """Densify each key's date range and LINEARLY interpolate
+    ``value_col`` across gaps — the time-series repair step where
+    forward-fill's step function biases downstream returns/volatility
+    (a 3-day gap becomes two zero-returns and one jump; interpolation
+    spreads the move). Trailing gaps (no later real row) fall back to
+    forward-fill; leading gaps cannot exist (the range starts at the
+    key's first real row). Adds ``is_gap``.
+
+    Exactness: with integer cents p (previous real value), q (next),
+    gap position k of n days, the interpolated value is the single
+    division (p·n + (q−p)·k) / (100·n) — an exact int64 numerator, so
+    both engines produce the identical double. Real rows pass through
+    untouched.
+
+    Plan: same shape as :func:`calendar_fill` — bounds aggregate,
+    calendar explode (growth bounded by days-per-key), one key
+    exchange serving both direction windows."""
+    bounds = df.groupBy(key).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    calendar = bounds.select(
+        key,
+        F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias(date_col),
+    )
+    joined = calendar.join(
+        df.select(key, date_col, value_col), [key, date_col], "left"
+    )
+    real_c = F.when(
+        F.col(value_col).isNotNull(),
+        F.round(F.col(value_col) * 100, 0).cast("long"),
+    )
+    real_d = F.when(F.col(value_col).isNotNull(), F.col(date_col))
+    wp = (
+        Window.partitionBy(key)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key)
+        .orderBy(date_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    x = joined.select(
+        key, date_col, value_col,
+        F.last(real_c, ignorenulls=True).over(wp).alias("__pc"),
+        F.last(real_d, ignorenulls=True).over(wp).alias("__pd"),
+        F.first(real_c, ignorenulls=True).over(wn).alias("__nc"),
+        F.first(real_d, ignorenulls=True).over(wn).alias("__nd"),
+    )
+    k = F.datediff(F.col(date_col), F.col("__pd"))
+    n = F.datediff(F.col("__nd"), F.col("__pd"))
+    interp = (
+        F.col("__pc") * n + (F.col("__nc") - F.col("__pc")) * k
+    ) / (F.lit(100.0) * n)
+    return x.select(
+        key, date_col,
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(F.col("__nc").isNull(), F.col("__pc") / F.lit(100.0))
+        .otherwise(interp)
+        .alias(value_col),
+        F.col(value_col).isNull().alias("is_gap"),
+    )

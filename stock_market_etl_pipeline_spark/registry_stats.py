@@ -952,3 +952,63 @@ def q_volume_move_correlation(spark, sf_dir):
             / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
         ).alias("vol_move_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_interpolated",
+    WITH_TICKS
+    + """
+    , bounds AS (
+        SELECT symbol, MIN(date) AS d0, MAX(date) AS d1 FROM ticks GROUP BY 1
+    ),
+    calendar AS (
+        SELECT symbol, CAST(g.gs AS DATE) AS date
+        FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(gs)
+    ),
+    filled AS (
+        SELECT c.symbol, c.date, t.close,
+               CASE WHEN t.close IS NOT NULL
+                    THEN CAST(ROUND(t.close * 100, 0) AS BIGINT) END AS rc,
+               CASE WHEN t.close IS NOT NULL THEN c.date END AS rd
+        FROM calendar c LEFT JOIN ticks t USING (symbol, date)
+    ),
+    x AS (
+        SELECT *,
+               LAST_VALUE(rc IGNORE NULLS) OVER wp  AS pc,
+               LAST_VALUE(rd IGNORE NULLS) OVER wp  AS pd,
+               FIRST_VALUE(rc IGNORE NULLS) OVER wn AS nc,
+               FIRST_VALUE(rd IGNORE NULLS) OVER wn AS nd
+        FROM filled
+        WINDOW wp AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT symbol, date,
+           CASE WHEN close IS NOT NULL THEN close
+                WHEN nc IS NULL THEN pc / 100.0
+                ELSE (pc * date_diff('day', pd, nd)
+                      + (nc - pc) * date_diff('day', pd, date))
+                     / (100.0 * date_diff('day', pd, nd))
+           END AS close,
+           close IS NULL AS is_gap
+    FROM x
+    """,
+)
+def q_gap_fill_interpolated(spark, sf_dir):
+    """Calendar densification with LINEAR interpolation across gaps —
+    gap_fill_forward's repair-quality sibling (ffill's step function
+    turns an n-day gap into zero-returns plus one jump; interpolation
+    spreads the move, which is what return/volatility consumers want).
+    Trailing gaps forward-fill (no later anchor). Interpolated values
+    are the single exact division (p·n + (q−p)·k)/(100·n) on int64
+    cents and day counts — bit-identical across engines, emitted raw
+    (operators/resample.py::calendar_interpolate)."""
+    from .operators.resample import calendar_interpolate
+
+    return calendar_interpolate(ticks(spark, sf_dir))

@@ -370,3 +370,48 @@ def test_minhash_calibration_estimator_quality(spark):
         assert r.abs_err <= 0.35
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err <= 0.125
+
+
+def test_gap_fill_interpolated_reference(spark):
+    """Interpolation invariants vs gap_fill_forward's calendar: same row
+    set, real rows untouched, gap values strictly between (or equal to)
+    their anchors, trailing gaps == ffill."""
+    interp = registry.queries()["gap_fill_interpolated"](spark, SF_DIR)
+    rows = sorted(
+        interp.collect(), key=lambda r: (r.symbol, r.date.toordinal())
+    )
+    ffill = {
+        (r.symbol, r.date): r
+        for r in registry.queries()["gap_fill_forward"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(rows) == len(ffill)
+    by_symbol = {}
+    for r in rows:
+        by_symbol.setdefault(r.symbol, []).append(r)
+    n_gaps = n_interp = 0
+    for sym, rs in by_symbol.items():
+        assert not rs[0].is_gap  # range starts at a real row
+        anchors = [(i, r) for i, r in enumerate(rs) if not r.is_gap]
+        for (i0, a), (i1, b) in zip(anchors, anchors[1:]):
+            for j in range(i0 + 1, i1):
+                g = rs[j]
+                assert g.is_gap
+                n_gaps += 1
+                lo, hi = sorted((a.close, b.close))
+                assert lo - 1e-9 <= g.close <= hi + 1e-9
+                # exact linear form on integer cents
+                k, n = j - i0, i1 - i0
+                pc = round(a.close * 100)
+                ncents = round(b.close * 100)
+                want = (pc * n + (ncents - pc) * k) / (100.0 * n)
+                assert math.isclose(g.close, want, rel_tol=1e-12)
+                n_interp += 1
+        # trailing gaps forward-fill
+        last_anchor = anchors[-1][0]
+        for g in rs[last_anchor + 1:]:
+            assert g.is_gap and math.isclose(
+                g.close, anchors[-1][1].close, rel_tol=1e-12
+            )
+    assert n_interp > 0  # the dataset must actually exercise interpolation

@@ -172,6 +172,7 @@ DEFAULT_QUERIES = [
     "volume_move_correlation",
     "dedup_cross_source_clusters",
     "minhash_estimate_calibration",
+    "gap_fill_interpolated",
 ]
 
 
