@@ -129,3 +129,23 @@ def test_purchase_attribution_nonvacuous(spark):
         .count()
     )
     assert total == raw
+
+
+def test_driver_gate_window_is_oracled_and_fresh():
+    """The driver's CORRECTNESS gate samples the first
+    DRIVER_SAMPLE_WINDOW entries of queries(); freeze that the window is
+    (a) entirely oracled — no rows-only entry can burn a gate slot with
+    `err: no_oracle` — and (b) leads with never-driver-sampled names so
+    each round certifies a fresh slice of the registry."""
+    qs, osql = list(registry.queries()), registry.oracle_sql()
+    window = qs[: registry.DRIVER_SAMPLE_WINDOW]
+    assert all(n in osql for n in window)
+    fresh = [n for n in window if n not in registry.DRIVER_SAMPLED]
+    assert len(fresh) >= 20
+    # rows-only entries must sit past every oracled entry
+    first_rows_only = min(
+        (i for i, n in enumerate(qs) if n not in osql), default=len(qs)
+    )
+    assert all(n in osql for n in qs[:first_rows_only])
+    # reordering must never drop or duplicate a query
+    assert sorted(qs) == sorted(registry._QUERIES)
