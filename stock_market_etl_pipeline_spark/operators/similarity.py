@@ -595,3 +595,110 @@ def hadamard_projection(
             (F.col("dot_q").cast("bigint") / F.lit(scale)).alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, call within-cluster pairs above a cosine threshold
+    semantic duplicates, connected-component the duplicate graph, and keep
+    ONE representative per group — the centroid-nearest member (highest
+    cosine to its k-means centroid; smallest vec_id breaks exact ties).
+
+    Returns one row per corpus vector:
+    (vec_id, cluster, centroid_sim, group_id, keep_id, is_kept) —
+    group_id/keep_id are the vector's own id for non-duplicates, so
+    ``filter(is_kept)`` is the deduplicated corpus and row count always
+    equals corpus size (stable under clustering nondeterminism).
+
+    100 TB story: the only all-pairs work is WITHIN a k-means cluster —
+    n_clusters grows with the corpus (SemDeDup's own recipe: k ≈ √N or
+    N/10k) so cluster size stays bounded; the pair expansion reuses
+    dedup.bucket_pairs' single grouped pass with ``max_cluster`` as the
+    quadratic-cost cap (a capped cluster means "raise n_clusters", the
+    same cap-to-widen contract as the LSH near-pair paths). Centroids are
+    a broadcast k-row table; component resolution is the bounded
+    min-label propagation from operators/graph.py (dup graphs are
+    near-cliques). Cross-cluster near-pairs are the recall loss SemDeDup
+    accepts by design; the planted-twin certificate in
+    tests/test_llm_ops.py pins recall >= 0.95 at production settings.
+    """
+    from .dedup import bucket_pairs
+    from .graph import connected_components
+
+    spark = embeddings.sparkSession
+    assigned, model = ivf_assignments(embeddings, n_clusters, seed)
+    centroids = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cluster int, centroid array<double>",
+    )
+    emb = (
+        embeddings.join(assigned, "vec_id")
+        .join(F.broadcast(centroids), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            _to_double(F.col("embedding")).alias("v"),
+            F.round(cosine(_to_double(F.col("embedding")), F.col("centroid")), 6)
+            .alias("centroid_sim"),
+        )
+        # reused by the candidate phase, both verify join sides, and the
+        # final decision join — cut the lineage once instead of 4 KMeans
+        # rescans of the corpus
+        .localCheckpoint(eager=True)
+    )
+    cand = bucket_pairs(
+        emb.select("cluster", "vec_id"), ["cluster"], id_col="vec_id",
+        out=("id_a", "id_b"), max_bucket=max_cluster,
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dup_edges = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(dup_edges, src="id_a", dst="id_b")
+    members = comp.join(
+        emb.select(F.col("vec_id").alias("node"), "centroid_sim"), "node"
+    )
+    # representative: max (centroid_sim, -node) — centroid-nearest, then
+    # smallest id; one tiny agg per duplicate group
+    keep = members.groupBy(F.col("cluster_id").alias("group_id")).agg(
+        F.max(
+            F.struct(
+                F.col("centroid_sim"),
+                (-F.col("node")).alias("__neg"),
+                F.col("node").alias("keep_id"),
+            )
+        ).alias("__s")
+    ).select("group_id", F.col("__s.keep_id").alias("keep_id"))
+    decisions = (
+        comp.join(keep, comp.cluster_id == keep.group_id)
+        .select("node", "group_id", "keep_id")
+    )
+    return (
+        emb.join(decisions, emb.vec_id == decisions.node, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "centroid_sim",
+            F.coalesce("group_id", F.col("vec_id")).alias("group_id"),
+            F.coalesce("keep_id", F.col("vec_id")).alias("keep_id"),
+            (F.coalesce("keep_id", F.col("vec_id")) == F.col("vec_id"))
+            .alias("is_kept"),
+        )
+    )

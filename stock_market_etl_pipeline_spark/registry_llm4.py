@@ -746,3 +746,23 @@ def q_minhash_estimate_calibration(spark, sf_dir):
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+@register("semantic_dedup")
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup over the embeddings corpus (one decision
+    row per vector; filter(is_kept) = deduplicated corpus).
+
+    Rows-only BY DESIGN: the k-means quantizer is iterative (not
+    SQL-expressible); row count is pinned to corpus size by construction.
+    Oracled exact twin: ``embedding_near_pairs`` (same 0.35 cosine
+    threshold — its all-pairs edge set is the superset every within-
+    cluster dup edge must come from; soundness + planted-twin recall
+    certificates in tests/test_llm_ops3.py).
+    """
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=16, threshold=0.35).select(
+        "vec_id", "cluster", "centroid_sim", "group_id", "keep_id", "is_kept"
+    )

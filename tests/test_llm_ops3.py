@@ -286,3 +286,74 @@ def test_jl_rejects_non_power_of_two_order(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with pytest.raises(ValueError, match="power of two"):
         hadamard_projection(emb, dims=48)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup certificates (registry_llm4.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_planted_twin_recall(spark):
+    """Planted-twin recall certificate at production settings: 100
+    cosine≈0.97 twins planted into the corpus; SemDeDup at threshold 0.9
+    must merge >=95% of (original, twin) pairs into one group with
+    exactly one survivor. A twin only escapes if k-means puts it in a
+    DIFFERENT cluster than its original — the one recall loss SemDeDup
+    accepts by design; a vector this close co-clusters essentially
+    always (same geometry as the IVF n_probe=1 measurement above)."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        plant_near_duplicates,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = plant_near_duplicates(emb, n=100, id_offset=1_000_000, dim=64)
+    out = semantic_dedup(corpus, n_clusters=16, threshold=0.9, seed=42)
+    by_id = {r["vec_id"]: r for r in out.collect()}
+    assert len(by_id) == corpus.count()  # one decision row per vector
+    merged = sum(
+        1
+        for q in range(100)
+        if by_id[q]["group_id"] == by_id[q + 1_000_000]["group_id"]
+        and (by_id[q]["is_kept"] != by_id[q + 1_000_000]["is_kept"])
+    )
+    assert merged / 100 >= 0.95, merged
+
+
+def test_semantic_dedup_soundness_and_survivorship(spark):
+    """(a) Soundness: within-cluster dup edges are a subset of the exact
+    all-pairs edge set, so every DROPPED vector must share a group with
+    a vector it is exact-near (>= threshold) to — cross-checked against
+    embedding_near_pairs, the oracled twin. (b) Survivorship: per group
+    exactly one survivor, and it is the centroid-nearest member
+    (max centroid_sim, smallest vec_id on ties)."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        embedding_near_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_dedup(emb, n_clusters=16, threshold=0.35, seed=42)
+    rows = out.collect()
+    exact = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in embedding_near_pairs(emb, threshold=0.35).collect()
+    }
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["group_id"], []).append(r)
+    for gid, members in groups.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1, (gid, members)
+        if len(members) == 1:
+            continue
+        best = max(members, key=lambda m: (m["centroid_sim"], -m["vec_id"]))
+        assert kept[0]["vec_id"] == best["vec_id"]
+        # every dropped member is exact-near at least one co-group member
+        ids = {m["vec_id"] for m in members}
+        for m in members:
+            if m["is_kept"]:
+                continue
+            assert any(
+                frozenset((m["vec_id"], o)) in exact for o in ids - {m["vec_id"]}
+            ), m

@@ -55,6 +55,7 @@ ROWS_ONLY_TWINS = {
     "sketch_rolling_active_users": "rolling_active_users",
     "sketch_token_counts": "token_frequencies",
     "part_pagerank": "part_cooccurrence",
+    "semantic_dedup": "embedding_near_pairs",
 }
 
 
