@@ -47,16 +47,15 @@ def get_spark(app_name: str = "stock-market-etl-pipeline-spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    # Pre-coalesce shuffle width for SCALE runs: at the default 32, the
-    # sf100 probe measured the 600M-row ticks groupBy at ~19M rows/task
-    # (spill + GC-locker stalls, x12-20 for 10x rows); with 512 initial
-    # partitions AQE coalesces small stages back down and the same query
-    # dropped 255 s -> 161 s / validation 268 s -> 118 s (NOTES r5
-    # session 4). Opt-in via env rather than default because the 512-way
-    # map-side fan-out costs the sf0.1 cached bench ~25% — the right
-    # ceiling scales with data volume, which a static local default
-    # cannot know. Cluster guidance: size initialPartitionNum to
-    # data-volume / 100-200 MB and let AQE coalesce.
+    # Pre-coalesce shuffle width: sources/tables.py now sizes
+    # initialPartitionNum AUTOMATICALLY from the bytes of the largest
+    # table a session reads (next pow2 of bytes/32 MiB, clamped
+    # [shuffle.partitions, 2048] — at sf100 that lands on the 512 the
+    # NOTES r5 probe measured: ticks 255 s -> 161 s, validation
+    # 268 s -> 118 s; at <=sf1 it stays at the floor so small-scale
+    # plans are unchanged). This env var remains an explicit FLOOR for
+    # cluster operators who know better than the on-disk byte heuristic
+    # (e.g. highly-compressed or remote inputs).
     initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     if initial:
         builder = builder.config(
