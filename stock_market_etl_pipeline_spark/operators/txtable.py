@@ -204,6 +204,74 @@ class TxTable:
             os.unlink(tmp)
         return manifest["snapshot"]
 
+    # Bounded rebase-retry on CommitConflict (Delta/Iceberg writer
+    # liveness): a losing racer whose work is DISJOINT from the commits
+    # that beat it re-commits against the new snapshot instead of
+    # failing the job back to the caller.
+    MAX_COMMIT_RETRIES = 5
+
+    def _commit_with_rebase(
+        self,
+        action: str,
+        staged: list[str],
+        n_rows: int,
+        schema: str,
+        txn_id: str | None,
+        base: int | None,
+        our_removed: list[str] | None,
+        overlap_probe=None,
+        schema_json: str | None = None,
+        allow_schema_change: bool = False,
+    ) -> int:
+        """Commit, rebasing onto newer snapshots when provably safe.
+
+        On CommitConflict the interleaved commits (base+1 .. latest) are
+        inspected; the rebase lands iff
+        - none of them removed a file this commit removes (two writers
+          rewrote the same file → true write-write conflict), and
+        - ``overlap_probe(their_added_files)`` is falsy — i.e. no file a
+          racer ADDED contains a row this operation's outcome depends on
+          (merge: its update keys; delete: its predicate). The probe
+          re-validates the discovery scan's "no other file matches"
+          claim against exactly the files that appeared since, so the
+          rebased commit is serializable, not merely conflict-free at
+          the file level. Appends pass no probe — they depend on no
+          existing content and always rebase.
+        A schema change by a racer always raises (staged files were
+        written under the old schema). Retries are bounded by
+        MAX_COMMIT_RETRIES; pathological contention surfaces as the
+        original CommitConflict.
+        """
+        for _ in range(self.MAX_COMMIT_RETRIES + 1):
+            try:
+                return self._commit(
+                    action, staged, n_rows, schema, txn_id, True,
+                    base=base, removed=our_removed,
+                    schema_json=schema_json,
+                    allow_schema_change=allow_schema_change,
+                )
+            except CommitConflict:
+                new_base = self.latest_snapshot()
+                if new_base is None or new_base <= (base if base is not None else -1):
+                    raise  # conflict without a newer snapshot: give up
+                if self._manifest(new_base)["schema"] != schema and not allow_schema_change:
+                    raise
+                theirs_removed: set[str] = set()
+                theirs_added: list[str] = []
+                start = 0 if base is None else base + 1
+                for s in range(start, new_base + 1):
+                    m = self._manifest(s)
+                    theirs_removed |= set(m.get("removed") or [])
+                    theirs_added += list(m.get("added") or [])
+                if theirs_removed & set(our_removed or []):
+                    raise
+                if overlap_probe is not None and theirs_added and overlap_probe(theirs_added):
+                    raise
+                base = new_base
+        raise CommitConflict(
+            f"gave up after {self.MAX_COMMIT_RETRIES} rebase attempts"
+        )
+
     def append(
         self,
         df: DataFrame,
@@ -252,9 +320,11 @@ class TxTable:
                     ]
                 )
         files, n = self._stage(df)
-        return self._commit(
-            "append", files, n, schema_struct.simpleString(), txn_id, True,
-            base=base, schema_json=schema_struct.json(),
+        # appends depend on no existing file content: always rebasable
+        return self._commit_with_rebase(
+            "append", files, n, schema_struct.simpleString(), txn_id,
+            base=base, our_removed=None, overlap_probe=None,
+            schema_json=schema_struct.json(),
             allow_schema_change=merge_schema,
         )
 
@@ -405,9 +475,16 @@ class TxTable:
                 return base  # nothing matched: the delete is a no-op
             new_data = survivors
         files, n = self._stage(new_data)
-        return self._commit(
-            "merge", files, n, schema, txn_id, True,
-            base=base, removed=affected_files,
+
+        def _keys_in(their_files: list[str]) -> bool:
+            theirs = self._read_files(spark, their_files, schema, struct=struct)
+            return not theirs.join(
+                F.broadcast(keys), on=key_cols, how="left_semi"
+            ).isEmpty()
+
+        return self._commit_with_rebase(
+            "merge", files, n, schema, txn_id,
+            base=base, our_removed=affected_files, overlap_probe=_keys_in,
             schema_json=m.get("schema_json"),
         )
 
@@ -450,9 +527,17 @@ class TxTable:
             struct=self._schema_struct(m),
         ).where(~cond)
         files, n = self._stage(survivors)
-        return self._commit(
-            "delete", files, n, m["schema"], txn_id, True,
-            base=base, removed=affected_files,
+
+        def _cond_in(their_files: list[str]) -> bool:
+            theirs = self._read_files(
+                spark, their_files, m["schema"],
+                struct=self._schema_struct(m),
+            )
+            return not theirs.where(cond).isEmpty()
+
+        return self._commit_with_rebase(
+            "delete", files, n, m["schema"], txn_id,
+            base=base, our_removed=affected_files, overlap_probe=_cond_in,
             schema_json=m.get("schema_json"),
         )
 

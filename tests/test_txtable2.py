@@ -104,7 +104,10 @@ def test_merge_txn_id_replay_is_noop(spark, tmp_path):
     assert rows(t.read(spark)) == [(0, 111)] + [(i, i * 2) for i in range(1, 20)]
 
 
-def test_merge_conflict_on_racing_commit(spark, tmp_path):
+def test_merge_rebases_over_disjoint_racer(spark, tmp_path):
+    """Writer liveness (Delta/Iceberg retry semantics): a merge that
+    loses the snapshot race to a commit touching DISJOINT files and keys
+    must rebase and land — both writers' changes survive."""
     t = TxTable(str(tmp_path / "t"))
     t.append(mk(spark, 0, 20))
     ups = spark.createDataFrame([(0, 111)], "id bigint, v bigint")
@@ -116,8 +119,83 @@ def test_merge_conflict_on_racing_commit(spark, tmp_path):
         return out
 
     t._stage = racing_stage
+    snap = t.merge(spark, ups, ["id"])  # rebases, does not raise
+    t._stage = orig_stage
+    got = dict(rows(t.read(spark)))
+    assert got[0] == 111                      # our merge landed
+    assert all(got[i] == i * 2 for i in range(500, 510))  # racer's too
+    m = t._manifest(snap)
+    assert m["action"] == "merge"
+
+
+def test_merge_conflict_when_racer_touches_our_keys(spark, tmp_path):
+    """Rebase must NOT happen when a racing commit ADDED rows matching
+    our merge keys — the discovery scan's "no other file matches" claim
+    is stale, so the loser raises instead of silently dropping the
+    racer's version of the key."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 20))
+    ups = spark.createDataFrame([(0, 111)], "id bigint, v bigint")
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        out = orig_stage(df)
+        TxTable(t.root).append(mk(spark, 0, 1))  # racer writes key 0 too
+        return out
+
+    t._stage = racing_stage
     with pytest.raises(CommitConflict):
         t.merge(spark, ups, ["id"])
+    t._stage = orig_stage
+
+
+def test_merge_conflict_when_racer_rewrites_same_file(spark, tmp_path):
+    """Two writers rewriting the SAME file is a true write-write
+    conflict regardless of key disjointness: the loser's survivors were
+    computed from a file version that no longer exists."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 20, n_files=1))  # one file: both merges touch it
+    ups = spark.createDataFrame([(0, 111)], "id bigint, v bigint")
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        out = orig_stage(df)
+        t2 = TxTable(t.root)
+        t2.merge(
+            spark,
+            spark.createDataFrame([(1, 222)], "id bigint, v bigint"),
+            ["id"],
+        )
+        return out
+
+    t._stage = racing_stage
+    with pytest.raises(CommitConflict):
+        t.merge(spark, ups, ["id"])
+    t._stage = orig_stage
+
+
+def test_disjoint_merges_on_separate_files_both_land(spark, tmp_path):
+    """The headline liveness case: two MERGEs over different key ranges
+    living in different files — the loser rebases and BOTH upserts are
+    in the final table, with both rewrites recorded."""
+    t = TxTable(str(tmp_path / "t"))
+    # two files with disjoint key ranges (one row-range per staged file)
+    t.append(mk(spark, 0, 10, n_files=1))
+    t.append(mk(spark, 1000, 1010, n_files=1))
+    ups_low = spark.createDataFrame([(0, 111)], "id bigint, v bigint")
+    ups_high = spark.createDataFrame([(1000, 999)], "id bigint, v bigint")
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        out = orig_stage(df)
+        TxTable(t.root).merge(spark, ups_high, ["id"])  # racer: high file
+        return out
+
+    t._stage = racing_stage
+    t.merge(spark, ups_low, ["id"])  # loser: low file — rebases
+    t._stage = orig_stage
+    got = dict(rows(t.read(spark)))
+    assert got[0] == 111 and got[1000] == 999
 
 
 def test_delete_where_prunes_and_deletes(spark, tmp_path):
