@@ -433,3 +433,90 @@ def test_cm_replayed_batch_overwrites_its_own_partition(spark, tmp_path):
     }
     assert d_est[top] >= 2 * true_n[top]
     toks.unpersist()
+
+
+def test_kll_rollup_survives_restart_storm(spark, tmp_path):
+    """Seeded multi-crash schedule over a four-wave feed (the same storm
+    the near-dedup maintainer passes): the KLL recompute-overwrite must
+    CONVERGE under repeated checkpoint-commit loss and replay — after
+    every crash schedule the stored per-(key, day) sketches read the same
+    quantiles as a one-shot rebuild over all landed data. This is the
+    exactly-once story for the NON-idempotent sketch family: merge-replay
+    visibly corrupts KLL (test above), so correctness rests entirely on
+    the touched-day partition recompute being an idempotent overwrite."""
+    import os
+    import random
+
+    from stock_market_etl_pipeline_spark.streaming.sketch_rollup import (
+        start_quantile_sketch_rollup,
+    )
+
+    def _crash_last_commit(ckpt: str) -> None:
+        cdir = os.path.join(ckpt, "commits")
+        nums = [
+            int(f.lstrip(".").split(".")[0])
+            for f in os.listdir(cdir)
+            if not f.startswith(".")
+        ]
+        n = max(nums)
+        for f in os.listdir(cdir):
+            if f.lstrip(".").split(".")[0] == str(n):
+                os.remove(os.path.join(cdir, f))
+
+    rng = random.Random(0x511C)
+    landing = str(tmp_path / "landing")
+    sketches = str(tmp_path / "kll")
+    ckpt = str(tmp_path / "ckpt")
+
+    o = load_table(spark, SF_DIR, "orders").cache()
+    qs = list(
+        o.agg(
+            *[
+                F.percentile_approx("o_orderdate", q).alias(f"q{i}")
+                for i, q in enumerate((0.25, 0.5, 0.75))
+            ]
+        ).collect()[0]
+    )
+    waves = [
+        o.filter(F.col("o_orderdate") <= qs[0]),
+        o.filter(
+            (F.col("o_orderdate") > qs[0]) & (F.col("o_orderdate") <= qs[1])
+        ),
+        o.filter(
+            (F.col("o_orderdate") > qs[1]) & (F.col("o_orderdate") <= qs[2])
+        ),
+        o.filter(F.col("o_orderdate") > qs[2]),
+    ]
+
+    def _run():
+        q = start_quantile_sketch_rollup(
+            spark, landing, sketches, ckpt, KEYS,
+            "o_orderdate", "o_totalprice",
+        )
+        q.awaitTermination(120)
+
+    n_crashes = 0
+    for w in waves:
+        assert w.count() > 0
+        w.write.mode("append").parquet(landing)
+        _run()
+        for _ in range(rng.randint(0, 2)):
+            n_crashes += 1
+            _crash_last_commit(ckpt)
+            _run()
+    assert n_crashes >= 3
+
+    oneshot_dir = str(tmp_path / "kll_oneshot")
+    q = start_quantile_sketch_rollup(
+        spark, landing, oneshot_dir, str(tmp_path / "c2"), KEYS,
+        "o_orderdate", "o_totalprice",
+    )
+    q.awaitTermination(120)
+    assert _stored_p50s(spark, sketches) == _stored_p50s(spark, oneshot_dir)
+    # exactly one sketch row per (key, day) — replays never duplicate
+    dupes = (
+        spark.read.parquet(sketches)
+        .groupBy(*KEYS, "day").count().filter("count > 1").count()
+    )
+    assert dupes == 0
+    o.unpersist()
