@@ -987,3 +987,63 @@ def q_discount_band_revenue(spark, sf_dir):
         ),
         (F.col("net_e4") * F.lit(1.0) / F.col("t")).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (zero-order customers kept)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust
+    GROUP BY 1
+    """,
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 analog: how many customers placed exactly N qualifying
+    orders — INCLUDING the zero-order customers the left join preserves
+    (the reason Q13 is the classic outer-join benchmark query; customers
+    who only ever placed excluded-class orders also land in bucket 0).
+    Substitution: the schema has no o_comment, so the qualifying
+    predicate is o_orderpriority = '1-URGENT' instead of NOT LIKE
+    '%special%requests%' — same plan shape, a non-key residual filtered
+    BEFORE the join, chosen so the zero bucket is robustly non-vacuous
+    (18/150 customers at sf0.001, 203/1500 at sf0.01 — asserted in
+    tests/test_registry.py).
+    Completes the decision-support suite: every TPC-H shape expressible
+    on this schema now has an analog (Q12 alone is data-limited — no
+    shipmode/commitdate/receiptdate, recorded in NOTES).
+
+    Plan: the exclusion filter pushes into the orders scan; orders
+    pre-aggregate to (custkey, n) BEFORE the join — the outer join then
+    matches one row per customer instead of fanning out order rows, and
+    both sides shuffle once on custkey (co-partitioned sort-merge). The
+    final histogram groupBy sees one row per customer and emits at most
+    a few hundred distinct counts; COALESCE(n, 0) encodes the unmatched
+    (zero-order) customers. Counts are exact integers — no float policy
+    needed."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_cust = c.join(
+        o, c.c_custkey == o.o_custkey, "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )

@@ -150,3 +150,15 @@ def test_driver_gate_window_is_oracled_and_fresh():
     assert all(n in osql for n in qs[:first_rows_only])
     # reordering must never drop or duplicate a query
     assert sorted(qs) == sorted(registry._QUERIES)
+
+
+def test_customer_order_distribution_zero_bucket_nonvacuous(spark):
+    """Q13's whole point is the LEFT JOIN keeping zero-order customers;
+    the qualifying predicate (= '1-URGENT') was chosen so bucket 0 is
+    robustly populated (18/150 customers at sf0.001). If a testdata regen
+    made every customer urgent-ordered, this query would silently
+    degenerate to an inner join — fail loudly instead."""
+    df = registry.queries()["customer_order_distribution"](spark, SF_DIR)
+    rows = {r.n_orders: r.n_customers for r in df.collect()}
+    assert rows.get(0, 0) >= 5, f"zero-order bucket vacuous: {rows}"
+    assert sum(rows.values()) == 150  # every customer lands in a bucket

@@ -173,6 +173,12 @@ DEFAULT_QUERIES = [
     "dedup_cross_source_clusters",
     "minhash_estimate_calibration",
     "gap_fill_interpolated",
+    # round-6: headline movers pinned after the r5 +41%/+20%/+14% bench
+    # wobble (plan rows unchanged — pinning here makes any REAL drift a
+    # gate failure instead of a judgment call)
+    "dedup_minhash_lsh",
+    "trading_signals",
+    "corpus_prep",
 ]
 
 
