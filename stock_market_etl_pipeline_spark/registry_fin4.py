@@ -524,3 +524,124 @@ def q_risk_adjusted_returns(spark, sf_dir):
             F.col("total_return_pct") / (-F.col("mdd_pct")),
         ).alias("calmar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-series linear trend forecast (exact OLS closed form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linear_trend_forecast",
+    WITH_TICKS
+    + """,
+    yc AS (
+        SELECT symbol,
+               CAST(round(close * 100) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY date) AS rn
+        FROM ticks
+    ),
+    agg AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(rn AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM yc GROUP BY 1
+    ),
+    m AS (
+        SELECT symbol, n, sy, sxy, syy,
+               n * (n + 1) // 2 AS sx,
+               n * (n + 1) * (2 * n + 1) // 6 AS sxx
+        FROM agg
+    ),
+    f AS (
+        SELECT symbol, n, sy, syy, sx,
+               n * sxy - sx * sy AS s_num,
+               n * sxx - sx * sx AS den
+        FROM m
+    )
+    SELECT symbol,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s_num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS slope,
+           CAST(sy * den - s_num * sx + n * (n + 1) * s_num AS DOUBLE)
+               / CAST(n * den * 100 AS DOUBLE) AS forecast_next_close,
+           (CAST(s_num AS DOUBLE) * CAST(s_num AS DOUBLE))
+               / (CAST(den AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM f
+    WHERE den != 0 AND n * syy - sy * sy != 0
+    """,
+)
+def q_linear_trend_forecast(spark, sf_dir):
+    """Per-symbol least-squares trend over the full price history, with
+    the next-day forecast — the closed-form cousin of the reference's
+    moving-average predictor (reference ``src/transform.py`` prediction
+    block): ŷ = intercept + slope·(n+1).
+
+    Exactness (NOTES rule 11 — intercept + slope·x is exactly the FMA
+    multiply-add shape that can NOT hash-match in floats): every moment
+    is an exact wide integer. x is the per-symbol day rank, so Σx and
+    Σx² come from closed forms n(n+1)/2 and n(n+1)(2n+1)/6 (exact
+    integer — DuckDB HUGEINT division by 2/6 is exact because the
+    products are divisible); y is int64 cents; Σxy and Σy² accumulate in
+    DECIMAL(38)/HUGEINT. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    forecast = (Σy·den − s_num·Σx + n(n+1)·s_num)/(n·den) — numerator
+    and denominator stay exact integers until ONE closing double
+    division each (÷100 folded into the denominator converts cents to
+    dollars). r² = s_num²/(den·syy_den) is mul/mul/div on identical
+    exact-int doubles — single correctly-rounded ops, no add, so no FMA
+    exposure. Overflow audit: n ≤ 2e5 days/symbol keeps the widest term
+    Σy·den ≈ (n·maxc)·(n⁴/12) under 10³⁸ (testdata n ≈ 600/symbol;
+    the axis that grows with sf is SYMBOLS, not days).
+
+    Plan: ROW_NUMBER and the groupBy share ONE HashPartitioning(symbol)
+    exchange; output is one row per symbol. Degenerate guards: den = 0
+    (single-row series) and zero price variance drop the row on both
+    sides."""
+    dec = "decimal(38,0)"
+    t = ticks(spark, sf_dir).select(
+        "symbol", "date",
+        F.round(F.col("close") * 100, 0).cast("bigint").alias("y"),
+    )
+    yc = t.select(
+        "symbol", "y",
+        F.row_number().over(_W()).cast("long").alias("rn"),
+    )
+    agg = yc.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("rn").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n, sy, sxy, syy = (F.col(c) for c in ("n", "sy", "sxy", "syy"))
+    sx = n * (n + F.lit(1)) / F.lit(2)
+    sxx = n * (n + F.lit(1)) * (F.lit(2) * n + F.lit(1)) / F.lit(6)
+    m = agg.select(
+        "symbol", "n", "sy", "sxy", "syy",
+        sx.cast(dec).alias("sx"), sxx.cast(dec).alias("sxx"),
+    )
+    f = m.select(
+        "symbol", "n", "sy", "syy", "sx",
+        (n * sxy - F.col("sx") * sy).alias("s_num"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    s_num, den = F.col("s_num"), F.col("den")
+    syy_den = n * syy - sy * sy
+    zero = F.lit(0).cast(dec)
+    return f.filter((den != zero) & (syy_den != zero)).select(
+        "symbol",
+        n.cast("long").alias("n_days"),
+        (s_num.cast("double") / (den * F.lit(100)).cast("double")).alias(
+            "slope"
+        ),
+        (
+            (sy * den - s_num * F.col("sx") + n * (n + F.lit(1)) * s_num)
+            .cast("double")
+            / (n * den * F.lit(100)).cast("double")
+        ).alias("forecast_next_close"),
+        (
+            (s_num.cast("double") * s_num.cast("double"))
+            / (den.cast("double") * syy_den.cast("double"))
+        ).alias("r2"),
+    )

@@ -299,3 +299,39 @@ def test_single_exchange_plans(qs, spark, name):
     assert count_nodes(plan, "Scan parquet") == 1
     # windows and the grouped aggregate share one symbol exchange
     assert count_nodes(plan, "Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# Linear trend forecast (exact OLS closed form)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_trend_matches_numpy_lstsq(spark, monkeypatch):
+    import numpy as np
+
+    bars = _walk(60, seed=11)
+    monkeypatch.setattr(fin4, "ticks", lambda s, d: _ohlc(s, bars))
+    row = fin4.q_linear_trend_forecast(spark, SF_DIR).collect()[0]
+
+    # numpy reference on the same cents grid the query uses
+    y = np.array([round(c * 100) for (_, _, _, c) in bars]) / 100.0
+    x = np.arange(1, len(y) + 1, dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_days == len(bars)
+    assert row.slope == pytest.approx(slope, rel=1e-9)
+    assert row.forecast_next_close == pytest.approx(
+        intercept + slope * (len(y) + 1), rel=1e-9
+    )
+    r = np.corrcoef(x, y)[0, 1]
+    assert row.r2 == pytest.approx(r * r, rel=1e-9)
+
+
+def test_linear_trend_degenerate_series_dropped(spark, monkeypatch):
+    # single-row series (den = 0) and a flat series (zero price variance)
+    # must both drop rather than divide by zero
+    bars_one = [(10.0, 10.5, 9.5, 10.0)]
+    bars_flat = [(10.0, 10.5, 9.5, 10.0)] * 5
+    one = _ohlc(spark, bars_one, symbol="A")
+    flat = _ohlc(spark, bars_flat, symbol="B")
+    monkeypatch.setattr(fin4, "ticks", lambda s, d: one.unionAll(flat))
+    assert fin4.q_linear_trend_forecast(spark, SF_DIR).count() == 0

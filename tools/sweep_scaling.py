@@ -179,6 +179,8 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "trading_signals",
     "corpus_prep",
+    "customer_order_distribution",
+    "linear_trend_forecast",
 ]
 
 
