@@ -76,3 +76,52 @@ def global_sequence_ids(
             .alias(out_col),
         )
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Append ``out_col``: the INCLUSIVE running sum of ``value_col`` in
+    the total order of ``order_cols`` (a unique key) — same two-phase
+    range-partition shape as :func:`global_sequence_ids`, generalized
+    from counting rows to summing a value. The per-partition offsets
+    window is again partition-count-sized, never data-sized, so there is
+    no Exchange SinglePartition anywhere (the naive
+    ``SUM(v) OVER (ORDER BY k)`` spelling plans one). Sums stay in the
+    value column's type — pass an integer column for exact prefix sums.
+    """
+    parted = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    local = parted.select(
+        "*", F.spark_partition_id().alias("_pid")
+    ).select(
+        "*",
+        F.sum(value_col)
+        .over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("_local_cum"),
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_tot"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        *df.columns,
+        (F.col("_offset") + F.col("_local_cum")).alias(out_col),
+    )

@@ -181,6 +181,8 @@ DEFAULT_QUERIES = [
     "corpus_prep",
     "customer_order_distribution",
     "linear_trend_forecast",
+    "part_triangle_counts",
+    "systematic_weighted_sample",
 ]
 
 
