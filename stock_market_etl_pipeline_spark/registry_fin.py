@@ -1224,3 +1224,155 @@ def q_rolling_corr(spark, sf_dir):
             ),
         ).alias("corr_20"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PPO (percentage price oscillator) — macd's ratio sibling, exact ints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ppo_12_26",
+    WITH_TICKS
+    + f""",
+    c0 AS (
+        SELECT symbol, date, close,
+               CAST(round(close * 100) AS BIGINT) AS c
+        FROM ticks
+    ),
+    conv AS (
+        SELECT symbol, date, close,
+               {_conv_cents_sql(_W12)} AS n12,
+               {_conv_cents_sql(_W26)} AS n26
+        FROM c0
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    )
+    SELECT symbol, date, close,
+           CASE WHEN n26 != 0 THEN
+               100.0 * CAST(n12 * {_D26} - n26 * {_D12} AS DOUBLE)
+                     / CAST(n26 * {_D12} AS DOUBLE)
+           END AS ppo
+    FROM conv
+    """,
+)
+def q_ppo(spark, sf_dir):
+    """PPO(12, 26): the MACD difference expressed as a percentage of the
+    slow EMA — comparable across price levels, which raw MACD is not.
+
+    Exactness rides q_macd's machinery unchanged: with the talib NULL
+    head both EMA denominators are constants, so
+    100·(E12−E26)/E26 = 100·(n12·D26 − n26·D12)/(n26·D12) — the floats
+    cancel into a ratio of exact int64s closed by ONE double division
+    (the 100· multiplier is exact). Overflow audit: n12 ≤ maxc·D12 ≈
+    1.05e7·419 130 ≈ 4.4e12, ×D26(765 117) ≈ 3.4e18 < 2⁶³ — int64-safe
+    to the same $425k close bound as macd_12_26. NULL head propagates
+    through the lag sums; a zero slow-EMA (impossible for positive
+    prices, but the guard is free) nulls the row on both sides.
+    Plan: identical to macd — ONE symbol exchange, one Window node."""
+    t = ticks(spark, sf_dir).withColumn(
+        "c", F.round(F.col("close") * 100, 0).cast("bigint")
+    )
+    w = _W()
+    conv = t.select(
+        "symbol", "date", "close",
+        _conv_cents_expr(_W12, w).alias("n12"),
+        _conv_cents_expr(_W26, w).alias("n26"),
+    )
+    num = F.col("n12") * F.lit(_D26) - F.col("n26") * F.lit(_D12)
+    den = F.col("n26") * F.lit(_D12)
+    return conv.select(
+        "symbol", "date", "close",
+        F.when(
+            F.col("n26") != 0,
+            F.lit(100.0) * num.cast("double") / den.cast("double"),
+        ).alias("ppo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TRIX — triple-smoothed EMA rate of change, exact wide-int convolution
+# ---------------------------------------------------------------------------
+
+_TRIX_SPAN = 15
+_WT = _q_weights(_TRIX_SPAN)
+
+
+def _triple_conv_weights(w: list[int]) -> list[int]:
+    """The triple EMA of a truncated kernel IS convolution by w∗w∗w
+    (linearity): a single kernel of length 3·span−2, exact ints."""
+    def conv(a, b):
+        out = [0] * (len(a) + len(b) - 1)
+        for i, x in enumerate(a):
+            for j, y in enumerate(b):
+                out[i + j] += x * y
+        return out
+
+    return conv(conv(w, w), w)
+
+
+_K3 = _triple_conv_weights(_WT)
+
+
+@register(
+    "trix_15",
+    WITH_TICKS
+    + f""",
+    c0 AS (
+        SELECT symbol, date, close,
+               CAST(round(close * 100) AS HUGEINT) AS c
+        FROM ticks
+    ),
+    conv AS (
+        SELECT symbol, date, close,
+               {_conv_cents_sql(_K3)} AS n3
+        FROM c0
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    )
+    SELECT symbol, date, close,
+           CASE WHEN LAG(n3, 1) OVER w != 0 THEN
+               100.0 * CAST(n3 - LAG(n3, 1) OVER w AS DOUBLE)
+                     / CAST(LAG(n3, 1) OVER w AS DOUBLE)
+           END AS trix
+    FROM conv
+    WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    """,
+)
+def q_trix(spark, sf_dir):
+    """TRIX(15): percent rate of change of the triple-smoothed EMA —
+    the classic momentum filter that cancels short noise three times
+    over (reference ``src/transform.py`` smooths once; this is the
+    third-order member of that family).
+
+    Exactness: by LINEARITY the triple EMA is one convolution with the
+    self-convolved kernel w∗w∗w (43 exact integer taps, computed in
+    Python ints at import). The ÷D³ normalizations CANCEL in the
+    percent change — trix = 100·(N_t − N_{t−1})/N_{t−1} on the raw
+    integer convolutions, one double division. N needs ~78 bits
+    (maxc·ΣK3 ≈ 1.05e7·1.4e16 ≈ 1.5e23), so the sum accumulates in
+    DECIMAL(38,0)/HUGEINT — headroom to 10³⁸ ≈ close of $7·10²¹.
+    NULL head: the first 43 rows (and the lagged first after them) are
+    NULL on both sides. Plan: one symbol exchange shared by both window
+    layers; 43 lag terms over ONE pre-cast cents column (the macd
+    cents-hoist lesson)."""
+    dec = "decimal(38,0)"
+    t = ticks(spark, sf_dir).withColumn(
+        "c", F.round(F.col("close") * 100, 0).cast("bigint").cast(dec)
+    )
+    w = _W()
+    acc = None
+    for j, wt in enumerate(_K3):
+        term = F.lag("c", j).over(w) * F.lit(wt).cast(dec)
+        acc = term if acc is None else acc + term
+    conv = t.select(
+        "symbol", "date", "close", acc.alias("n3")
+    )
+    prev = F.lag("n3", 1).over(w)
+    return conv.select(
+        "symbol", "date", "close",
+        F.when(
+            prev != F.lit(0).cast(dec),
+            F.lit(100.0)
+            * (F.col("n3") - prev).cast("double")
+            / prev.cast("double"),
+        ).alias("trix"),
+    )

@@ -490,3 +490,91 @@ def test_rolling_corr_matches_numpy_and_is_bounded(spark, monkeypatch):
             c = np.corrcoef(x[i - 19 : i + 1], ya[i - 19 : i + 1])[0, 1]
             assert out[key] == pytest.approx(c, rel=1e-9)
             assert -1.0 - 1e-12 <= out[key] <= 1.0 + 1e-12
+
+
+def test_ppo_matches_integer_reference_and_ideal(spark, monkeypatch):
+    """PPO full rows equal 100·(n12·D26 − n26·D12)/(n26·D12) on the
+    quantized weights bit-for-bit, and sit within the 2^-16 quantization
+    band of the ideal real-weight PPO."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    import datetime as dt
+
+    closes = [95.0 + 4.0 * math.sin(i / 4.0) + 0.21 * i for i in range(40)]
+    rows = [
+        ("S", dt.date(2024, 1, 1) + dt.timedelta(days=i), float(c))
+        for i, c in enumerate(closes)
+    ]
+    series = spark.createDataFrame(
+        rows, "symbol string, date date, close double"
+    )
+    monkeypatch.setattr(fin, "ticks", lambda s, d: series)
+    out = sorted(fin.q_ppo(spark, SF_DIR).collect(), key=lambda r: r["date"])
+    cents = [round(c * 100) for c in closes]
+
+    def conv(vals, weights, i):
+        return sum(w * vals[i - j] for j, w in enumerate(weights))
+
+    for i, r in enumerate(out):
+        if i < fin._MACD_SLOW - 1:
+            assert r["ppo"] is None
+            continue
+        n12, n26 = conv(cents, fin._W12, i), conv(cents, fin._W26, i)
+        want = 100.0 * float(n12 * fin._D26 - n26 * fin._D12) / float(
+            n26 * fin._D12
+        )
+        assert r["ppo"] == want
+        e12 = n12 / (fin._D12 * 100.0)
+        e26 = n26 / (fin._D26 * 100.0)
+        assert r["ppo"] == pytest.approx(100 * (e12 - e26) / e26, rel=1e-3)
+
+
+def test_trix_matches_sequential_triple_ema(spark, monkeypatch):
+    """TRIX full rows equal the rate of change of the triple-convolved
+    integer kernel exactly, and approximate the sequentially-computed
+    truncated triple EMA."""
+    import stock_market_etl_pipeline_spark.registry_fin as fin
+
+    import datetime as dt
+
+    n = 60
+    closes = [80.0 + 5.0 * math.sin(i / 5.0) + 0.13 * i for i in range(n)]
+    rows = [
+        ("S", dt.date(2024, 1, 1) + dt.timedelta(days=i), float(c))
+        for i, c in enumerate(closes)
+    ]
+    series = spark.createDataFrame(
+        rows, "symbol string, date date, close double"
+    )
+    monkeypatch.setattr(fin, "ticks", lambda s, d: series)
+    out = sorted(fin.q_trix(spark, SF_DIR).collect(), key=lambda r: r["date"])
+    cents = [round(c * 100) for c in closes]
+    k3 = fin._K3
+    head = len(k3)  # first n3 at index len(k3)-1; trix needs the lag too
+    n3 = [
+        sum(w * cents[i - j] for j, w in enumerate(k3))
+        if i >= len(k3) - 1 else None
+        for i in range(n)
+    ]
+    for i, r in enumerate(out):
+        if i < head:
+            assert r["trix"] is None
+        else:
+            want = 100.0 * float(n3[i] - n3[i - 1]) / float(n3[i - 1])
+            assert r["trix"] == want
+    # triple EMA via three sequential truncated-kernel passes must agree
+    # (same kernel by associativity of convolution) to float tolerance
+    w1 = fin._WT
+
+    def pass_once(vals):
+        return [
+            sum(w * vals[i - j] for j, w in enumerate(w1))
+            if i >= len(w1) - 1
+            and all(vals[i - j] is not None for j in range(len(w1)))
+            else None
+            for i in range(len(vals))
+        ]
+
+    t3 = pass_once(pass_once(pass_once(cents)))
+    for i in range(head, n):
+        assert t3[i] == n3[i]

@@ -183,6 +183,8 @@ DEFAULT_QUERIES = [
     "linear_trend_forecast",
     "part_triangle_counts",
     "systematic_weighted_sample",
+    "ppo_12_26",
+    "trix_15",
 ]
 
 
