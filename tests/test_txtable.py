@@ -74,7 +74,7 @@ def test_commit_conflict_raises_not_overwrites(spark, tmp_path):
     t = TxTable(str(tmp_path / "t"))
     t.append(mk(spark, 0, 5))
     base = t.latest_snapshot()  # writer reads table state, then stages
-    staged, n = t._stage(mk(spark, 5, 10))
+    staged, n, _ = t._stage(mk(spark, 5, 10))
     # a racing writer claims snapshot 1 first
     racer = TxTable(t.root)
     racer.append(mk(spark, 1000, 1001))
@@ -186,3 +186,117 @@ def test_txtable_as_exactly_once_streaming_sink(spark, tmp_path):
     # replay staged orphan files; vacuum reclaims them without row loss
     table.vacuum(keep_last=len(table.snapshots()))
     assert ids(table.read(spark)) == list(range(40))
+
+
+# ---------------------------------------------------------------------------
+# Manifest column stats + data skipping (read_band / prune_band)
+# ---------------------------------------------------------------------------
+
+
+def _banded(spark, lo, hi, parts):
+    # repartitionByRange gives each file a tight, disjoint id band —
+    # the layout stats-skipping is designed for
+    return (
+        spark.range(lo, hi)
+        .select("id", (F.col("id") % 7).alias("v"))
+        .repartitionByRange(parts, "id")
+        .sortWithinPartitions("id")
+    )
+
+
+def test_manifest_stats_recorded_per_file(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_banded(spark, 0, 1000, 4))
+    m = t._manifest(t.latest_snapshot())
+    assert set(m["stats"]) == set(m["files"])
+    for st in m["stats"].values():
+        assert st["id"]["min"] <= st["id"]["max"]
+        assert st["id"]["nulls"] == 0
+    # the per-file bands tile 0..999 disjointly
+    bands = sorted((s["id"]["min"], s["id"]["max"]) for s in m["stats"].values())
+    assert bands[0][0] == 0 and bands[-1][1] == 999
+    for (a, b), (c, d) in zip(bands, bands[1:]):
+        assert b < c
+
+
+def test_read_band_prunes_files_and_matches_full_filter(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_banded(spark, 0, 1000, 8))
+    kept, skipped = t.prune_band("id", 100, 220)
+    assert len(skipped) >= 5, f"no skipping: kept={len(kept)}"
+    got = ids(t.read_band(spark, "id", 100, 220))
+    want = ids(t.read(spark).filter("id BETWEEN 100 AND 220"))
+    assert got == want == list(range(100, 221))
+    # open bounds
+    assert ids(t.read_band(spark, "id", lo=950)) == list(range(950, 1000))
+    assert ids(t.read_band(spark, "id", hi=49)) == list(range(50))
+
+
+def test_prune_band_is_safe_without_stats(spark, tmp_path):
+    """Manifests written before stats existed (or columns whose stats
+    were dropped) must read every file — pruning degrades to a no-op,
+    never to a wrong answer."""
+    import json
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_banded(spark, 0, 100, 2))
+    snap = t.latest_snapshot()
+    path = os.path.join(t.log_dir, f"{snap:010d}.json")
+    m = json.load(open(path))
+    del m["stats"]
+    json.dump(m, open(path, "w"))
+    kept, skipped = t.prune_band("id", 0, 10)
+    assert skipped == [] and sorted(kept) == sorted(m["files"])
+    assert ids(t.read_band(spark, "id", 0, 10)) == list(range(11))
+
+
+def test_stats_survive_merge_and_optimize(spark, tmp_path):
+    """Stats are carried for surviving files and recomputed for
+    rewritten ones — after a merge and an optimize, every live file
+    still has a stats entry and skipping still works."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_banded(spark, 0, 1000, 8))
+    upd = spark.range(10, 20).select(
+        "id", (F.col("id") * 100).alias("v")
+    )
+    t.merge(spark, upd, key_cols=["id"])
+    m = t._manifest(t.latest_snapshot())
+    assert set(m["stats"]) == set(m["files"])
+    t.optimize(spark, n_files=4, zorder_by=["id"])
+    m = t._manifest(t.latest_snapshot())
+    assert set(m["stats"]) == set(m["files"])
+    kept, skipped = t.prune_band("id", 0, 99)
+    assert skipped, "z-ordered optimize should leave skippable bands"
+    assert ids(t.read_band(spark, "id", 0, 99)) == list(range(100))
+
+
+def test_stats_all_null_file_is_skipped_for_band(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(None, 1)] * 10, "id bigint, v bigint"
+        ).coalesce(1)
+    )
+    t.append(_banded(spark, 0, 10, 1))
+    kept, skipped = t.prune_band("id", 0, 100)
+    assert len(skipped) == 1  # the all-null file can never match a band
+    assert ids(t.read_band(spark, "id", 0, 100)) == list(range(10))
+
+
+def test_read_band_on_date_column(spark, tmp_path):
+    import datetime as dt
+
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1) + dt.timedelta(days=i), i)
+            for i in range(200)
+        ],
+        "d date, v bigint",
+    ).repartitionByRange(5, "d").sortWithinPartitions("d")
+    t.append(df)
+    lo, hi = dt.date(2024, 2, 1), dt.date(2024, 2, 10)
+    kept, skipped = t.prune_band("d", lo, hi)
+    assert skipped, "date bands should skip files"
+    got = sorted(r.d for r in t.read_band(spark, "d", lo, hi).collect())
+    assert got[0] == lo and got[-1] == hi and len(got) == 10
