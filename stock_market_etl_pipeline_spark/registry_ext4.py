@@ -1,7 +1,8 @@
-"""Round-6 analytics extensions: basket-graph triangle counting and
-weight-proportional systematic sampling.
+"""Round-6 analytics extensions: basket-graph triangle counting,
+weight-proportional systematic sampling, the UNPIVOT/melt reshape, and
+the language-by-source chi-square independence audit.
 
-Both are LLM-curation / market-basket staples the registry lacked:
+The first two are LLM-curation / market-basket staples the registry lacked:
 triangle participation is the clustering-coefficient precursor ("how
 clique-ish is the co-purchase neighborhood of this part"), and
 systematic weighted sampling is the deterministic probability-
@@ -19,10 +20,13 @@ cumulative sums (no float ratio ever materializes).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators.enumerate import global_prefix_sums
+from .oracles import WITH_TICKS
 from .registry import register
+from .sources.ticks import ticks
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -182,4 +186,123 @@ def q_systematic_weighted_sample(spark, sf_dir):
             )
         )
         .select("doc_id", "source", "n_chars", "cum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide OHLC to long (field, price) rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_unpivot",
+    WITH_TICKS
+    + """
+    SELECT symbol, date, 'open' AS field, open AS price FROM ticks
+    UNION ALL
+    SELECT symbol, date, 'high', high FROM ticks
+    UNION ALL
+    SELECT symbol, date, 'low', low FROM ticks
+    UNION ALL
+    SELECT symbol, date, 'close', close FROM ticks
+    """,
+)
+def q_ohlc_unpivot(spark, sf_dir):
+    """Wide→long reshape of the OHLC columns — the UNPIVOT/melt half of
+    the reshape pair (``event_type_pivot`` is the other direction), the
+    shape every per-field charting/QA layer consumes (reference
+    ``dashboard/app.py`` melts frames for its per-field plots).
+
+    Plan: Spark's native ``unpivot`` (SQL UNPIVOT) compiles to ONE scan
+    feeding an Expand node that emits 4 rows per input — the oracle
+    states the same semantics as 4 UNION ALL scans, which is exactly the
+    plan unpivot exists to avoid (at 100 TB: one pass, not four).
+    Values pass through untouched — no float policy needed."""
+    return ticks(spark, sf_dir).unpivot(
+        ["symbol", "date"],
+        ["open", "high", "low", "close"],
+        "field",
+        "price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language × source independence (chi-square contingency audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_source_chisq",
+    """
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT lang, source, o,
+               CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+               CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cell
+    ),
+    terms AS (
+        SELECT CAST(o * n - r * c AS DOUBLE)
+             * CAST(o * n - r * c AS DOUBLE)
+             / (CAST(r * c AS DOUBLE) * CAST(n AS DOUBLE)) AS t,
+               lang, source, n
+        FROM margins
+    )
+    SELECT ROUND(SUM(t), 6) AS chi2,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n_docs
+    FROM terms
+    """,
+)
+def q_lang_source_chisq(spark, sf_dir):
+    """Pearson chi-square independence test of the language × source
+    contingency table — the corpus-balance audit ("does source X
+    over-represent language Y?") a curation pipeline runs before fixing
+    mixture weights. Emits the statistic, degrees of freedom, and N;
+    the analyst compares chi2 against the dof's critical value.
+
+    Exactness: each cell's term is ((O·N − R·C)²)/(R·C·N) — O, R, C, N
+    are exact int64 counts, so the numerator/denominator enter double
+    through correctly-rounded casts and the term is mul/mul/div of
+    identical doubles on both engines (no add — no FMA exposure, rule
+    11). The SUM over cells is the one order-sensitive float reduction,
+    rounded 6dp at the aggregate boundary per the oracles.py policy
+    (≤ |langs|·|sources| cells, magnitudes O(N) — far inside 6dp
+    headroom). dof counts distinct margins, not a hardcoded grid.
+
+    Plan: one documents scan → cell aggregate (tiny); margin windows and
+    the final reduction run over the CELL table (≤ hundreds of rows), so
+    the unpartitioned windows are metadata-sized, never data-sized."""
+    cell = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    m = cell.select(
+        "lang", "source", "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("r"),
+        F.sum("o").over(Window.partitionBy("source")).alias("c"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    den = (F.col("r") * F.col("c")).cast("double") * F.col("n").cast(
+        "double"
+    )
+    terms = m.select(
+        (num * num / den).alias("t"), "lang", "source", "n"
+    )
+    return terms.agg(
+        F.round(F.sum("t"), 6).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1)
+            * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n_docs"),
     )

@@ -152,3 +152,46 @@ def test_global_prefix_sums_matches_naive_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / chi-square
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_unpivot_plans_one_scan_expand(spark, qs):
+    """The point of native UNPIVOT vs 4 UNION ALL branches is ONE scan
+    feeding an Expand — freeze that shape."""
+    from test_plan_shapes import count_nodes, plan_of
+
+    plan = plan_of(qs["ohlc_unpivot"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Expand") == 1
+    assert count_nodes(plan, "Union") == 0
+
+
+def test_lang_source_chisq_matches_scipy_free_reference(spark, qs):
+    """Recompute the statistic in pure Python from the same contingency
+    table; dof must be (|langs|-1)(|sources|-1)."""
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cells = {
+        (r.lang, r.source): r.cnt
+        for r in docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    langs = sorted({k[0] for k in cells})
+    sources = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    r_m = {l: sum(v for (a, _), v in cells.items() if a == l) for l in langs}
+    c_m = {s: sum(v for (_, b), v in cells.items() if b == s) for s in sources}
+    want = sum(
+        (o * n - r_m[l] * c_m[s]) ** 2 / (r_m[l] * c_m[s] * n)
+        for (l, s), o in cells.items()
+    )
+    row = qs["lang_source_chisq"](spark, SF_DIR).collect()[0]
+    assert row.n_docs == n
+    assert row.dof == (len(langs) - 1) * (len(sources) - 1)
+    assert row.chi2 == pytest.approx(want, abs=2e-6)

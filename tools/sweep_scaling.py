@@ -185,6 +185,8 @@ DEFAULT_QUERIES = [
     "systematic_weighted_sample",
     "ppo_12_26",
     "trix_15",
+    "ohlc_unpivot",
+    "lang_source_chisq",
 ]
 
 
