@@ -51,7 +51,15 @@ def global_sequence_ids(
         F.row_number()
         .over(Window.partitionBy("_pid").orderBy(*order_cols))
         .alias("_local_rn"),
-    )
+    ).localCheckpoint()
+    # The checkpoint is load-bearing for CORRECTNESS, not just reuse:
+    # the data branch and the offsets branch would otherwise each plan
+    # their OWN range exchange, and RangePartitioner samples per
+    # exchange (seed involves the RDD id) — the two could place
+    # boundary rows in different partitions, making offset[pid] count
+    # rows the data branch's pid doesn't hold. Freezing the partitioning
+    # once makes the pids a single shared fact (and halves the
+    # data-sized shuffle work).
     offsets = (
         local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -105,7 +113,10 @@ def global_prefix_sums(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         .alias("_local_cum"),
-    )
+    ).localCheckpoint()
+    # localCheckpoint is load-bearing (see global_sequence_ids): both
+    # consumers must see ONE range partitioning, not two independently
+    # sampled ones.
     offsets = (
         local.groupBy("_pid")
         .agg(F.sum(value_col).alias("_tot"))

@@ -1351,20 +1351,41 @@ def q_trix(spark, sf_dir):
     (maxc·ΣK3 ≈ 1.05e7·1.4e16 ≈ 1.5e23), so the sum accumulates in
     DECIMAL(38,0)/HUGEINT — headroom to 10³⁸ ≈ close of $7·10²¹.
     NULL head: the first 43 rows (and the lagged first after them) are
-    NULL on both sides. Plan: one symbol exchange shared by both window
-    layers; 43 lag terms over ONE pre-cast cents column (the macd
-    cents-hoist lesson)."""
+    NULL on both sides.
+
+    Plan/perf: the engine evaluates the convolution NESTED — two int64
+    15-tap passes (n1 ≤ maxc·D ≈ 2.5e12, n2 ≤ maxc·D² ≈ 6e17, both
+    int64-safe) and ONE 15-tap DECIMAL pass for the final layer — 30
+    cheap integer terms + 15 wide ones instead of 43 wide ones (measured
+    5.7 → 2.3 s at sf0.1; NOTES: DECIMAL window arithmetic costs ~2-4×
+    int64). By associativity of convolution the nested result equals the
+    oracle's flat 43-tap kernel on the same integers EXACTLY, so the
+    nesting is a pure plan choice, not a semantics one — the flat-kernel
+    test pins that identity. All four window layers share one symbol
+    exchange."""
     dec = "decimal(38,0)"
     t = ticks(spark, sf_dir).withColumn(
-        "c", F.round(F.col("close") * 100, 0).cast("bigint").cast(dec)
+        "c", F.round(F.col("close") * 100, 0).cast("bigint")
     )
     w = _W()
-    acc = None
-    for j, wt in enumerate(_K3):
-        term = F.lag("c", j).over(w) * F.lit(wt).cast(dec)
-        acc = term if acc is None else acc + term
-    conv = t.select(
-        "symbol", "date", "close", acc.alias("n3")
+
+    def conv15(col: str, widen: bool = False):
+        acc = None
+        for j, wt in enumerate(_WT):
+            term = F.lag(col, j).over(w) * F.lit(wt)
+            if widen:
+                term = F.lag(F.col(col).cast(dec), j).over(w) * F.lit(
+                    wt
+                ).cast(dec)
+            acc = term if acc is None else acc + term
+        return acc
+
+    l1 = t.select("symbol", "date", "close", conv15("c").alias("n1"))
+    l2 = l1.select(
+        "symbol", "date", "close", conv15("n1").alias("n2")
+    )
+    conv = l2.select(
+        "symbol", "date", "close", conv15("n2", widen=True).alias("n3")
     )
     prev = F.lag("n3", 1).over(w)
     return conv.select(

@@ -380,9 +380,12 @@ def test_global_doc_ids_no_data_sized_single_partition_sort(spark, qs):
     # per-partition counts, which lives on the BROADCAST (offsets) branch
     assert plan.count("SinglePartition") == 1
     assert "BroadcastExchange" in plan  # offsets broadcast back to the data
-    assert "rangepartitioning" in plan.lower()  # phase-1 range exchange
-    # the data-sized window is partitioned by pid, never unpartitioned
-    assert "hashpartitioning(_pid" in plan
+    # phase 1 (range exchange + pid window) is materialized ONCE behind a
+    # localCheckpoint (load-bearing: two exchanges would sample their own
+    # range boundaries — see operators/enumerate.py), so the query plan
+    # consumes an ExistingRDD rather than showing rangepartitioning
+    assert "ExistingRDD" in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_macd_single_scan_single_exchange(spark, qs):

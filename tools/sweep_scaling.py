@@ -18,6 +18,9 @@ diff, not by re-reading NOTES (VERDICT r4 #6).
 
 Usage: python tools/sweep_scaling.py [small_dir] [big_dir] [query ...]
        python tools/sweep_scaling.py --freeze-baseline [small_dir] [big_dir]
+       python tools/sweep_scaling.py --freeze-merge [small] [big] [query ...]
+         (merge the swept names into the existing baseline — for adding
+          new queries without resetting every other frozen number)
 """
 
 from __future__ import annotations
@@ -207,8 +210,12 @@ DRIFT_FLAG = 1.5
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--freeze-baseline"]
+    args = [
+        a for a in sys.argv[1:]
+        if a not in ("--freeze-baseline", "--freeze-merge")
+    ]
     freeze = "--freeze-baseline" in sys.argv[1:]
+    freeze_merge = "--freeze-merge" in sys.argv[1:]
     small = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     big = args[1] if len(args) > 1 else "/tmp/sf1"
     names = args[2:] or DEFAULT_QUERIES
@@ -239,14 +246,25 @@ def main() -> None:
         )
 
     drift_flags = []
-    if freeze:
-        baseline = {
-            "big": big,
-            "frozen_queries": {n: v["big_s"] for n, v in out.items()},
-        }
+    if freeze or freeze_merge:
+        frozen_queries = {n: v["big_s"] for n, v in out.items()}
+        if freeze_merge and os.path.exists(BASELINE_PATH):
+            # merge mode: extend the committed baseline with the swept
+            # names only (a full overwrite would silently reset every
+            # OTHER query's baseline to whatever this host measures now)
+            with open(BASELINE_PATH) as f:
+                prior = json.load(f)
+            if prior.get("big") == big:
+                merged = dict(prior["frozen_queries"])
+                merged.update(frozen_queries)
+                frozen_queries = merged
+        baseline = {"big": big, "frozen_queries": frozen_queries}
         with open(BASELINE_PATH, "w") as f:
             json.dump(baseline, f, indent=1, sort_keys=True)
-        print(f"froze {len(out)} baselines -> {BASELINE_PATH}", file=sys.stderr)
+        print(
+            f"froze {len(frozen_queries)} baselines -> {BASELINE_PATH}",
+            file=sys.stderr,
+        )
     elif os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             baseline = json.load(f)
