@@ -702,3 +702,173 @@ def semantic_dedup(
             .alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN path
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    sample: int = 4096,
+    seed: int = 7,
+    iters: int = 20,
+):
+    """Train per-subspace PQ codebooks: split the D-dim space into ``m``
+    contiguous subspaces and run Lloyd's k-means (k = ``k_codes``,
+    ``iters`` fixed iterations, seeded init) on each, over a BOUNDED
+    deterministic sample (hash-ordered, ≤ ``sample`` vectors collected to
+    the driver — codebook training is the one step that does not need the
+    corpus, exactly like ivf_topk's centroid collect). Returns a numpy
+    array of shape (m, k_codes, D // m).
+
+    Why PQ at 100 TB: a 64-dim float32 vector is 256 B; its PQ code at
+    m=8, k=16 is 8 nibbles = 4 B — a 64× smaller scan/shuffle footprint,
+    which is the difference between an in-memory candidate sweep and an
+    IO-bound one. Accuracy is certified by the planted-twin recall test
+    (tests/test_llm_ops3.py), not assumed."""
+    import numpy as np
+
+    rows = (
+        _spread(embeddings)
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows])
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k_codes, sub))
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        centers = xs[rng.choice(n, size=k_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                pts = xs[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(axis=0)
+        books[s] = centers
+    return books
+
+
+def pq_encode(embeddings: DataFrame, books) -> DataFrame:
+    """Assign every vector its m-byte PQ code: explode into subvectors,
+    broadcast the (m · k_codes)-row codebook, argmin squared distance via
+    min(struct(dist, code)) — one shuffle on (vec_id, sub), distributed
+    JVM arithmetic throughout (zip_with/aggregate dot products, no
+    Python on the data path). Returns (vec_id, sub, code)."""
+    m, k_codes, sub = books.shape
+    spark = embeddings.sparkSession
+    book_rows = [
+        (s, c, [float(v) for v in books[s, c]])
+        for s in range(m)
+        for c in range(k_codes)
+    ]
+    bdf = spark.createDataFrame(
+        book_rows, "sub int, code int, centroid array<double>"
+    )
+    subs = _spread(embeddings).select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(_to_double(F.col("embedding")), s * sub + 1, sub)
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        subs.join(F.broadcast(bdf), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(d2.alias("d"), F.col("code"))).alias("best"))
+        .select("vec_id", "sub", F.col("best.code").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    rerank: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact rerank:
+    each query precomputes an m×k_codes table of subspace inner products
+    against the codebooks (driver-side, m·k_codes·|queries| floats —
+    KB-scale); the corpus side is scanned as CODES ONLY (the 64×-smaller
+    representation), approximate score = Σ_sub table[sub, code] via one
+    keyed join + groupBy; the top rerank·k candidates per query are then
+    re-scored with EXACT cosine against the original vectors — so emitted
+    scores are identical in kind to the brute-force baseline and only
+    RECALL (which candidates made the cut) is approximate. The classic
+    IVF-PQ pairing is this operator behind ivf_topk's probe filter."""
+    import numpy as np
+
+    books = pq_codebooks(embeddings, m=m, k_codes=k_codes, seed=seed)
+    codes = pq_encode(embeddings, books)
+    spark = embeddings.sparkSession
+    emb = _spread(embeddings).select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    queries = {
+        r["vec_id"]: np.array(r["v"])
+        for r in emb.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    sub = books.shape[2]
+    adc_rows = [
+        (int(qid), s, c, float(np.dot(qv[s * sub : (s + 1) * sub], books[s, c])))
+        for qid, qv in queries.items()
+        for s in range(m)
+        for c in range(k_codes)
+    ]
+    adc = spark.createDataFrame(
+        adc_rows, "query_id long, sub int, code int, part double"
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("approx_ip"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id")
+    )
+    cand = approx.withColumn("crank", F.row_number().over(wa)).filter(
+        F.col("crank") <= rerank * k
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries.items()],
+        "query_id long, qv array<double>",
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

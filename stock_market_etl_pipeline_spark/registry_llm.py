@@ -2716,3 +2716,19 @@ def q_near_dup_rate_curve(spark, sf_dir):
             "pairs_at_or_above"
         ),
     )
+
+
+@register("ann_pq_topk")  # no SQL oracle: KMeans codebooks (rows-only check)
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-10: per-subspace codebooks (m=8,
+    k=16 → 4-byte codes, 64× smaller than float32), ADC scoring over
+    codes only, exact-cosine rerank of the top-4k candidates. Not
+    SQL-expressible (iterative Lloyd training) → rows-only; the exact
+    twin is ann_ivf_full_probe (same queries, brute-force oracle) and
+    planted-twin recall ≥ 0.95 is asserted in tests/test_llm_ops3.py."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, query_ids=list(range(5)), k=10).select(
+        "query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank")
+    )

@@ -357,3 +357,49 @@ def test_semantic_dedup_soundness_and_survivorship(spark):
             assert any(
                 frozenset((m["vec_id"], o)) in exact for o in ids - {m["vec_id"]}
             ), m
+
+
+def test_pq_planted_twin_recall_and_adc_agreement(spark):
+    """PQ certificate, mirroring the IVF planted-twin pattern: 100
+    planted cosine≈0.97 twins must surface in their query's top-10
+    through the CODES-ONLY candidate sweep (recall ≥ 0.95 — a twin lost
+    by ADC at rerank=4·k means codebooks/encoding broke, not noise: both
+    are seeded and deterministic). Also certifies the encoder: every
+    vector's code must be the true argmin centroid per subspace on a
+    numpy recomputation of a 50-vector sample."""
+    import numpy as np
+
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        plant_near_duplicates,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = plant_near_duplicates(emb, n=100, id_offset=1_000_000, dim=64)
+    qids = list(range(100))
+    out = pq_topk(corpus, query_ids=qids, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        1 for q in qids if q + 1_000_000 in got.get(q, set())
+    ) / len(qids)
+    assert recall >= 0.95, recall
+
+    books = pq_codebooks(emb, m=8, k_codes=16)
+    codes = {
+        (r.vec_id, r.sub): r.code
+        for r in pq_encode(emb, books).filter("vec_id < 50").collect()
+    }
+    vecs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in emb.filter("vec_id < 50").collect()
+    }
+    sub = books.shape[2]
+    for vid, v in vecs.items():
+        for s in range(books.shape[0]):
+            d2 = ((books[s] - v[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+            assert codes[(vid, s)] == int(d2.argmin())

@@ -190,6 +190,7 @@ DEFAULT_QUERIES = [
     "trix_15",
     "ohlc_unpivot",
     "lang_source_chisq",
+    "ann_pq_topk",
 ]
 
 
