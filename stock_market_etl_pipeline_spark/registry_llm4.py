@@ -766,3 +766,145 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, n_clusters=16, threshold=0.35).select(
         "vec_id", "cluster", "centroid_sim", "group_id", "keep_id", "is_kept"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datacard: the one-row summary a training-data release ships with
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_datacard",
+    r"""
+    WITH aug AS (
+        -- planted positives: the corpus has no natural exact dups, so
+        -- docs 0..19 are re-added under offset ids (mirrored in the
+        -- engine) to keep the dup-counting path non-vacuous
+        SELECT doc_id, lang, source, n_chars, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, source, n_chars, text
+        FROM documents WHERE doc_id < 20
+    ),
+    fp AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM aug
+    ),
+    groups AS (
+        SELECT fingerprint, COUNT(*) AS n FROM fp GROUP BY 1
+    ),
+    med AS (
+        -- exact x2 median of n_chars: sum of the two middle order stats
+        -- (equal for odd counts) — integer-exact on both engines
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS med2
+        FROM (
+            SELECT n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM fp
+        )
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*) AS mean_chars,
+           CAST(MAX(med.med2) AS DOUBLE) / 2 AS median_chars,
+           CAST((SELECT COUNT(*) FROM groups WHERE n > 1) AS BIGINT)
+               AS dup_groups,
+           CAST((SELECT COALESCE(SUM(n - 1), 0) FROM groups WHERE n > 1)
+                AS BIGINT) AS redundant_docs,
+           CAST((SELECT COALESCE(SUM(n - 1), 0) FROM groups WHERE n > 1)
+                AS BIGINT) * 1.0 / COUNT(*) AS dup_rate
+    FROM fp, med
+    GROUP BY med.med2
+    """,
+)
+def q_corpus_datacard(spark, sf_dir):
+    """The datacard row a corpus release ships with: size, coverage,
+    central tendency, and exact-duplicate redundancy in ONE result —
+    the composition a curation pipeline runs after every rebuild (each
+    piece reuses a registered primitive: doc_fingerprints' normalized
+    md5, dedup_exact_groups' group counting, the ×2-integer median
+    idiom from robust_price_anomalies). Docs 0..19 are re-planted under
+    offset ids on BOTH sides so the dup fields are never vacuously zero
+    (the corpus has no natural exact dups — same pattern as
+    source_fingerprint_overlap).
+
+    Exactness: counts and sums are int64; mean and dup_rate are ONE
+    double division of exact integers; the median is the sum of the two
+    middle order statistics (equal when n is odd) divided by 2 — a
+    single halving of an exact integer, bit-identical across engines.
+    No rounding anywhere.
+
+    Plan: one documents scan feeds the fingerprint projection; the dup
+    aggregate groups on the 32-hex digest (high-cardinality, unskewed);
+    the median costs one additional ordered pass (global row_number —
+    acceptable because the datacard is a REPORT run once per rebuild,
+    not a hot-path operator; the two-phase enumerate machinery is the
+    scale path if it ever becomes one). Everything downstream of the
+    scan is metadata-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    aug = docs.unionAll(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang", "source", "n_chars", "text",
+        )
+    )
+    fp = aug.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+    groups = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n"))
+    dups = groups.filter(F.col("n") > 1).agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias(
+            "redundant_docs"
+        ),
+    )
+    wn = Window.orderBy("n_chars", "doc_id")
+    med = (
+        fp.select(
+            "n_chars",
+            F.row_number().over(wn).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ).alias("n"),
+        )
+        .filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .agg(F.sum("n_chars").alias("med2"))
+    )
+    base = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        base.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_docs", "total_chars", "n_langs", "n_sources",
+            (
+                F.col("total_chars") * F.lit(1.0) / F.col("n_docs")
+            ).alias("mean_chars"),
+            (F.col("med2").cast("double") / F.lit(2)).alias(
+                "median_chars"
+            ),
+            F.col("dup_groups").cast("long").alias("dup_groups"),
+            F.col("redundant_docs").cast("long").alias("redundant_docs"),
+            (
+                F.col("redundant_docs") * F.lit(1.0) / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+    )

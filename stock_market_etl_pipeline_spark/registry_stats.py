@@ -1012,3 +1012,115 @@ def q_gap_fill_interpolated(spark, sf_dir):
     from .operators.resample import calendar_interpolate
 
     return calendar_interpolate(ticks(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (volume vs price move) — exact integer ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_volume_move",
+    WITH_TICKS
+    + """,
+    d AS (
+        SELECT symbol, volume,
+               abs(CAST(ROUND(close * 100, 0) AS BIGINT)
+                   - LAG(CAST(ROUND(close * 100, 0) AS BIGINT))
+                         OVER (PARTITION BY symbol ORDER BY date)) AS mv
+        FROM ticks
+    ),
+    r AS (
+        SELECT symbol,
+               2 * RANK() OVER (PARTITION BY symbol ORDER BY volume)
+                 + COUNT(*) OVER (PARTITION BY symbol, volume) - 1 AS a,
+               2 * RANK() OVER (PARTITION BY symbol ORDER BY mv)
+                 + COUNT(*) OVER (PARTITION BY symbol, mv) - 1 AS b
+        FROM d WHERE mv IS NOT NULL
+    ),
+    m AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(a) AS HUGEINT) AS sa,
+               CAST(SUM(b) AS HUGEINT) AS sb,
+               CAST(SUM(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+               CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+               CAST(SUM(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb
+        FROM r GROUP BY 1
+    )
+    SELECT symbol, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * saa - sa * sa != 0 AND n * sbb - sb * sb != 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                   / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                      * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+           END AS spearman
+    FROM m
+    """,
+)
+def q_spearman_volume_move(spark, sf_dir):
+    """Spearman rank correlation of volume against the absolute daily
+    price move, per symbol — the robust sibling of
+    ``volume_move_correlation`` (Pearson): rank correlation ignores the
+    heavy tails both series have, so it answers "do high-volume days
+    tend to be big-move days" without a few crash days dominating.
+
+    Exactness: Spearman is Pearson ON RANKS, and tie-averaged ranks are
+    the only float hazard — the fractional average rank for a tie group
+    is (first + last)/2, so DOUBLED ranks stay exact integers:
+    2·avg_rank = 2·RANK() + (tie_count − 1), computed with one rank
+    window plus a per-(symbol, value) count window on each side (the
+    constant factor 2 cancels in the correlation). From there the
+    machinery is rolling_corr_20's: exact DECIMAL(38)/HUGEINT moments,
+    closed by two correctly-rounded sqrts, one multiply, one divide on
+    identical integers — bit-exact raw doubles. Zero-variance ranks
+    (all-tied series) null out on both sides.
+
+    Plan: every window and the final aggregate hash on symbol — ONE
+    data-sized exchange; the (symbol, value) tie-count windows reuse it
+    (finer keys hash-cluster within the same partitioning)."""
+    t = ticks(spark, sf_dir)
+    c = F.round(F.col("close") * 100, 0).cast("bigint")
+    d = t.select(
+        "symbol", "volume",
+        F.abs(
+            c - F.lag(c).over(
+                Window.partitionBy("symbol").orderBy("date")
+            )
+        ).alias("mv"),
+    ).filter(F.col("mv").isNotNull())
+
+    def rank2(col):
+        return (
+            F.lit(2) * F.rank().over(
+                Window.partitionBy("symbol").orderBy(col)
+            )
+            + F.count(F.lit(1)).over(Window.partitionBy("symbol", col))
+            - F.lit(1)
+        )
+
+    r = d.select(
+        "symbol", rank2("volume").alias("a"), rank2("mv").alias("b")
+    )
+    dec = "decimal(38,0)"
+    m = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("a").cast(dec).alias("sa"),
+        F.sum("b").cast(dec).alias("sb"),
+        F.sum(F.col("a").cast(dec) * F.col("b")).alias("sab"),
+        F.sum(F.col("a").cast(dec) * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast(dec) * F.col("b")).alias("sbb"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    cov = n * F.col("sab") - sa * sb
+    va = n * F.col("saa") - sa * sa
+    vb = n * F.col("sbb") - sb * sb
+    zero = F.lit(0).cast(dec)
+    return m.select(
+        "symbol",
+        n.cast("long").alias("n_days"),
+        F.when(
+            (va != zero) & (vb != zero),
+            cov.cast("double")
+            / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+        ).alias("spearman"),
+    )

@@ -415,3 +415,83 @@ def test_gap_fill_interpolated_reference(spark):
                 g.close, anchors[-1][1].close, rel_tol=1e-12
             )
     assert n_interp > 0  # the dataset must actually exercise interpolation
+
+
+def _avg_ranks(xs):
+    """Tie-averaged ranks (1-based), the scipy.stats.rankdata 'average'
+    method re-implemented so the suite stays scipy-free."""
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    ranks = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+            j += 1
+        avg = (i + j) / 2 + 1
+        for t in range(i, j + 1):
+            ranks[order[t]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_python_reference(spark):
+    """Recompute Spearman per symbol in pure Python (tie-averaged ranks
+    + Pearson) from the same (volume, |move|) pairs the query ranks."""
+    qs = registry.queries()
+    got = {
+        r.symbol: (r.n_days, r.spearman)
+        for r in qs["spearman_volume_move"](spark, SF_DIR).collect()
+    }
+    from stock_market_etl_pipeline_spark.oracles import WITH_TICKS
+
+    con = _duck()
+    pairs = {}
+    for sym, vol, mv in con.execute(WITH_TICKS + """
+        SELECT symbol, volume,
+               abs(CAST(ROUND(close*100,0) AS BIGINT)
+                   - LAG(CAST(ROUND(close*100,0) AS BIGINT))
+                         OVER (PARTITION BY symbol ORDER BY date)) AS mv
+        FROM ticks
+    """).fetchall():
+        if mv is not None:
+            pairs.setdefault(sym, []).append((vol, mv))
+    checked = 0
+    for sym, vm in pairs.items():
+        if sym not in got:
+            continue
+        a = _avg_ranks([v for v, _ in vm])
+        b = _avg_ranks([m for _, m in vm])
+        n = len(vm)
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        saa = sum(x * x for x in a)
+        sbb = sum(y * y for y in b)
+        va, vb = n * saa - sa * sa, n * sbb - sb * sb
+        if va == 0 or vb == 0:
+            assert got[sym][1] is None
+            continue
+        want = (n * sab - sa * sb) / math.sqrt(va * vb)
+        assert got[sym][0] == n
+        assert got[sym][1] == pytest.approx(want, abs=1e-9)
+        checked += 1
+    assert checked >= 10 and checked == len(got)
+
+
+def test_corpus_datacard_invariants(spark):
+    """Structural invariants on the one-row datacard: the planted 20
+    copies must register as >= 20 dup groups' worth of redundancy, the
+    median must sit between min and mean neighborhood, and rates must be
+    consistent ratios of the integer fields."""
+    qs = registry.queries()
+    row = qs["corpus_datacard"](spark, SF_DIR).collect()[0]
+    assert row.n_docs == 520  # 500 + 20 planted copies
+    assert row.dup_groups >= 20
+    assert row.redundant_docs >= 20
+    assert row.dup_rate == pytest.approx(
+        row.redundant_docs / row.n_docs, abs=0
+    )
+    assert row.mean_chars == pytest.approx(
+        row.total_chars / row.n_docs, abs=0
+    )
+    assert 0 < row.median_chars < 2 * row.mean_chars
+    assert row.n_langs == 5 and row.n_sources == 20

@@ -191,6 +191,8 @@ DEFAULT_QUERIES = [
     "ohlc_unpivot",
     "lang_source_chisq",
     "ann_pq_topk",
+    "spearman_volume_move",
+    "corpus_datacard",
 ]
 
 
