@@ -1124,3 +1124,134 @@ def q_spearman_volume_move(spark, sf_dir):
             / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
         ).alias("spearman"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic, seedless)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+# Poisson(1) CDF at scale 1e6 (k = 0..8); a row's replicate weight is the
+# number of thresholds <= its hash bucket — the classic Poisson bootstrap
+# approximation of multinomial resampling, exact-integer on both engines.
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406, 999917,
+             999990, 999999)
+
+
+@register(
+    "bootstrap_order_value_ci",
+    f"""
+    WITH w AS (
+        SELECT b.b,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               {" + ".join(
+                   f"CASE WHEN ('0x' || substr(md5(o_orderkey || '-' || b.b),"
+                   f" 1, 15))::BIGINT % 1000000 >= {t} THEN 1 ELSE 0 END"
+                   for t in _BOOT_CDF
+               )} AS wt
+        FROM orders CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ),
+    reps AS (
+        SELECT b,
+               CAST(SUM(wt * cents) AS BIGINT) * 1.0
+                   / CAST(SUM(wt) AS BIGINT) / 100 AS mean_b
+        FROM w GROUP BY b
+    ),
+    ranked AS (
+        SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b) AS rn FROM reps
+    ),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) * 1.0 / COUNT(*) / 100 AS point_mean
+        FROM orders
+    )
+    SELECT pt.n_orders, pt.point_mean,
+           MAX(CASE WHEN rn = 3 THEN mean_b END) AS ci_lo,
+           MAX(CASE WHEN rn = {_BOOT_B - 2} THEN mean_b END) AS ci_hi,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    FROM ranked, pt
+    GROUP BY pt.n_orders, pt.point_mean
+    """,
+)
+def q_bootstrap_order_value_ci(spark, sf_dir):
+    """95% percentile-bootstrap confidence interval for the mean order
+    value — via the POISSON bootstrap, the resampling scheme that
+    actually works distributed: instead of drawing n rows with
+    replacement (which needs global coordination), every (row,
+    replicate) pair independently gets a Poisson(1) weight, which
+    converges to multinomial resampling for large n. Weights come from
+    the portable md5 60-bit hash (functions/text.md5_hash60 idiom)
+    bucketed against the Poisson(1) CDF at 1e6 — fully deterministic,
+    seedless, identical across engines/partitionings/runs: the
+    reproducible-CI property a training-data release needs.
+
+    Exactness: wt is an exact small int (count of CDF thresholds ≤ the
+    hash bucket); each replicate mean is Σ(wt·cents)/Σwt/100 — exact
+    int64 sums closed by two divisions; CI bounds are ORDER STATISTICS
+    (ranks 3 and {98} of {100} replicate means — identical doubles sort
+    identically), never an interpolated percentile. Point estimate is
+    the exact full-sample mean. All raw, no rounding.
+
+    Plan: one orders scan cross-joined with a broadcast {100}-row
+    replicate range; the B× row fan-out collapses map-side (partial
+    aggregation into ≤ B groups per task), so the shuffle carries
+    B·tasks rows, not B·n — the bootstrap costs B× COMPUTE (inherent to
+    the statistic) but no extra data movement. The rank window runs
+    over {100} rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    reps_ids = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", "o_orderkey", "b")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(1000000)
+    )
+    wt = None
+    for t in _BOOT_CDF:
+        ind = F.when(h >= t, 1).otherwise(0)
+        wt = ind if wt is None else wt + ind
+    w = o.crossJoin(F.broadcast(reps_ids)).select(
+        "b", "cents", wt.alias("wt")
+    )
+    reps = w.groupBy("b").agg(
+        (
+            F.sum(F.col("wt") * F.col("cents")) * F.lit(1.0)
+            / F.sum("wt")
+            / F.lit(100)
+        ).alias("mean_b")
+    )
+    ranked = reps.select(
+        "mean_b",
+        F.row_number()
+        .over(Window.partitionBy().orderBy("mean_b"))
+        .alias("rn"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.sum("cents") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(100)
+        ).alias("point_mean"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 3, F.col("mean_b"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rn") == _BOOT_B - 2, F.col("mean_b"))
+        ).alias("ci_hi"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(ci))
+        .select(
+            "n_orders", "point_mean", "ci_lo", "ci_hi",
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        )
+    )

@@ -495,3 +495,29 @@ def test_corpus_datacard_invariants(spark):
     )
     assert 0 < row.median_chars < 2 * row.mean_chars
     assert row.n_langs == 5 and row.n_sources == 20
+
+
+def test_bootstrap_ci_statistical_sanity(spark):
+    """The CI must bracket the point estimate, narrow as sqrt(n) (checked
+    loosely: interval width under 10% of the mean at 1500 orders), and
+    the replicate weights must be deterministic Poisson(1)-ish: mean
+    weight within 5% of 1."""
+    qs = registry.queries()
+    row = qs["bootstrap_order_value_ci"](spark, SF_DIR).collect()[0]
+    assert row.n_replicates == 100
+    assert row.ci_lo < row.point_mean < row.ci_hi
+    width = row.ci_hi - row.ci_lo
+    assert 0 < width < 0.2 * row.point_mean
+    # weight distribution: recompute one replicate's total weight
+    con = _duck()
+    (wsum, n) = con.execute("""
+        SELECT SUM(CASE WHEN ('0x' || substr(md5(o_orderkey || '-0'),
+                   1, 15))::BIGINT % 1000000 >= 367879 THEN 1 ELSE 0 END
+              + CASE WHEN ('0x' || substr(md5(o_orderkey || '-0'),
+                   1, 15))::BIGINT % 1000000 >= 735759 THEN 1 ELSE 0 END
+              + CASE WHEN ('0x' || substr(md5(o_orderkey || '-0'),
+                   1, 15))::BIGINT % 1000000 >= 919699 THEN 1 ELSE 0 END),
+               COUNT(*)
+        FROM orders
+    """).fetchone()
+    assert abs(wsum / n - 1.0) < 0.08  # truncated-at-3 mean ~= 0.98

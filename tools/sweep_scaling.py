@@ -193,6 +193,7 @@ DEFAULT_QUERIES = [
     "ann_pq_topk",
     "spearman_volume_move",
     "corpus_datacard",
+    "bootstrap_order_value_ci",
 ]
 
 
