@@ -555,6 +555,7 @@ class TxTable:
         when_matched: str = "update",
         txn_id: str | None = None,
         delete_where: Column | str | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """MERGE INTO by key: replace rows whose ``key_cols`` match a row
         of ``updates`` and insert the rest (``when_matched='update'``,
@@ -581,6 +582,13 @@ class TxTable:
         in ONE atomic commit, which is what makes a read-modify-write
         refresher (operators/txview.py) replay-idempotent under a
         single txn_id.
+
+        ``merge_schema=True`` is Delta's automatic schema evolution for
+        MERGE: updates may ADD columns (never retype or drop) — the
+        table schema widens in the same atomic commit, survivors and
+        pre-existing files null-fill the new columns by name (the same
+        pure-metadata evolution as ``append(merge_schema=True)``), and
+        updates missing existing columns insert NULLs for them.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
@@ -600,11 +608,36 @@ class TxTable:
         m = self._manifest(base)
         schema = m["schema"]
         struct = self._schema_struct(m)
+        evolved = False
         if when_matched == "update" and updates.schema.simpleString() != schema:
-            raise ValueError(
-                f"merge schema mismatch: table has {schema}, "
-                f"updates bring {updates.schema.simpleString()}"
+            if not merge_schema or struct is None:
+                raise ValueError(
+                    f"merge schema mismatch: table has {schema}, "
+                    f"updates bring {updates.schema.simpleString()} "
+                    "(pass merge_schema=True to evolve by adding columns)"
+                )
+            from pyspark.sql.types import StructField, StructType
+
+            by_name = {f.name: f for f in updates.schema.fields}
+            for f in struct.fields:
+                nf = by_name.get(f.name)
+                if nf is not None and nf.dataType != f.dataType:
+                    raise ValueError(
+                        f"schema evolution cannot change column "
+                        f"{f.name!r}: {f.dataType.simpleString()} -> "
+                        f"{nf.dataType.simpleString()}"
+                    )
+            old_names = {f.name for f in struct.fields}
+            struct = StructType(
+                list(struct.fields)
+                + [
+                    StructField(f.name, f.dataType, True)
+                    for f in updates.schema.fields
+                    if f.name not in old_names
+                ]
             )
+            schema = struct.simpleString()
+            evolved = True
         keys = updates.select(*key_cols).distinct()
         table = self._read_files(spark, m["files"], schema, struct=struct)
         affected_files = sorted(
@@ -628,8 +661,16 @@ class TxTable:
             )
             new_data = (
                 inserts if survivors is None
-                else survivors.unionByName(inserts)
+                else survivors.unionByName(
+                    inserts, allowMissingColumns=evolved
+                )
             )
+            if evolved and survivors is None:
+                # no matched files: still widen via an empty
+                # evolved-schema slice so the commit carries it
+                new_data = self._read_files(
+                    spark, [], schema, struct=struct
+                ).unionByName(inserts, allowMissingColumns=True)
         else:
             if survivors is None:
                 return base  # nothing matched: the delete is a no-op
@@ -645,7 +686,9 @@ class TxTable:
         return self._commit_with_rebase(
             "merge", files, n, schema, txn_id,
             base=base, our_removed=affected_files, overlap_probe=_keys_in,
-            schema_json=m.get("schema_json"), stats=stats,
+            schema_json=(struct.json() if struct is not None
+                         else m.get("schema_json")),
+            allow_schema_change=evolved, stats=stats,
         )
 
     def delete_where(

@@ -290,3 +290,71 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     t.vacuum(keep_last=1)
     with pytest.raises(SnapshotUnavailable):
         t.restore(1)
+
+
+# ---------------------------------------------------------------------------
+# MERGE schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """Delta-style MERGE evolution: updates bring a NEW column — the
+    upsert and the schema widening land in ONE commit; pre-existing
+    rows (survivors and untouched files alike) null-fill by name."""
+    from stock_market_etl_pipeline_spark.operators.txtable import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.range(0, 20).select(
+            "id", (F.col("id") * 2).alias("v")
+        ).repartition(4)
+    )
+    upd = spark.range(5, 10).select(
+        "id", (F.col("id") * 100).alias("v"), F.lit("new").alias("tag")
+    )
+    with pytest.raises(ValueError, match="merge schema mismatch"):
+        t.merge(spark, upd, key_cols=["id"])
+    snap = t.merge(spark, upd, key_cols=["id"], merge_schema=True)
+    got = {r.id: (r.v, r.tag) for r in t.read(spark).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        if 5 <= i < 10:
+            assert got[i] == (i * 100, "new")
+        else:
+            assert got[i] == (i * 2, None)
+    # time travel below the evolution still reads the narrow schema
+    assert "tag" not in t.read(spark, snapshot=snap - 1).columns
+
+
+def test_merge_schema_evolution_rejects_retype_and_fills_missing(
+    spark, tmp_path
+):
+    from stock_market_etl_pipeline_spark.operators.txtable import TxTable
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")))
+    bad = spark.range(0, 3).select(
+        "id", F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.merge(spark, bad, key_cols=["id"], merge_schema=True)
+    # evolve once, then merge updates MISSING the new column: inserts
+    # null-fill it
+    t.merge(
+        spark,
+        spark.range(0, 2).select(
+            "id", (F.col("id") + 1000).alias("v"), F.lit(1).alias("x")
+        ),
+        key_cols=["id"],
+        merge_schema=True,
+    )
+    t.merge(
+        spark,
+        spark.range(2, 4).select("id", (F.col("id") + 2000).alias("v")),
+        key_cols=["id"],
+        merge_schema=True,
+    )
+    got = {r.id: (r.v, r.x) for r in t.read(spark).collect()}
+    assert got[0] == (1000, 1) and got[1] == (1001, 1)
+    assert got[2] == (2002, None) and got[3] == (2003, None)
+    assert got[5] == (10, None)
