@@ -488,6 +488,32 @@ class TxTable:
                 kept.append(f)
         return kept, skipped
 
+    def prune_bands(
+        self,
+        bands: dict,
+        snapshot: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Multi-column pruning: AND of per-column bands ({col: (lo, hi)})
+        — a file is skipped if ANY band provably misses it. This is the
+        read-side payoff of OPTIMIZE ZORDER BY over several columns: the
+        Morton ordering keeps every clustered column's per-file range
+        tight simultaneously, so a 2-D selection multiplies the two
+        skip ratios instead of choosing one."""
+        snap = self.latest_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise SnapshotUnavailable("table has no commits")
+        kept = list(self._manifest(snap)["files"])
+        skipped: list[str] = []
+        for col, (lo, hi) in bands.items():
+            kept_now, skip_now = [], []
+            kept_set = set(kept)
+            k, sk = self.prune_band(col, lo, hi, snapshot=snap)
+            kept_now = [f for f in k if f in kept_set]
+            skip_now = [f for f in sk if f in kept_set]
+            kept = kept_now
+            skipped += skip_now
+        return kept, skipped
+
     def read_band(
         self,
         spark: SparkSession,

@@ -306,3 +306,116 @@ def q_lang_source_chisq(spark, sf_dir):
         ).cast("long").alias("dof"),
         F.max("n").cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over the co-purchase graph (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_RULE_TOPK = 50
+
+
+@register(
+    "part_association_rules",
+    f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+                 FROM lineitem),
+    item AS (
+        SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS n_p
+        FROM op GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+        SELECT antecedent, consequent, n_ab,
+               ia.n_p AS n_a, ic.n_p AS n_c, n_orders.n AS n,
+               n_ab * 1.0 / ia.n_p AS confidence,
+               n_ab * n_orders.n * 1.0 / (ia.n_p * ic.n_p) AS lift
+        FROM pair
+        JOIN item ia ON antecedent = ia.p
+        JOIN item ic ON consequent = ic.p
+        CROSS JOIN n_orders
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_ab * n DESC, antecedent, consequent) AS rn
+        FROM scored
+    )
+    SELECT antecedent, consequent, n_ab, n_a, n_c, confidence, lift
+    FROM ranked WHERE rn <= {_RULE_TOPK}
+    """,
+)
+def q_part_association_rules(spark, sf_dir):
+    """Top-{50} association rules antecedent→consequent over co-purchase
+    baskets — support, confidence = P(c|a), lift = P(ab)/(P(a)P(b)) —
+    the market-basket report built on the same DISTINCT (order, part)
+    table as ``part_cooccurrence``/``part_triangle_counts`` (directed
+    this time: confidence is asymmetric).
+
+    Exactness: counts are exact int64; confidence and lift are ONE
+    double division each of exact integer products (n_ab·n clears int64
+    at ~10¹⁸ basket-pairs — beyond any real corpus). The top-k ORDER BY
+    ranks on the exact INTEGER product n_ab·n (support), with
+    (antecedent, consequent) id tiebreaks — never on a float.
+
+    Plan: one orderkey-partitioned self-join (pair fan-out bounded by
+    basket size², same as part_cooccurrence), two broadcast item-count
+    joins, a 1-row total broadcast, and TakeOrderedAndProject for the
+    top-k — no global sort of the pair table."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = op.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(
+        F.col("p").alias("antecedent"), F.col("n_p").alias("n_a")
+    )
+    ic = item.select(
+        F.col("p").alias("consequent"), F.col("n_p").alias("n_c")
+    )
+    scored = (
+        pair.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    top = scored.orderBy(
+        (F.col("n_ab") * F.col("n")).desc(), "antecedent", "consequent"
+    ).limit(_RULE_TOPK)
+    return top.select(
+        "antecedent", "consequent", "n_ab", "n_a", "n_c",
+        (F.col("n_ab") * F.lit(1.0) / F.col("n_a")).alias("confidence"),
+        (
+            F.col("n_ab") * F.col("n") * F.lit(1.0)
+            / (F.col("n_a") * F.col("n_c"))
+        ).alias("lift"),
+    )

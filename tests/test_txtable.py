@@ -300,3 +300,26 @@ def test_read_band_on_date_column(spark, tmp_path):
     assert skipped, "date bands should skip files"
     got = sorted(r.d for r in t.read_band(spark, "d", lo, hi).collect())
     assert got[0] == lo and got[-1] == hi and len(got) == 10
+
+
+def test_prune_bands_multi_column_zorder(spark, tmp_path):
+    """2-D selection over a Z-ordered layout must skip on BOTH columns —
+    the kept set is the intersection, the skip counts multiply."""
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    t.append(df.repartition(1))
+    t.optimize(spark, n_files=16, zorder_by=["x", "y"])
+    kept_x, _ = t.prune_band("x", 0, 15)
+    kept_both, skipped = t.prune_bands({"x": (0, 15), "y": (0, 15)})
+    assert len(kept_both) <= len(kept_x)
+    assert len(kept_both) + len(skipped) == 16
+    assert len(kept_both) <= 4, f"z-order should isolate the quadrant: {len(kept_both)}"
+    got = (
+        t._read_files(spark, kept_both, t._manifest(t.latest_snapshot())["schema"])
+        .filter("x BETWEEN 0 AND 15 AND y BETWEEN 0 AND 15")
+        .count()
+    )
+    assert got == 16 * 16

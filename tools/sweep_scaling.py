@@ -194,6 +194,7 @@ DEFAULT_QUERIES = [
     "spearman_volume_move",
     "corpus_datacard",
     "bootstrap_order_value_ci",
+    "part_association_rules",
 ]
 
 
