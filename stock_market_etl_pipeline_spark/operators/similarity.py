@@ -872,3 +872,87 @@ def pq_topk(
     return rescored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    rerank: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ — the production ANN shape (FAISS's IVFPQ): the IVF coarse
+    quantizer restricts each query to its n_probe nearest clusters, and
+    WITHIN the probed slice the candidate sweep runs on 4-byte PQ codes
+    (ADC) instead of float vectors, with an exact-cosine rerank of the
+    survivors. Composes the two certified operators unchanged: search
+    cost ≈ (n_probe/n_clusters) · (PQ code scan) — both dials
+    independent, both failure modes separately certified (IVF recall
+    curve in NOTES; PQ planted-twin test)."""
+    import numpy as np
+
+    assigned, model = ivf_assignments(embeddings, n_clusters, seed=42)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    books = pq_codebooks(embeddings, m=m, k_codes=k_codes, seed=seed)
+    codes = pq_encode(embeddings, books).join(assigned, "vec_id")
+    spark = embeddings.sparkSession
+    emb = _spread(embeddings).select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    queries = {
+        r["vec_id"]: np.array(r["v"])
+        for r in emb.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    probe_rows = []
+    for qid, qv in queries.items():
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(qid), int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    sub = books.shape[2]
+    adc_rows = [
+        (int(qid), s, c,
+         float(np.dot(qv[s * sub:(s + 1) * sub], books[s, c])))
+        for qid, qv in queries.items()
+        for s in range(m)
+        for c in range(k_codes)
+    ]
+    adc = spark.createDataFrame(
+        adc_rows, "query_id long, sub int, code int, part double"
+    )
+    approx = (
+        codes.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(adc), ["query_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("approx_ip"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id")
+    )
+    cand = approx.withColumn("crank", F.row_number().over(wa)).filter(
+        F.col("crank") <= rerank * k
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries.items()],
+        "query_id long, qv array<double>",
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

@@ -2732,3 +2732,18 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, query_ids=list(range(5)), k=10).select(
         "query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank")
     )
+
+
+@register("ann_ivf_pq_topk")  # no SQL oracle: KMeans quantizers (rows-only)
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-10 (FAISS IVFPQ shape): coarse-quantizer probe
+    filter over 4-byte PQ codes, exact rerank. Rows-only (two iterative
+    trainers); exact twin ann_ivf_full_probe; planted-twin recall ≥0.9
+    asserted in tests/test_llm_ops3.py (two approximations stack, so the
+    bound is looser than either alone)."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, query_ids=list(range(5)), k=10).select(
+        "query_id", "neighbor_id", "score", F.col("rank").alias("nn_rank")
+    )

@@ -403,3 +403,27 @@ def test_pq_planted_twin_recall_and_adc_agreement(spark):
         for s in range(books.shape[0]):
             d2 = ((books[s] - v[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
             assert codes[(vid, s)] == int(d2.argmin())
+
+
+def test_ivf_pq_planted_twin_recall(spark):
+    """The composed IVF-PQ path: both approximations stack (probe filter
+    may drop the twin's cluster; ADC may misrank it), so the certified
+    bound is 0.90 — still far above chance, and a drop means one of the
+    two separately-certified components regressed."""
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        plant_near_duplicates,
+    )
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = plant_near_duplicates(emb, n=100, id_offset=1_000_000, dim=64)
+    qids = list(range(100))
+    out = ivf_pq_topk(corpus, query_ids=qids, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        1 for q in qids if q + 1_000_000 in got.get(q, set())
+    ) / len(qids)
+    assert recall >= 0.90, recall

@@ -52,6 +52,7 @@ ROWS_ONLY_TWINS = {
     "sketch_price_quantiles": "distinct_custkeys_by_priority",
     "theta_customer_set_algebra": "customer_priority_set_algebra",
     "ann_pq_topk": "ann_ivf_full_probe",
+    "ann_ivf_pq_topk": "ann_ivf_full_probe",
     "enriched_volume_approx_quartiles": "enriched_categories",
     "sketch_rolling_active_users": "rolling_active_users",
     "sketch_token_counts": "token_frequencies",

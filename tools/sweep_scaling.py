@@ -195,6 +195,7 @@ DEFAULT_QUERIES = [
     "corpus_datacard",
     "bootstrap_order_value_ci",
     "part_association_rules",
+    "ann_ivf_pq_topk",
 ]
 
 
