@@ -104,6 +104,12 @@ def q_part_triangle_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _TRI_SUPPORT)
         .select("pa", "pb")
+        # the edge table is referenced THREE times below; without a
+        # checkpoint each reference re-runs the distinct + self-join +
+        # groupBy lineage (plan audit showed 18 scans / 37 shuffles).
+        # Edges are support-filtered and tiny relative to the fact table
+        # — materialize once (same trade as corpus_prep's shingles).
+        .localCheckpoint()
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -119,6 +125,7 @@ def q_part_triangle_counts(spark, sf_dir):
             F.col("e1.pb").alias("b"),
             F.col("e2.pb").alias("c"),
         )
+        .localCheckpoint()  # consumed three times by the role union
     )
     roles = (
         tri.select(F.col("a").alias("part_key"))

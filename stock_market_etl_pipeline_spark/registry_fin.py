@@ -1083,8 +1083,9 @@ _BETA_N = 20
     SELECT symbol, date,
            CASE WHEN n = {_BETA_N}
                  AND n * sxx - CAST(sx AS HUGEINT) * sx != 0
-                THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                THEN CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000000
+                          // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                     / 1e9
            END AS beta_20
     FROM s
     """,
@@ -1100,9 +1101,12 @@ def q_rolling_beta(spark, sf_dir):
     date shuffle joined back), and the window accumulates Σx, Σy (int64)
     and Σxy, Σx² (DECIMAL(38)/HUGEINT — a cents×composite-cents product
     clears int64 at scale: 1e7·1e12·20·20 ≈ 4e21 needs ~72 bits, well
-    inside 38 digits). β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) closes with ONE
-    double division of identical exact integers — bit-exact, emitted
-    raw; NULL until the window holds {_BETA_N} rows or when the
+    inside 38 digits). β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) closes by exact
+    truncating integer division at 1e-9 (NOTES rule 13: the moments
+    exceed 2⁶⁴ where DuckDB's wide→double cast double-rounds — caught
+    r6 at sf1 in linear_trend_forecast; the quantized closure keeps
+    every double-crossing integer under 2⁵³), emitted as nanos/1e9;
+    NULL until the window holds {_BETA_N} rows or when the
     composite is constant (zero variance). Plan: one date aggregate
     (broadcast back) + the shared HashPartitioning(symbol) window — no
     self-join, linear at any scale.
@@ -1128,11 +1132,16 @@ def q_rolling_beta(spark, sf_dir):
     n_d = F.col("n").cast(dec)
     num = n_d * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
     den = n_d * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
-    return s.select(
+    q9 = F.lit(1000000000).cast(dec)
+    pre = s.select(
+        "symbol", "date", "n",
+        (num * q9).alias("num9"), den.alias("den"),
+    )
+    return pre.select(
         "symbol", "date",
         F.when(
-            (F.col("n") == _BETA_N) & (den != F.lit(0).cast(dec)),
-            num.cast("double") / den.cast("double"),
+            (F.col("n") == _BETA_N) & (F.col("den") != F.lit(0).cast(dec)),
+            F.expr("num9 div den").cast("double") / F.lit(1e9),
         ).alias("beta_20"),
     )
 
@@ -1161,16 +1170,22 @@ def q_rolling_beta(spark, sf_dir):
         FROM j
         WINDOW w AS (PARTITION BY symbol ORDER BY date
                      ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW)
+    ),
+    q AS (
+        SELECT symbol, date, n,
+               n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+               n * sxx - CAST(sx AS HUGEINT) * sx AS va,
+               n * syy - CAST(sy AS HUGEINT) * sy AS vb
+        FROM s
     )
     SELECT symbol, date,
-           CASE WHEN n = {_BETA_N}
-                 AND n * sxx - CAST(sx AS HUGEINT) * sx != 0
-                 AND n * syy - CAST(sy AS HUGEINT) * sy != 0
-                THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                   / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                      * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+           CASE WHEN n = {_BETA_N} AND va != 0 AND vb != 0
+                THEN (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
+                   * sqrt(CAST(num * 1000000000 // va AS BIGINT)
+                          * CAST(num * 1000000000 // vb AS BIGINT))
+                   / 1e9
            END AS corr_20
-    FROM s
+    FROM q
     """,
 )
 def q_rolling_corr(spark, sf_dir):
@@ -1179,12 +1194,15 @@ def q_rolling_corr(spark, sf_dir):
     sqrt.
 
     Same exact-moment accumulation (int64 cents, DECIMAL(38)/HUGEINT
-    cross-product window sums); the float boundary is three
-    CORRECTLY-ROUNDED IEEE ops on identical exact integers — two sqrt
-    (exact per IEEE-754, unlike exp/log) and one multiply — then one
-    division, so the output is bit-identical across engines and emitted
-    raw (the denominators can't be squared inside DECIMAL(38): (4e21)²
-    overflows, which is WHY the closure goes through per-factor sqrt).
+    cross-product window sums); the closure quantizes each factor
+    EXACTLY before any double exists (NOTES rule 13 — the raw moments
+    exceed 2⁶⁴, where DuckDB's wide→double cast double-rounds):
+    corr = sign(num) · sqrt((num·10⁹ div va) · (num·10⁹ div vb)) / 10⁹
+    — the two truncating divisions are exact integers < 2⁵³ on both
+    engines, and the remaining mul/sqrt/div are single correctly-
+    rounded IEEE ops on identical doubles. (The denominators can't be
+    squared inside DECIMAL(38): (4e21)² overflows — which is why the
+    closure multiplies the two quantized FACTORS instead.)
     NULL until the window fills or either variance is zero.
     """
     t = ticks(spark, sf_dir)
@@ -1214,14 +1232,25 @@ def q_rolling_corr(spark, sf_dir):
     den_x = n_d * F.col("sxx") - sx_d * sx_d
     den_y = n_d * F.col("syy") - sy_d * sy_d
     zero = F.lit(0).cast(dec)
-    return s.select(
+    q9 = F.lit(1000000000).cast(dec)
+    pre = s.select(
+        "symbol", "date", "n",
+        (num * q9).alias("num9"), num.alias("num"),
+        den_x.alias("va"), den_y.alias("vb"),
+    )
+    sign = F.when(F.col("num") < zero, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return pre.select(
         "symbol", "date",
         F.when(
-            (F.col("n") == _BETA_N) & (den_x != zero) & (den_y != zero),
-            num.cast("double")
-            / (
-                F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))
-            ),
+            (F.col("n") == _BETA_N)
+            & (F.col("va") != zero)
+            & (F.col("vb") != zero),
+            sign
+            * F.sqrt(
+                F.expr("num9 div va").cast("double")
+                * F.expr("num9 div vb").cast("double")
+            )
+            / F.lit(1e9),
         ).alias("corr_20"),
     )
 

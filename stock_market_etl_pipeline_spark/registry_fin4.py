@@ -563,12 +563,14 @@ def q_risk_adjusted_returns(spark, sf_dir):
     )
     SELECT symbol,
            CAST(n AS BIGINT) AS n_days,
-           CAST(s_num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS slope,
-           CAST(sy * den - s_num * sx + n * (n + 1) * s_num AS DOUBLE)
-               / CAST(n * den * 100 AS DOUBLE) AS forecast_next_close,
-           (CAST(s_num AS DOUBLE) * CAST(s_num AS DOUBLE))
-               / (CAST(den AS DOUBLE)
-                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+           CAST(s_num * 1000000000 // (den * 100) AS BIGINT) / 1e9
+               AS slope,
+           CAST((sy * den - s_num * sx + n * (n + 1) * s_num) * 1000000
+                // (n * den * 100) AS BIGINT) / 1e6
+               AS forecast_next_close,
+           CAST(s_num * 1000000000 // den AS BIGINT)
+             * CAST(s_num * 1000000000 // (n * syy - sy * sy) AS BIGINT)
+             / 1e18 AS r2
     FROM f
     WHERE den != 0 AND n * syy - sy * sy != 0
     """,
@@ -586,14 +588,18 @@ def q_linear_trend_forecast(spark, sf_dir):
     integer — DuckDB HUGEINT division by 2/6 is exact because the
     products are divisible); y is int64 cents; Σxy and Σy² accumulate in
     DECIMAL(38)/HUGEINT. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
-    forecast = (Σy·den − s_num·Σx + n(n+1)·s_num)/(n·den) — numerator
-    and denominator stay exact integers until ONE closing double
-    division each (÷100 folded into the denominator converts cents to
-    dollars). r² = s_num²/(den·syy_den) is mul/mul/div on identical
-    exact-int doubles — single correctly-rounded ops, no add, so no FMA
-    exposure. Overflow audit: n ≤ 2e5 days/symbol keeps the widest term
-    Σy·den ≈ (n·maxc)·(n⁴/12) under 10³⁸ (testdata n ≈ 600/symbol;
-    the axis that grows with sf is SYMBOLS, not days).
+    forecast = (Σy·den − s_num·Σx + n(n+1)·s_num)/(n·den). Outputs are
+    QUANTIZED by exact truncating integer division (slope at 1e-9,
+    forecast at 1e-6 dollars, r² as a product of two 1e-9-quantized
+    factors s_num/den · s_num/syy_den): r6 at sf1 measured that a
+    >2⁵³ numerator cast to double rounds DIFFERENTLY in DuckDB's
+    HUGEINT path than in Spark's BigDecimal path (1-ulp forecast
+    flips), so no wide integer may cross the double boundary — the
+    quantized integers are small (< 2⁵³), their casts exact, and both
+    engines' `div`/`//` truncate toward zero (probed). Overflow audit:
+    n ≤ 2e4 days/symbol keeps the widest term (Σy·den)·10⁶ under 10³⁸
+    (testdata n ≈ 600/symbol; the axis that grows with sf is SYMBOLS,
+    not days).
 
     Plan: ROW_NUMBER and the groupBy share ONE HashPartitioning(symbol)
     exchange; output is one row per symbol. Degenerate guards: den = 0
@@ -629,19 +635,29 @@ def q_linear_trend_forecast(spark, sf_dir):
     s_num, den = F.col("s_num"), F.col("den")
     syy_den = n * syy - sy * sy
     zero = F.lit(0).cast(dec)
-    return f.filter((den != zero) & (syy_den != zero)).select(
+    q9 = F.lit(1000000000).cast(dec)
+    q6 = F.lit(1000000).cast(dec)
+    base = f.filter((den != zero) & (syy_den != zero)).select(
+        "symbol", "n", "sx", "sy", "syy", "s_num", "den",
+        (s_num * q9).alias("s9"),
+        ((sy * den - s_num * F.col("sx") + n * (n + F.lit(1)) * s_num)
+         * q6).alias("f6"),
+        (n * den * F.lit(100)).alias("fden"),
+        syy_den.alias("syyd"),
+    )
+    div = lambda a, b: F.expr(f"{a} div {b}").cast("bigint")  # noqa: E731
+    return base.select(
         "symbol",
         n.cast("long").alias("n_days"),
-        (s_num.cast("double") / (den * F.lit(100)).cast("double")).alias(
+        (div("s9", "(den * 100)").cast("double") / F.lit(1e9)).alias(
             "slope"
         ),
+        (div("f6", "fden").cast("double") / F.lit(1e6)).alias(
+            "forecast_next_close"
+        ),
         (
-            (sy * den - s_num * F.col("sx") + n * (n + F.lit(1)) * s_num)
-            .cast("double")
-            / (n * den * F.lit(100)).cast("double")
-        ).alias("forecast_next_close"),
-        (
-            (s_num.cast("double") * s_num.cast("double"))
-            / (den.cast("double") * syy_den.cast("double"))
+            div("s9", "den").cast("double")
+            * div("s9", "syyd").cast("double")
+            / F.lit(1e18)
         ).alias("r2"),
     )
