@@ -1183,7 +1183,7 @@ def q_rolling_beta(spark, sf_dir):
                 THEN (CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END)
                    * sqrt(CAST(num * 1000000000 // va AS BIGINT)
                           * CAST(num * 1000000000 // vb AS BIGINT))
-                   / 1e9
+                   / 1e9 + 0.0
            END AS corr_20
     FROM q
     """,
@@ -1250,7 +1250,8 @@ def q_rolling_corr(spark, sf_dir):
                 F.expr("num9 div va").cast("double")
                 * F.expr("num9 div vb").cast("double")
             )
-            / F.lit(1e9),
+            / F.lit(1e9)
+            + F.lit(0.0),
         ).alias("corr_20"),
     )
 
@@ -1359,8 +1360,8 @@ _K3 = _triple_conv_weights(_WT)
     )
     SELECT symbol, date, close,
            CASE WHEN LAG(n3, 1) OVER w != 0 THEN
-               100.0 * CAST(n3 - LAG(n3, 1) OVER w AS DOUBLE)
-                     / CAST(LAG(n3, 1) OVER w AS DOUBLE)
+               CAST((n3 - LAG(n3, 1) OVER w) * 100000000000
+                    // LAG(n3, 1) OVER w AS BIGINT) / 1e9
            END AS trix
     FROM conv
     WINDOW w AS (PARTITION BY symbol ORDER BY date)
@@ -1375,8 +1376,12 @@ def q_trix(spark, sf_dir):
     Exactness: by LINEARITY the triple EMA is one convolution with the
     self-convolved kernel w∗w∗w (43 exact integer taps, computed in
     Python ints at import). The ÷D³ normalizations CANCEL in the
-    percent change — trix = 100·(N_t − N_{t−1})/N_{t−1} on the raw
-    integer convolutions, one double division. N needs ~78 bits
+    percent change — trix quantizes
+    100·(N_t − N_{t−1})/N_{t−1} at 1e-9 by exact truncating integer
+    division (NOTES rule 13: N sits at 2⁷⁸-2⁸⁰ where DuckDB's
+    wide→double cast 1-ulp-flips ~1/100k values — measured 50 flips in
+    4.9M casts at sf1; under the driver's round(·,9) canon each flip is
+    a small half-step-crossing risk, so none may survive). N needs ~78 bits
     (maxc·ΣK3 ≈ 1.05e7·1.4e16 ≈ 1.5e23), so the sum accumulates in
     DECIMAL(38,0)/HUGEINT — headroom to 10³⁸ ≈ close of $7·10²¹.
     NULL head: the first 43 rows (and the lagged first after them) are
@@ -1417,12 +1422,16 @@ def q_trix(spark, sf_dir):
         "symbol", "date", "close", conv15("n2", widen=True).alias("n3")
     )
     prev = F.lag("n3", 1).over(w)
-    return conv.select(
+    q11 = F.lit(100000000000).cast(dec)
+    pre = conv.select(
+        "symbol", "date", "close",
+        ((F.col("n3") - prev) * q11).alias("dq"),
+        prev.alias("prev"),
+    )
+    return pre.select(
         "symbol", "date", "close",
         F.when(
-            prev != F.lit(0).cast(dec),
-            F.lit(100.0)
-            * (F.col("n3") - prev).cast("double")
-            / prev.cast("double"),
+            F.col("prev") != F.lit(0).cast(dec),
+            F.expr("dq div prev").cast("double") / F.lit(1e9),
         ).alias("trix"),
     )

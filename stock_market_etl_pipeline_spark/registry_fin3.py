@@ -158,11 +158,12 @@ def q_cmf(spark, sf_dir):
     )
     SELECT symbol, date,
            CASE WHEN n28 = 28 AND t7 > 0 AND t14 > 0 AND t28 > 0
-                THEN CAST(4 * CAST(b7 AS HUGEINT) * t14 * t28
-                          + 2 * CAST(b14 AS HUGEINT) * t7 * t28
-                          + CAST(b28 AS HUGEINT) * t7 * t14 AS DOUBLE)
-                     * 100.0
-                     / CAST(7 * CAST(t7 AS HUGEINT) * t14 * t28 AS DOUBLE)
+                THEN CAST((4 * CAST(b7 AS HUGEINT) * t14 * t28
+                           + 2 * CAST(b14 AS HUGEINT) * t7 * t28
+                           + CAST(b28 AS HUGEINT) * t7 * t14)
+                          * 100000000000
+                          // (7 * CAST(t7 AS HUGEINT) * t14 * t28)
+                          AS BIGINT) / 1e9
            END AS uo
     FROM s
     """,
@@ -176,10 +177,11 @@ def q_ultimate_oscillator(spark, sf_dir):
     Exactness: BP/TR are int64 cents differences, window-summed
     exactly; the three ratios are cleared over the common denominator
     7·t7·t14·t28 in DECIMAL(38)/HUGEINT (≤ ~2·10²⁶ — overflows int64,
-    exact in both engines' wide type), and the result is ONE
-    multiply+divide of the correctly-rounded wide→double casts —
-    identical inputs, identical output, emitted raw (no FMA-contractable
-    a·b+c chain survives to the float stage, NOTES rule 11). First-bar
+    exact in both engines' wide type), and the closure QUANTIZES at
+    1e-9 via exact truncating integer division (num·10¹¹ div den, then
+    /1e9 — NOTES rule 13: mid-range TR products land in the
+    [2⁶⁴, 2⁷⁶] window where DuckDB's wide→double cast double-rounds, so
+    no wide integer may cross the double boundary). First-bar
     convention: GREATEST/LEAST skip the NULL previous close, giving
     TR₁ = H₁ − L₁ and BP₁ = C₁ − L₁ (the classic seed), so the warm-up
     is simply the first 27 bars per symbol (NULL), plus a NULL guard on
@@ -217,12 +219,17 @@ def q_ultimate_oscillator(spark, sf_dir):
         + d38("b28") * d38("t7") * d38("t14")
     )
     den = 7 * d38("t7") * d38("t14") * d38("t28")
+    pre = s.select(
+        "symbol", "date", "n28", "t7", "t14", "t28",
+        (num * F.lit(100000000000).cast("decimal(38,0)")).alias("numq"),
+        den.alias("den"),
+    )
     uo = F.when(
         (F.col("n28") == 28)
         & (F.col("t7") > 0) & (F.col("t14") > 0) & (F.col("t28") > 0),
-        num.cast("double") * F.lit(100.0) / den.cast("double"),
+        F.expr("numq div den").cast("double") / F.lit(1e9),
     )
-    return s.select("symbol", "date", uo.alias("uo"))
+    return pre.select("symbol", "date", uo.alias("uo"))
 
 
 # ---------------------------------------------------------------------------

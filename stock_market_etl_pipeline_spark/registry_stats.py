@@ -249,12 +249,18 @@ _ACF_MAX_LAG = 5
     SELECT symbol, lag, n AS n_pairs,
            CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
                  AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
-                THEN CAST(CAST(n AS HUGEINT) * sxy
-                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                     / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
-                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                        * sqrt(CAST(CAST(n AS HUGEINT) * syy
-                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                THEN (CASE WHEN CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy < 0
+                           THEN -1.0 ELSE 1.0 END)
+                   * sqrt(CAST((CAST(n AS HUGEINT) * sxy
+                                - CAST(sx AS HUGEINT) * sy) * 1000000000
+                               // (CAST(n AS HUGEINT) * sxx
+                                   - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                          * CAST((CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy) * 1000000000
+                                 // (CAST(n AS HUGEINT) * syy
+                                     - CAST(sy AS HUGEINT) * sy) AS BIGINT))
+                   / 1e9 + 0.0
                 ELSE NULL END AS acf
     FROM m
     """,
@@ -322,14 +328,29 @@ def q_price_change_acf(spark, sf_dir):
     deny = _dec(F.col("n")) * _dec(F.col("syy")) - _dec(F.col("sy")) * _dec(
         F.col("sy")
     )
-    return m.select(
+    q9 = F.lit(1000000000).cast("decimal(38,0)")
+    pre = m.select(
         "symbol",
         "lag",
         F.col("n").alias("n_pairs"),
+        num.alias("num"), (num * q9).alias("num9"),
+        denx.alias("denx"), deny.alias("deny"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    sign = F.when(F.col("num") < zero, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return pre.select(
+        "symbol",
+        "lag",
+        F.col("n_pairs"),
         F.when(
-            (denx > 0) & (deny > 0),
-            num.cast("double")
-            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            (F.col("denx") > zero) & (F.col("deny") > zero),
+            sign
+            * F.sqrt(
+                F.expr("num9 div denx").cast("double")
+                * F.expr("num9 div deny").cast("double")
+            )
+            / F.lit(1e9)
+            + F.lit(0.0),
         ).alias("acf"),
     )
 
@@ -731,12 +752,18 @@ _CORR_TOP_K = 10
     SELECT symbol_a, symbol_b, n AS n_days,
            CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
                  AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
-                THEN CAST(CAST(n AS HUGEINT) * sxy
-                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                     / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
-                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                        * sqrt(CAST(CAST(n AS HUGEINT) * syy
-                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                THEN (CASE WHEN CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy < 0
+                           THEN -1.0 ELSE 1.0 END)
+                   * sqrt(CAST((CAST(n AS HUGEINT) * sxy
+                                - CAST(sx AS HUGEINT) * sy) * 1000000000
+                               // (CAST(n AS HUGEINT) * sxx
+                                   - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                          * CAST((CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy) * 1000000000
+                                 // (CAST(n AS HUGEINT) * syy
+                                     - CAST(sy AS HUGEINT) * sy) AS BIGINT))
+                   / 1e9 + 0.0
                 ELSE NULL END AS corr
     FROM p
     """,
@@ -799,12 +826,25 @@ def q_symbol_correlation_matrix(spark, sf_dir):
     deny = _dec(F.col("n")) * _dec(F.col("syy")) - _dec(F.col("sy")) * _dec(
         F.col("sy")
     )
-    return p.select(
+    q9 = F.lit(1000000000).cast("decimal(38,0)")
+    pre = p.select(
         "symbol_a", "symbol_b", F.col("n").alias("n_days"),
+        num.alias("num"), (num * q9).alias("num9"),
+        denx.alias("denx"), deny.alias("deny"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    sign = F.when(F.col("num") < zero, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return pre.select(
+        "symbol_a", "symbol_b", "n_days",
         F.when(
-            (denx > 0) & (deny > 0),
-            num.cast("double")
-            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            (F.col("denx") > zero) & (F.col("deny") > zero),
+            sign
+            * F.sqrt(
+                F.expr("num9 div denx").cast("double")
+                * F.expr("num9 div deny").cast("double")
+            )
+            / F.lit(1e9)
+            + F.lit(0.0),
         ).alias("corr"),
     )
 
@@ -900,12 +940,18 @@ def q_monthly_seasonality_index(spark, sf_dir):
     SELECT symbol, n AS n_days,
            CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
                  AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
-                THEN CAST(CAST(n AS HUGEINT) * sxy
-                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                     / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
-                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
-                        * sqrt(CAST(CAST(n AS HUGEINT) * syy
-                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                THEN (CASE WHEN CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy < 0
+                           THEN -1.0 ELSE 1.0 END)
+                   * sqrt(CAST((CAST(n AS HUGEINT) * sxy
+                                - CAST(sx AS HUGEINT) * sy) * 1000000000
+                               // (CAST(n AS HUGEINT) * sxx
+                                   - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                          * CAST((CAST(n AS HUGEINT) * sxy
+                                  - CAST(sx AS HUGEINT) * sy) * 1000000000
+                                 // (CAST(n AS HUGEINT) * syy
+                                     - CAST(sy AS HUGEINT) * sy) AS BIGINT))
+                   / 1e9 + 0.0
                 ELSE NULL END AS vol_move_corr
     FROM m
     """,
@@ -944,12 +990,25 @@ def q_volume_move_correlation(spark, sf_dir):
     deny = _dec(F.col("n")) * _dec(F.col("syy")) - _dec(F.col("sy")) * _dec(
         F.col("sy")
     )
-    return m.select(
+    q9 = F.lit(1000000000).cast("decimal(38,0)")
+    pre = m.select(
         "symbol", F.col("n").alias("n_days"),
+        num.alias("num"), (num * q9).alias("num9"),
+        denx.alias("denx"), deny.alias("deny"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    sign = F.when(F.col("num") < zero, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return pre.select(
+        "symbol", F.col("n_days"),
         F.when(
-            (denx > 0) & (deny > 0),
-            num.cast("double")
-            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            (F.col("denx") > zero) & (F.col("deny") > zero),
+            sign
+            * F.sqrt(
+                F.expr("num9 div denx").cast("double")
+                * F.expr("num9 div deny").cast("double")
+            )
+            / F.lit(1e9)
+            + F.lit(0.0),
         ).alias("vol_move_corr"),
     )
 
@@ -1050,9 +1109,13 @@ def q_gap_fill_interpolated(spark, sf_dir):
     )
     SELECT symbol, CAST(n AS BIGINT) AS n_days,
            CASE WHEN n * saa - sa * sa != 0 AND n * sbb - sb * sb != 0
-                THEN CAST(n * sab - sa * sb AS DOUBLE)
-                   / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
-                      * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                THEN (CASE WHEN n * sab - sa * sb < 0
+                           THEN -1.0 ELSE 1.0 END)
+                   * sqrt(CAST((n * sab - sa * sb) * 1000000000
+                               // (n * saa - sa * sa) AS BIGINT)
+                          * CAST((n * sab - sa * sb) * 1000000000
+                                 // (n * sbb - sb * sb) AS BIGINT))
+                   / 1e9 + 0.0
            END AS spearman
     FROM m
     """,
@@ -1115,13 +1178,24 @@ def q_spearman_volume_move(spark, sf_dir):
     va = n * F.col("saa") - sa * sa
     vb = n * F.col("sbb") - sb * sb
     zero = F.lit(0).cast(dec)
-    return m.select(
-        "symbol",
-        n.cast("long").alias("n_days"),
+    q9 = F.lit(1000000000).cast(dec)
+    pre = m.select(
+        "symbol", n.cast("long").alias("n_days"),
+        cov.alias("num"), (cov * q9).alias("num9"),
+        va.alias("va"), vb.alias("vb"),
+    )
+    sign = F.when(F.col("num") < zero, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return pre.select(
+        "symbol", "n_days",
         F.when(
-            (va != zero) & (vb != zero),
-            cov.cast("double")
-            / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+            (F.col("va") != zero) & (F.col("vb") != zero),
+            sign
+            * F.sqrt(
+                F.expr("num9 div va").cast("double")
+                * F.expr("num9 div vb").cast("double")
+            )
+            / F.lit(1e9)
+            + F.lit(0.0),
         ).alias("spearman"),
     )
 

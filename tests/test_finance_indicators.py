@@ -561,8 +561,12 @@ def test_trix_matches_sequential_triple_ema(spark, monkeypatch):
         if i < head:
             assert r["trix"] is None
         else:
+            # exact 1e-9-quantized spec: trunc((d*1e11) // prev) / 1e9
+            want_q = ((n3[i] - n3[i - 1]) * 10**11) // n3[i - 1] \
+                if n3[i] >= n3[i - 1] else -((-(n3[i] - n3[i - 1]) * 10**11) // n3[i - 1])
+            assert r["trix"] == want_q / 1e9
             want = 100.0 * float(n3[i] - n3[i - 1]) / float(n3[i - 1])
-            assert r["trix"] == want
+            assert r["trix"] == pytest.approx(want, abs=2e-9)
     # triple EMA via three sequential truncated-kernel passes must agree
     # (same kernel by associativity of convolution) to float tolerance
     w1 = fin._WT

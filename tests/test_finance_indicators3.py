@@ -125,7 +125,7 @@ def test_ultimate_oscillator_matches_sequential_reference(spark, monkeypatch):
             * (4 * b7 * t14 * t28 + 2 * b14 * t7 * t28 + b28 * t7 * t14)
             / (7 * t7 * t14 * t28)
         )
-        assert row.uo == pytest.approx(want, rel=1e-12)
+        assert row.uo == pytest.approx(want, abs=2e-9)  # 1e-9-quantized
         assert 0.0 <= row.uo <= 100.0
 
 

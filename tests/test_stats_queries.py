@@ -121,7 +121,8 @@ def test_acf_matches_python_reference(spark):
             ref = (n * sxy - sx * sy) / (
                 math.sqrt(denx) * math.sqrt(deny)
             )
-            assert math.isclose(r.acf, ref, rel_tol=1e-9, abs_tol=1e-12)
+            # acf is 1e-9-quantized (two-factor exact-div closure)
+            assert math.isclose(r.acf, ref, rel_tol=0, abs_tol=5e-9)
             assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
             checked += 1
     assert checked >= 5
