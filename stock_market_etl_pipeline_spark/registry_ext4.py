@@ -1,6 +1,6 @@
 """Round-6 analytics extensions: basket-graph triangle counting,
-weight-proportional systematic sampling, the UNPIVOT/melt reshape, and
-the language-by-source chi-square independence audit.
+weight-proportional systematic sampling, the language-by-source
+chi-square independence audit, association rules, and the bootstrap CI.
 
 The first two are LLM-curation / market-basket staples the registry lacked:
 triangle participation is the clustering-coefficient precursor ("how
@@ -193,43 +193,6 @@ def q_systematic_weighted_sample(spark, sf_dir):
             )
         )
         .select("doc_id", "source", "n_chars", "cum")
-    )
-
-
-# ---------------------------------------------------------------------------
-# UNPIVOT / melt: wide OHLC to long (field, price) rows
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "ohlc_unpivot",
-    WITH_TICKS
-    + """
-    SELECT symbol, date, 'open' AS field, open AS price FROM ticks
-    UNION ALL
-    SELECT symbol, date, 'high', high FROM ticks
-    UNION ALL
-    SELECT symbol, date, 'low', low FROM ticks
-    UNION ALL
-    SELECT symbol, date, 'close', close FROM ticks
-    """,
-)
-def q_ohlc_unpivot(spark, sf_dir):
-    """Wide→long reshape of the OHLC columns — the UNPIVOT/melt half of
-    the reshape pair (``event_type_pivot`` is the other direction), the
-    shape every per-field charting/QA layer consumes (reference
-    ``dashboard/app.py`` melts frames for its per-field plots).
-
-    Plan: Spark's native ``unpivot`` (SQL UNPIVOT) compiles to ONE scan
-    feeding an Expand node that emits 4 rows per input — the oracle
-    states the same semantics as 4 UNION ALL scans, which is exactly the
-    plan unpivot exists to avoid (at 100 TB: one pass, not four).
-    Values pass through untouched — no float policy needed."""
-    return ticks(spark, sf_dir).unpivot(
-        ["symbol", "date"],
-        ["open", "high", "low", "close"],
-        "field",
-        "price",
     )
 
 

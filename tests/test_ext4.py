@@ -159,17 +159,6 @@ def test_global_prefix_sums_matches_naive_window(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_ohlc_unpivot_plans_one_scan_expand(spark, qs):
-    """The point of native UNPIVOT vs 4 UNION ALL branches is ONE scan
-    feeding an Expand — freeze that shape."""
-    from test_plan_shapes import count_nodes, plan_of
-
-    plan = plan_of(qs["ohlc_unpivot"](spark, SF_DIR))
-    assert count_nodes(plan, "Scan parquet") == 1
-    assert count_nodes(plan, "Expand") == 1
-    assert count_nodes(plan, "Union") == 0
-
-
 def test_lang_source_chisq_matches_scipy_free_reference(spark, qs):
     """Recompute the statistic in pure Python from the same contingency
     table; dof must be (|langs|-1)(|sources|-1)."""

@@ -566,3 +566,38 @@ def test_clv_cohort_one_custkey_shuffle(spark, qs):
     assert count_nodes(plan, "Scan parquet") <= 2  # orders twice max (agg + probe)
     assert "CartesianProduct" not in plan
     assert count_nodes(plan, "Window") == 0
+
+
+def test_linear_trend_single_scan_single_exchange(spark, qs):
+    """row_number and the moment groupBy must share ONE
+    HashPartitioning(symbol) over one scan; outputs close via exact
+    integer div, so no wide decimal may cast to double (rule 13)."""
+    plan = plan_of(qs["linear_trend_forecast"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_ppo_single_scan_single_exchange(spark, qs):
+    plan = plan_of(qs["ppo_12_26"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_spearman_single_exchange_window_stack(spark, qs):
+    """The lag window, both rank windows, both tie-count windows, and
+    the moment aggregate all hash on symbol — one data-sized exchange."""
+    plan = plan_of(qs["spearman_volume_move"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_bootstrap_ci_no_replicate_shuffle_blowup(spark, qs):
+    """The B-fold fan-out must collapse map-side: the replicate range is
+    broadcast (never shuffled against orders) and the only data-sized
+    exchange carries the <= B partial-aggregate groups."""
+    plan = plan_of(qs["bootstrap_order_value_ci"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") <= 3
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no sort-merge join anywhere: replicates broadcast, never co-shuffled
+    assert count_nodes(plan, "SortMergeJoin") == 0

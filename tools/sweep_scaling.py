@@ -188,7 +188,6 @@ DEFAULT_QUERIES = [
     "systematic_weighted_sample",
     "ppo_12_26",
     "trix_15",
-    "ohlc_unpivot",
     "lang_source_chisq",
     "ann_pq_topk",
     "spearman_volume_move",
