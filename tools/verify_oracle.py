@@ -11,6 +11,7 @@ cells). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -23,6 +24,15 @@ from stock_market_etl_pipeline_spark.session import get_spark  # noqa: E402
 from stock_market_etl_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
+# The driver canonicalizes floats as repr(round(v, 9)). A 1-ulp
+# cross-engine divergence is invisible at 9dp unless it crosses a
+# half-step (probability ~ ulp(v)/1e-9 — see NOTES rule 13), so
+# SPARK_GRAFT_CANON_DP=12 runs the same compare as a STRESS canon that
+# surfaces latent divergences before they ever cross the driver's
+# boundary. 9 stays the default = the driver's actual gate.
+CANON_DP = int(os.environ.get("SPARK_GRAFT_CANON_DP", "9"))
+
+
 def canon_cell(v):
     if v is None:
         return "∅"
@@ -30,7 +40,7 @@ def canon_cell(v):
         if math.isnan(v):
             return "NaN"
         # driver-style canonicalization: round-trip repr of the double
-        return repr(round(v, 9))
+        return repr(round(v, CANON_DP))
     return repr(v)
 
 
