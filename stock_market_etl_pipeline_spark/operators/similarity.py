@@ -740,6 +740,13 @@ def pq_codebooks(
         .collect()
     )
     x = np.array([r["v"] for r in rows])
+    if x.ndim != 2 or x.shape[0] < k_codes:
+        # rng.choice(n, k_codes, replace=False) would raise an opaque
+        # numpy error; name the actual contract violation (ADVICE r6)
+        raise ValueError(
+            f"PQ codebook training needs >= k_codes={k_codes} sample "
+            f"vectors, got {0 if x.ndim != 2 else x.shape[0]}"
+        )
     n, d = x.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -800,6 +807,22 @@ def pq_encode(embeddings: DataFrame, books) -> DataFrame:
     )
 
 
+def _collect_query_vectors(emb: DataFrame, query_ids: list[int]) -> dict:
+    """Driver-side collect of the REQUESTED vectors only (KB-scale), with
+    loud failure on ids absent from the corpus — silently dropping them
+    would return fewer result groups with no signal (ADVICE r6)."""
+    import numpy as np
+
+    queries = {
+        r["vec_id"]: np.array(r["v"])
+        for r in emb.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    missing = sorted(set(int(q) for q in query_ids) - set(queries))
+    if missing:
+        raise ValueError(f"query_ids not found in corpus: {missing}")
+    return queries
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -827,10 +850,7 @@ def pq_topk(
     emb = _spread(embeddings).select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
-    queries = {
-        r["vec_id"]: np.array(r["v"])
-        for r in emb.filter(F.col("vec_id").isin(query_ids)).collect()
-    }
+    queries = _collect_query_vectors(emb, query_ids)
     sub = books.shape[2]
     adc_rows = [
         (int(qid), s, c, float(np.dot(qv[s * sub : (s + 1) * sub], books[s, c])))
@@ -903,10 +923,7 @@ def ivf_pq_topk(
     emb = _spread(embeddings).select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
-    queries = {
-        r["vec_id"]: np.array(r["v"])
-        for r in emb.filter(F.col("vec_id").isin(query_ids)).collect()
-    }
+    queries = _collect_query_vectors(emb, query_ids)
     probe_rows = []
     for qid, qv in queries.items():
         d = ((centers - qv) ** 2).sum(axis=1)

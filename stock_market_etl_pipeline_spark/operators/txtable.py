@@ -327,11 +327,23 @@ class TxTable:
           rebased commit is serializable, not merely conflict-free at
           the file level. Appends pass no probe — they depend on no
           existing content and always rebase.
-        A schema change by a racer always raises (staged files were
-        written under the old schema). Retries are bounded by
+        A schema change by a racer always raises — EVEN when this
+        commit itself evolves the schema (allow_schema_change): our
+        schema/schema_json were derived as union(base schema, batch),
+        so rebasing past a racer's own evolution would silently drop
+        the racer's new columns from the logical schema (their data
+        becomes unreadable — ADVICE r6). The comparison is therefore
+        against the BASE schema the staged files were computed from,
+        not the schema being committed. Retries are bounded by
         MAX_COMMIT_RETRIES; pathological contention surfaces as the
         original CommitConflict.
         """
+        # the schema of the snapshot our staged files/union-schema were
+        # derived from; first-commit racers (base None) have nothing to
+        # rebase onto safely unless their schema matches ours exactly
+        base_schema = (
+            self._manifest(base)["schema"] if base is not None else schema
+        )
         for _ in range(self.MAX_COMMIT_RETRIES + 1):
             try:
                 return self._commit(
@@ -345,8 +357,8 @@ class TxTable:
                 new_base = self.latest_snapshot()
                 if new_base is None or new_base <= (base if base is not None else -1):
                     raise  # conflict without a newer snapshot: give up
-                if self._manifest(new_base)["schema"] != schema and not allow_schema_change:
-                    raise
+                if self._manifest(new_base)["schema"] != base_schema:
+                    raise  # racer evolved the schema: never rebase over it
                 theirs_removed: set[str] = set()
                 theirs_added: list[str] = []
                 start = 0 if base is None else base + 1

@@ -48,54 +48,72 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Names the driver's 50-entry CORRECTNESS gate has already sampled
-# (union of CORRECTNESS_r01..r05 keys). The gate reads the FIRST 50 of
-# ``queries()``, so we lead with oracled queries it has never seen —
-# each round the gate certifies a fresh slice of the registry instead
-# of re-running the same prefix. Extend this set from CORRECTNESS_r{N}
-# at the start of each round.
-DRIVER_SAMPLED = frozenset({
-    "ann_ivf_full_probe", "ann_ivf_topk", "ann_lsh_topk", "approx_stats",
-    "asof_last_order_value", "category_value_counts", "clean_filters",
-    "clean_raw_quotes", "corpus_prep", "customer_segment_stats",
-    "date_parts", "days_ago_global_max", "db_summary", "dedup_clusters",
-    "dedup_exact_groups", "dedup_incremental_near",
-    "dedup_jaccard_lsh_verified", "dedup_keep_last", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_prefix_containment",
-    "dedup_shared_spans", "dedup_simhash", "describe_stats",
-    "distinct_symbols", "doc_chunking", "doc_fingerprints",
-    "doc_keywords", "doc_length_histogram", "embedding_cosine_topk",
-    "embedding_near_pairs", "embedding_near_pairs_lsh",
-    "embedding_near_pairs_lsh_hi", "enriched_categories",
-    "enriched_features", "enriched_features_skew_safe",
-    "enriched_volume_approx_quartiles", "first_last_return",
-    "group_summary_counts", "json_extract_events", "lang_id",
-    "latest_per_symbol", "part_type_revenue", "performance_summary",
-    "pii_redaction", "predictions", "pricing_summary",
-    "priority_revenue", "rank_functions", "revenue_by_nation",
-    "revenue_rollup", "sample_k_per_group", "sequence_packing",
-    "sessionize_events", "set_ops_symbols", "span_duplication_rate",
-    "stratified_sample", "stride_sample", "supplier_latest_left",
-    "symbol_filter_range", "synthetic_quotes", "text_stats",
-    "ticks_ohlcv", "token_frequencies", "top_gainers", "top_losers",
-    "top_revenue_orders", "topk_recent_per_symbol", "trading_signals",
-    "train_val_split", "union_sources", "validation_aggregates",
-})
+# Driver-gate sampling history, derived MECHANICALLY from the committed
+# CORRECTNESS_r*.json files (the driver's own per-round records) rather
+# than a hand-maintained list a typo could silently corrupt (ADVICE r6).
+# Maps query name -> latest round number in which the driver's 50-entry
+# gate certified it. Names that appear in a CORRECTNESS file but not in
+# the registry fail LOUDLY at queries() time unless explicitly retired.
+_RETIRED: frozenset[str] = frozenset()  # queries removed after being sampled
+
+
+def _driver_sample_history() -> dict[str, int]:
+    import json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    hist: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            hist[name] = max(hist.get(name, 0), rnd)
+    return hist
+
+
+_SAMPLE_HISTORY = _driver_sample_history()
+DRIVER_SAMPLED = frozenset(_SAMPLE_HISTORY)
 
 # How many entries the driver's correctness gate samples off the front.
 DRIVER_SAMPLE_WINDOW = 50
 
 
 def queries() -> dict[str, QueryFn]:
-    """Registry in driver-gate order: 50 oracled never-driver-sampled
-    queries first (registration order within each tier), then the
-    remaining oracled queries, then rows-only entries last so the
-    driver's 50-row sample is always 50 hash-comparable rows."""
+    """Registry in driver-gate order: the gate reads the FIRST 50 of
+    this dict, so we lead with oracled queries the driver has NEVER
+    certified (registration order), so each round the gate covers a
+    fresh slice of the registry instead of re-running the same prefix.
+    Once the never-sampled debt runs out, the remainder of the window
+    backfills with the LEAST-RECENTLY-certified oracled queries
+    (oldest round first, name tiebreak) so previously-green queries
+    rotate back under the gate and a regression in them stays
+    driver-visible. Then the remaining oracled queries, then rows-only
+    entries last so the driver's 50-row sample is always 50
+    hash-comparable rows."""
+    unknown = (set(_SAMPLE_HISTORY) - set(_QUERIES)) - _RETIRED
+    if unknown:
+        raise ValueError(
+            "CORRECTNESS history names missing from registry "
+            f"(rename/removal without retiring them): {sorted(unknown)}"
+        )
     fresh = [
         n for n in _QUERIES
         if n in _ORACLES and n not in DRIVER_SAMPLED
     ]
     lead = fresh[:DRIVER_SAMPLE_WINDOW]
+    if len(lead) < DRIVER_SAMPLE_WINDOW:
+        resample = sorted(
+            (n for n in _QUERIES if n in _ORACLES and n in DRIVER_SAMPLED),
+            key=lambda n: (_SAMPLE_HISTORY[n], n),
+        )
+        lead += resample[: DRIVER_SAMPLE_WINDOW - len(lead)]
     lead_set = set(lead)
     oracled_rest = [
         n for n in _QUERIES if n in _ORACLES and n not in lead_set

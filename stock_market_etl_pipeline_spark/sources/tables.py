@@ -77,13 +77,22 @@ def tune_shuffle_width(spark: SparkSession, input_bytes: int) -> int:
     driver's own plain SparkSession where session.py configs are absent.
     ``SPARK_GRAFT_INITIAL_PARTITIONS`` remains an explicit floor/override
     for cluster operators (session.py)."""
-    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # some platforms set the conf to "auto"; fall back to Spark's
+        # documented default rather than crashing the read (ADVICE r6)
+        floor = 200
     target = shuffle_width_for(input_bytes, floor)
     current = spark.conf.get(_AQE_INITIAL, None)
-    if current is None or target > int(current):
+    try:
+        current_n = int(current) if current is not None else None
+    except (TypeError, ValueError):
+        current_n = None
+    if current_n is None or target > current_n:
         spark.conf.set(_AQE_INITIAL, str(target))
         return target
-    return int(current)
+    return current_n
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

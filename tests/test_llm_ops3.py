@@ -427,3 +427,24 @@ def test_ivf_pq_planted_twin_recall(spark):
         1 for q in qids if q + 1_000_000 in got.get(q, set())
     ) / len(qids)
     assert recall >= 0.90, recall
+
+
+def test_pq_guards_fail_loudly(spark):
+    """ADVICE r6: codebook training on a corpus smaller than k_codes must
+    raise a clear contract error (not an opaque numpy ValueError), and a
+    query_id absent from the corpus must raise instead of silently
+    returning fewer result groups."""
+    import pytest as _pytest
+
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+    from conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tiny = emb.filter("vec_id < 5")
+    with _pytest.raises(ValueError, match="k_codes"):
+        pq_codebooks(tiny, m=8, k_codes=16)
+    with _pytest.raises(ValueError, match="999999999"):
+        pq_topk(emb, query_ids=[0, 999_999_999], k=3)

@@ -144,7 +144,13 @@ def test_driver_gate_window_is_oracled_and_fresh():
     window = qs[: registry.DRIVER_SAMPLE_WINDOW]
     assert all(n in osql for n in window)
     fresh = [n for n in window if n not in registry.DRIVER_SAMPLED]
-    assert len(fresh) >= 20
+    # while never-sampled oracled debt remains, the WHOLE window is fresh;
+    # once it runs out the backfill tier takes over (tested below)
+    n_fresh_available = sum(
+        1 for n in registry._QUERIES
+        if n in osql and n not in registry.DRIVER_SAMPLED
+    )
+    assert len(fresh) == min(registry.DRIVER_SAMPLE_WINDOW, n_fresh_available)
     # rows-only entries must sit past every oracled entry
     first_rows_only = min(
         (i for i, n in enumerate(qs) if n not in osql), default=len(qs)
@@ -152,6 +158,53 @@ def test_driver_gate_window_is_oracled_and_fresh():
     assert all(n in osql for n in qs[:first_rows_only])
     # reordering must never drop or duplicate a query
     assert sorted(qs) == sorted(registry._QUERIES)
+
+
+def test_driver_sampled_is_derived_from_correctness_files():
+    """DRIVER_SAMPLED must be the mechanical union of the committed
+    CORRECTNESS_r*.json keys — a hand-maintained list could typo a name
+    and silently shift which queries get certified (ADVICE r6)."""
+    import json
+    from pathlib import Path
+
+    root = Path(registry.__file__).resolve().parent.parent
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert files, "no committed CORRECTNESS files found next to the package"
+    expected = set()
+    for f in files:
+        expected |= set(json.loads(f.read_text()))
+    assert registry.DRIVER_SAMPLED == frozenset(expected)
+    # every historical name still resolves (or is explicitly retired)
+    assert (expected - set(registry._QUERIES)) <= registry._RETIRED
+
+
+def test_driver_gate_backfills_least_recently_certified(monkeypatch):
+    """When never-sampled debt is smaller than the window, the remainder
+    must backfill with the least-recently-certified oracled queries so
+    old certifications rotate back under the gate."""
+    oracled = [n for n in registry._QUERIES if n in registry._ORACLES]
+    # pretend everything but 3 queries was sampled; stagger the rounds
+    fresh3 = oracled[:3]
+    hist = {n: (1 if i % 2 == 0 else 6) for i, n in enumerate(oracled[3:])}
+    monkeypatch.setattr(registry, "_SAMPLE_HISTORY", hist)
+    monkeypatch.setattr(registry, "DRIVER_SAMPLED", frozenset(hist))
+    window = list(registry.queries())[: registry.DRIVER_SAMPLE_WINDOW]
+    assert window[:3] == fresh3
+    backfill = window[3:]
+    expected = sorted(
+        (n for n in hist), key=lambda n: (hist[n], n)
+    )[: len(backfill)]
+    assert backfill == expected
+    # oldest-round names come first
+    assert all(hist[n] == 1 for n in backfill)
+
+
+def test_unknown_correctness_name_fails_loudly(monkeypatch):
+    monkeypatch.setattr(
+        registry, "_SAMPLE_HISTORY", {"no_such_query_xyz": 3}
+    )
+    with pytest.raises(ValueError, match="no_such_query_xyz"):
+        registry.queries()
 
 
 def test_customer_order_distribution_zero_bucket_nonvacuous(spark):

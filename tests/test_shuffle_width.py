@@ -60,3 +60,36 @@ def test_session_width_is_monotonic_and_small_sf_neutral(spark):
             spark.conf.unset(_AQE_INITIAL)
         else:
             spark.conf.set(_AQE_INITIAL, prior)
+
+
+def test_non_numeric_confs_do_not_crash():
+    """Some platforms run shuffle.partitions = 'auto' (ADVICE r6; OSS
+    Spark rejects setting it, so this uses a conf stub): the width tuner
+    must fall back to the 200 default instead of raising, and a
+    non-numeric pre-existing initialPartitionNum is overwritten."""
+
+    class _Conf:
+        def __init__(self):
+            self.d = {
+                "spark.sql.shuffle.partitions": "auto",
+                _AQE_INITIAL: "auto",
+            }
+
+        def get(self, k, default=None):
+            return self.d.get(k, default)
+
+        def set(self, k, v):
+            self.d[k] = v
+
+    class _Spark:
+        conf = _Conf()
+
+    s = _Spark()
+    got = tune_shuffle_width(s, 10_800_000_000)
+    assert got == 512
+    assert int(s.conf.get(_AQE_INITIAL)) == 512
+    # small input with 'auto' floor -> documented 200 default
+    s2 = _Spark()
+    s2.conf = _Conf()
+    del s2.conf.d[_AQE_INITIAL]
+    assert tune_shuffle_width(s2, 0) == 200

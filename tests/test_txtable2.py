@@ -358,3 +358,40 @@ def test_merge_schema_evolution_rejects_retype_and_fills_missing(
     assert got[0] == (1000, 1) and got[1] == (1001, 1)
     assert got[2] == (2002, None) and got[3] == (2003, None)
     assert got[5] == (10, None)
+
+
+def test_rebase_never_crosses_a_racer_schema_change(spark, tmp_path):
+    """ADVICE r7: a racer that EVOLVED the schema must always fail the
+    loser's rebase — even when the loser itself passes merge_schema=True.
+    The loser's union schema was derived from the stale base, so a
+    silent rebase would drop the racer's new column from the logical
+    schema (its data becomes unreadable)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10, n_files=1))
+    t.append(mk(spark, 1000, 1010, n_files=1))
+    # loser's batch brings its OWN new column -> merge_schema=True path
+    ups = spark.createDataFrame(
+        [(0, 111, "x")], "id bigint, v bigint, w string"
+    )
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        out = orig_stage(df)
+        # racer evolves the schema: disjoint keys, but adds column u
+        racer = spark.createDataFrame(
+            [(2000, 1, 7)], "id bigint, v bigint, u bigint"
+        )
+        TxTable(t.root).append(racer, merge_schema=True)
+        return out
+
+    t._stage = racing_stage
+    with pytest.raises(CommitConflict):
+        t.merge(spark, ups, ["id"], merge_schema=True)
+    t._stage = orig_stage
+    # a FRESH attempt (re-reads table state) lands, and the racer's
+    # column survives in the final logical schema alongside ours
+    t.merge(spark, ups, ["id"], merge_schema=True)
+    cols = set(t.read(spark).columns)
+    assert {"id", "v", "u", "w"} <= cols
+    got = {r["id"]: r for r in t.read(spark).collect()}
+    assert got[2000]["u"] == 7 and got[0]["w"] == "x"
