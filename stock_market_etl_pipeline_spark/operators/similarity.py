@@ -607,6 +607,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     max_cluster: int = 4096,
+    survivor: str = "centroid",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, call within-cluster pairs above a cosine threshold
@@ -676,16 +677,29 @@ def semantic_dedup(
         emb.select(F.col("vec_id").alias("node"), "centroid_sim"), "node"
     )
     # representative: max (centroid_sim, -node) — centroid-nearest, then
-    # smallest id; one tiny agg per duplicate group
-    keep = members.groupBy(F.col("cluster_id").alias("group_id")).agg(
-        F.max(
-            F.struct(
-                F.col("centroid_sim"),
-                (-F.col("node")).alias("__neg"),
-                F.col("node").alias("keep_id"),
-            )
-        ).alias("__s")
-    ).select("group_id", F.col("__s.keep_id").alias("keep_id"))
+    # smallest id; one tiny agg per duplicate group. survivor="min_id"
+    # keeps the smallest member id instead — a centroid-independent rule
+    # (the group minimum is stable under re-clustering), which is what
+    # the incremental maintainer (streaming/semantic_dedup.py) needs for
+    # batch parity: its centroids are trained on the FIRST batch, not
+    # the union, so centroid_sim ordering is not comparable across the
+    # two paths but min-id is.
+    if survivor == "min_id":
+        keep = members.groupBy(F.col("cluster_id").alias("group_id")).agg(
+            F.min("node").alias("keep_id")
+        )
+    elif survivor == "centroid":
+        keep = members.groupBy(F.col("cluster_id").alias("group_id")).agg(
+            F.max(
+                F.struct(
+                    F.col("centroid_sim"),
+                    (-F.col("node")).alias("__neg"),
+                    F.col("node").alias("keep_id"),
+                )
+            ).alias("__s")
+        ).select("group_id", F.col("__s.keep_id").alias("keep_id"))
+    else:
+        raise ValueError(f"survivor must be centroid|min_id, got {survivor!r}")
     decisions = (
         comp.join(keep, comp.cluster_id == keep.group_id)
         .select("node", "group_id", "keep_id")

@@ -869,3 +869,4 @@ from . import registry_llm4  # noqa: E402,F401
 from . import registry_stats  # noqa: E402,F401
 from . import registry_fin4  # noqa: E402,F401
 from . import registry_ext4  # noqa: E402,F401
+from . import registry_llm5  # noqa: E402,F401

@@ -601,3 +601,27 @@ def test_bootstrap_ci_no_replicate_shuffle_blowup(spark, qs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # no sort-merge join anywhere: replicates broadcast, never co-shuffled
     assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_bm25_no_fullcorpus_window_no_smj(spark, qs):
+    """bm25_topk: postings and corpus stats are checkpoint-materialized
+    (no repeated corpus scans in the final plan); df/idf/query/stats
+    sides all broadcast (no SortMergeJoin); per-query top-k is the
+    salted TWO-window phase pair, each with WindowGroupLimit pushdown,
+    so no partition holds a whole query's candidate list."""
+    plan = plan_of(qs["bm25_topk"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0  # reads checkpoints
+    assert "SortMergeJoin" not in plan
+    assert count_nodes(plan, "Window") == 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_single_corpus_scan_capped_join(spark, qs):
+    """tfidf_doc_vectors: the tf table is materialized once (df rollup
+    and weight join share it — one live parquet scan for n_docs), and
+    the per-doc top-5 window carries WindowGroupLimit."""
+    plan = plan_of(qs["tfidf_doc_vectors"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Window") == 1
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
