@@ -67,10 +67,24 @@ class SnapshotUnavailable(Exception):
 
 
 class TxTable:
-    def __init__(self, root: str):
+    def __init__(
+        self,
+        root: str,
+        bloom_columns: list[str] | None = None,
+        bloom_bits: int = 1 << 16,
+    ):
+        """``bloom_columns`` opts staged files into per-file bloom
+        filters on those columns (point-lookup skipping for
+        high-cardinality keys min/max bands can't prune — VERDICT r6
+        #5). Writer-side only: readers consume whatever blooms the
+        manifest carries, and files committed by writers without the
+        option simply have none (no bloom = no prune = always safe,
+        the same contract as the column stats)."""
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
+        self.bloom_columns = list(bloom_columns or [])
+        self.bloom_bits = bloom_bits
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -176,6 +190,178 @@ class TxTable:
                     prev["nulls"] += nulls
         return out
 
+    # -- bloom filters (manifest-carried point-lookup skipping) ---------
+    #
+    # Min/max stats prune RANGE predicates; a point lookup on a
+    # high-cardinality key (doc_id, order key) still overlaps almost
+    # every file's [min, max]. A few-KB per-file bloom over the key
+    # column closes that gap: k positions from one blake2b digest
+    # (Kirsch-Mitzenmacher double hashing), bitmap stored base85 in the
+    # manifest next to the column stats, carried across MERGE / OPTIMIZE
+    # / RESTORE by the same stats-carry logic. Semantics are strictly
+    # "maybe": a clear bit proves absence (safe skip); set bits prove
+    # nothing (file is read). Saturated blooms (>half the bits set — the
+    # file holds too many distinct values for the bitmap) are DROPPED at
+    # build time: they could no longer skip anything and would bloat the
+    # log. In this single-node protocol implementation the bitmap is
+    # built from a driver-side pyarrow column read of each staged file;
+    # on a cluster the identical bitmap is an executor-side per-file
+    # aggregate attached to the commit, exactly like Delta's stats
+    # collection — the log format is the contract, not the builder.
+
+    BLOOM_K = 6
+    # merge()-side probe cap: bloom pruning needs the update keys on the
+    # driver; beyond this many distinct keys we skip pruning (the
+    # discovery scan still bounds correctness, as before).
+    BLOOM_MAX_PROBE_KEYS = 10_000
+
+    @staticmethod
+    def _bloom_positions(value, m_bits: int, k: int) -> list[int] | None:
+        """Bit positions for a value, or None for unsupported types
+        (unsupported = unprunable, never wrong). Canonical encoding —
+        ints by decimal string, strings/bytes by their bytes — so the
+        probe side needs no knowledge of the writing engine."""
+        import hashlib
+
+        if isinstance(value, bool) or value is None:
+            return None
+        if isinstance(value, bytes):
+            b = value
+        elif isinstance(value, str):
+            b = value.encode("utf-8", "surrogateescape")
+        elif isinstance(value, int):
+            b = str(value).encode()
+        else:
+            return None
+        d = hashlib.blake2b(b, digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        return [(h1 + i * h2) % m_bits for i in range(k)]
+
+    def _file_blooms(self, path: str) -> dict:
+        """{column: {"b85", "m", "k"}} for this instance's bloom
+        columns present in the file (non-null values only — equality
+        probes never match NULL)."""
+        if not self.bloom_columns:
+            return {}
+        import base64
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        cols = [c for c in self.bloom_columns if c in names]
+        if not cols:
+            return {}
+        table = pf.read(columns=cols)
+        out: dict = {}
+        m_bits = self.bloom_bits
+        for c in cols:
+            bits = bytearray(m_bits // 8)
+            ok = True
+            n_set = 0
+            for v in table.column(c).to_pylist():
+                if v is None:
+                    continue
+                pos = self._bloom_positions(v, m_bits, self.BLOOM_K)
+                if pos is None:
+                    ok = False  # unsupported type: no bloom for column
+                    break
+                for p in pos:
+                    byte, bit = p >> 3, 1 << (p & 7)
+                    if not bits[byte] & bit:
+                        bits[byte] |= bit
+                        n_set += 1
+            if ok and n_set * 2 <= m_bits:  # drop saturated bitmaps
+                out[c] = {
+                    "b85": base64.b85encode(bytes(bits)).decode("ascii"),
+                    "m": m_bits,
+                    "k": self.BLOOM_K,
+                }
+        return out
+
+    @classmethod
+    def _bloom_maybe_any(cls, col_stat: dict | None, values) -> bool:
+        """True unless the column's bloom PROVES none of ``values`` is
+        in the file. Missing/foreign blooms and unsupported values are
+        always 'maybe'."""
+        bloom = (col_stat or {}).get("bloom")
+        if not bloom:
+            return True
+        import base64
+
+        try:
+            bits = base64.b85decode(bloom["b85"])
+            m_bits, k = int(bloom["m"]), int(bloom["k"])
+        except (KeyError, ValueError, TypeError):
+            return True
+        if len(bits) * 8 != m_bits:
+            return True
+        for v in values:
+            pos = cls._bloom_positions(v, m_bits, k)
+            if pos is None:
+                return True
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                return True
+        return False
+
+    def prune_keys(
+        self,
+        column: str,
+        values: list,
+        snapshot: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Split the snapshot's files into (kept, skipped) for the point
+        predicate ``column IN values`` using manifest blooms AND min/max
+        stats (a value outside [min, max] is skipped even bloom-less).
+        Files without either stat are kept — pruning never changes
+        semantics."""
+        snap = self.latest_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise SnapshotUnavailable("table has no commits")
+        m = self._manifest(snap)
+        stats = m.get("stats") or {}
+        vals_n = [self._stats_norm(v) for v in values]
+        kept, skipped = [], []
+        for f in m["files"]:
+            st = (stats.get(f) or {}).get(column)
+            if st is None:
+                kept.append(f)
+                continue
+            fmin, fmax = st.get("min"), st.get("max")
+            in_band = [
+                v for v in vals_n
+                if not (
+                    (fmin is not None and v is not None and v < fmin)
+                    or (fmax is not None and v is not None and v > fmax)
+                )
+            ] if (fmin is not None or fmax is not None) else vals_n
+            if not in_band or not self._bloom_maybe_any(st, in_band):
+                skipped.append(f)
+            else:
+                kept.append(f)
+        return kept, skipped
+
+    def read_keys(
+        self,
+        spark: SparkSession,
+        column: str,
+        values: list,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Point-lookup read: ``column IN values`` with bloom + stats
+        file skipping before Spark sees a path, residual IN-filter in
+        the scan — results are exactly ``read().filter(isin)``."""
+        snap = self.latest_snapshot() if snapshot is None else snapshot
+        if snap is None:
+            raise SnapshotUnavailable("table has no commits")
+        m = self._manifest(snap)
+        kept, _ = self.prune_keys(column, values, snapshot=snap)
+        df = self._read_files(
+            spark, kept, m["schema"], struct=self._schema_struct(m)
+        )
+        return df.filter(F.col(column).isin(values))
+
     def _stage(self, df: DataFrame) -> tuple[list[str], int, dict]:
         """Write df's files under unique names inside data/. Staged files
         are INVISIBLE until a manifest references them — a crash here
@@ -200,6 +386,15 @@ class TxTable:
             full = os.path.join(self.data_dir, final)
             n_rows += pq.ParquetFile(full).metadata.num_rows
             stats[final] = self._file_stats(full)
+            for c, bl in self._file_blooms(full).items():
+                st = stats[final].get(c)
+                # attach only to a live stat entry with real bounds: a
+                # synthesized {min: None, max: None} entry would read as
+                # "all-null file" to prune_band and cause a wrong skip
+                if st is not None and (
+                    st.get("min") is not None or st.get("max") is not None
+                ):
+                    st["bloom"] = bl
             files.append(final)
         shutil.rmtree(stage_dir)
         return files, n_rows, stats
@@ -677,7 +872,30 @@ class TxTable:
             schema = struct.simpleString()
             evolved = True
         keys = updates.select(*key_cols).distinct()
-        table = self._read_files(spark, m["files"], schema, struct=struct)
+        # bloom pre-pruning of the discovery scan: a row can only match
+        # if EVERY key column matches, so a file whose bloom proves it
+        # holds none of the update's values for ANY single key column
+        # cannot contain a match — drop it before Spark scans anything.
+        # Bounded driver collect of the distinct update keys (merge
+        # already broadcasts them); beyond the cap we skip pruning.
+        discovery_files = list(m["files"])
+        stats_all = m.get("stats") or {}
+        if any(
+            "bloom" in (st.get(c) or {})
+            for st in stats_all.values()
+            for c in key_cols
+        ):
+            key_rows = keys.limit(self.BLOOM_MAX_PROBE_KEYS + 1).collect()
+            if len(key_rows) <= self.BLOOM_MAX_PROBE_KEYS:
+                for c in key_cols:
+                    vals = [r[c] for r in key_rows]
+                    discovery_files = [
+                        f for f in discovery_files
+                        if self._bloom_maybe_any(
+                            (stats_all.get(f) or {}).get(c), vals
+                        )
+                    ]
+        table = self._read_files(spark, discovery_files, schema, struct=struct)
         affected_files = sorted(
             r["_file"]
             for r in (
