@@ -104,6 +104,18 @@ class TxTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
+    def txn_committed(self, txn_id: str) -> bool:
+        """True when a commit carrying ``txn_id`` is already in the log —
+        i.e. a re-delivery of this transaction would be a recorded no-op.
+        Streaming maintainers that write a SIDE artifact (decision log,
+        metrics) alongside the table commit check this FIRST: a replayed
+        batch whose merge already landed must not recompute the side
+        artifact against the post-commit table state (ADVICE r7)."""
+        return any(
+            self._manifest(s).get("txn_id") == txn_id
+            for s in self.snapshots()
+        )
+
     def _manifest(self, snapshot: int) -> dict:
         path = os.path.join(self.log_dir, f"{snapshot:010d}.json")
         if not os.path.exists(path):

@@ -63,7 +63,8 @@ def _driver_sample_history() -> dict[str, int]:
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    hist: dict[str, int] = {}
+    green: dict[str, int] = {}
+    failed: dict[str, int] = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         m = _re.search(r"r(\d+)", f.name)
         rnd = int(m.group(1)) if m else 0
@@ -73,8 +74,26 @@ def _driver_sample_history() -> dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
-        for name in data:
-            hist[name] = max(hist.get(name, 0), rnd)
+        for name, rec in data.items():
+            # A FAILED gate entry is not a certification (ADVICE r7):
+            # a real err, or an explicit hash/rows mismatch, must put
+            # the query at the FRONT of the LRU re-gate queue, not the
+            # back. The driver's 'no_oracle' marker for rows-only
+            # queries is the weaker check SUCCEEDING (spark_rows
+            # recorded), not a failure.
+            is_failure = isinstance(rec, dict) and (
+                (rec.get("err") not in (None, "no_oracle"))
+                or rec.get("hash_match") is False
+                or rec.get("rows_match") is False
+            )
+            d = failed if is_failure else green
+            d[name] = max(d.get(name, 0), rnd)
+    hist: dict[str, int] = {}
+    for name in set(green) | set(failed):
+        g = green.get(name, 0)
+        # a failure NEWER than the last green round = uncertified
+        # regression → round 0 sorts first in the backfill tier
+        hist[name] = 0 if failed.get(name, 0) > g else g
     return hist
 
 
@@ -97,11 +116,19 @@ def queries() -> dict[str, QueryFn]:
     driver-visible. Then the remaining oracled queries, then rows-only
     entries last so the driver's 50-row sample is always 50
     hash-comparable rows."""
+    # queries() is the driver's production entry point: a stale history
+    # name (rename without retiring) must NOT brick all registered
+    # queries at runtime (ADVICE r7). Warn here; the LOUD version of
+    # this check lives in tests/test_registry.py::
+    # test_driver_sampled_is_derived_from_correctness_files.
     unknown = (set(_SAMPLE_HISTORY) - set(_QUERIES)) - _RETIRED
     if unknown:
-        raise ValueError(
+        import warnings
+
+        warnings.warn(
             "CORRECTNESS history names missing from registry "
-            f"(rename/removal without retiring them): {sorted(unknown)}"
+            f"(rename/removal without retiring them): {sorted(unknown)}",
+            stacklevel=2,
         )
     fresh = [
         n for n in _QUERIES

@@ -26,10 +26,14 @@ cluster id playing the band-signature role:
    txn_id = "semdedup-<batch_id>": new/confirmed keepers upsert, and
    demoted survivors ride the same commit as tombstone rows
    (``v IS NULL`` + ``delete_where``) — the Delta conditional-delete
-   shape. A replayed batch (crash between merge-commit and stream
-   checkpoint-commit) is a recorded no-op via the txn marker, and the
-   per-batch decision log is batch_id-partitioned dynamic overwrite —
-   the near-dedup maintainer's exactly-once recipe at both seams.
+   shape. Exactly-once at BOTH seams, including the decision log:
+   the batch checks ``txn_committed`` FIRST and skips entirely when
+   the merge already landed (a post-merge replay would otherwise
+   recompute decisions against the post-merge survivor set and log
+   choices that were never applied — ADVICE r7); the decision log is
+   written BEFORE the merge, so every pre-merge crash point replays
+   against the unchanged survivor table and overwrites the partition
+   with byte-identical decisions.
 
 Semantics vs the one-shot operator: duplicate edges through PREVIOUSLY
 DROPPED members are invisible here (only survivors are stored), so a
@@ -219,6 +223,18 @@ def start_semantic_dedup_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Replay guard BEFORE any recompute (ADVICE r7): if this batch's
+        # merge already committed (crash landed between merge-commit and
+        # stream-checkpoint-commit), the survivor table has ALREADY
+        # moved — recomputing decisions now would log keep/drop choices
+        # that were never applied (e.g. a vector whose only duplicate
+        # edge ran through a now-demoted survivor logged is_kept=True).
+        # The decision log is written BEFORE the merge below, so a
+        # committed txn marker implies the log partition is complete —
+        # skip the whole batch.
+        txn_id = f"semdedup-{batch_id}"
+        if table.txn_committed(txn_id):
+            return
         if not os.path.exists(os.path.join(centroids_dir, "_SUCCESS")):
             train_and_store_centroids(
                 batch_df, centroids_dir, n_clusters, seed
@@ -233,6 +249,16 @@ def start_semantic_dedup_stream(
         decisions = resolve_batch(
             assigned, survivors, threshold, max_cluster
         ).localCheckpoint(eager=True)  # consumed by merge AND the log
+        # Log first, merge second: every pre-merge crash point replays
+        # against the UNCHANGED survivor table and deterministically
+        # recomputes byte-identical decisions (idempotent overwrite);
+        # every post-merge crash point is caught by the txn guard above.
+        (
+            decisions.filter(~F.col("was_survivor"))
+            .select("vec_id", "cluster", "group_id", "keep_id", "is_kept")
+            .write.mode("overwrite")
+            .parquet(f"{decisions_dir}/batch_id={batch_id}")
+        )
         keepers = (
             decisions.filter(F.col("is_kept") & ~F.col("was_survivor"))
             .join(assigned.select("vec_id", "v"), "vec_id")
@@ -248,15 +274,9 @@ def start_semantic_dedup_stream(
         if not updates.isEmpty():
             table.merge(
                 spark, updates, ["vec_id"],
-                txn_id=f"semdedup-{batch_id}",
+                txn_id=txn_id,
                 delete_where=F.col("v").isNull(),
             )
-        (
-            decisions.filter(~F.col("was_survivor"))
-            .select("vec_id", "cluster", "group_id", "keep_id", "is_kept")
-            .write.mode("overwrite")
-            .parquet(f"{decisions_dir}/batch_id={batch_id}")
-        )
 
     return (
         stream.writeStream.foreachBatch(process)

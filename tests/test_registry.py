@@ -199,12 +199,62 @@ def test_driver_gate_backfills_least_recently_certified(monkeypatch):
     assert all(hist[n] == 1 for n in backfill)
 
 
-def test_unknown_correctness_name_fails_loudly(monkeypatch):
+def test_unknown_correctness_name_warns_but_serves(monkeypatch):
+    """queries() is the driver's production entry point — a stale history
+    name must degrade to a warning, never brick the whole registry
+    (ADVICE r7). The loud check lives in
+    test_driver_sampled_is_derived_from_correctness_files."""
     monkeypatch.setattr(
         registry, "_SAMPLE_HISTORY", {"no_such_query_xyz": 3}
     )
-    with pytest.raises(ValueError, match="no_such_query_xyz"):
-        registry.queries()
+    with pytest.warns(UserWarning, match="no_such_query_xyz"):
+        qs = registry.queries()
+    assert sorted(qs) == sorted(registry._QUERIES)
+
+
+def test_failed_gate_entry_reenters_backfill_first(tmp_path, monkeypatch):
+    """A query that FAILED the driver gate in round N must sort at the
+    very FRONT of the LRU backfill (round 0), not rotate to the back as
+    most-recently-certified (ADVICE r7); a LATER green round restores
+    its certification; rows-only 'no_oracle' records stay
+    certifications."""
+    import json
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad_hash = dict(g, hash_match=False)
+    errored = dict(g, hash_match=None, rows_match=None, err="boom")
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": g, "b": g, "c": g, "d": rows_only})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": bad_hash, "b": errored})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"b": g})
+    )
+
+    # the function derives its search root as
+    # Path(__file__).resolve().parent.parent — plant a fake module path
+    # two levels under tmp_path so the REAL parse logic runs on the
+    # fixture files
+    fake_pkg = tmp_path / "pkg" / "registry.py"
+    fake_pkg.parent.mkdir()
+    fake_pkg.write_text("")
+    monkeypatch.setattr(registry, "__file__", str(fake_pkg))
+    hist = registry._driver_sample_history()
+
+    # 'a' failed hash in r2 after green r1 → round 0 (re-gate first)
+    assert hist["a"] == 0
+    # 'b' errored in r2 but re-certified green in r3 → round 3
+    assert hist["b"] == 3
+    # 'c' green r1 only → round 1
+    assert hist["c"] == 1
+    # 'd' rows-only no_oracle → a certification, round 1
+    assert hist["d"] == 1
 
 
 def test_customer_order_distribution_zero_bucket_nonvacuous(spark):

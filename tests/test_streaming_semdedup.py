@@ -177,3 +177,96 @@ def test_stream_survives_restart_storm(spark, tmp_path):
     rows = TxTable(d["survivors"]).read(spark).collect()
     assert len(rows) == len(got)
     assert all(r.v is not None for r in rows)
+
+
+def test_decision_log_stable_across_post_merge_replay(spark, tmp_path):
+    """ADVICE r7 (medium): crash BETWEEN the TxTable merge commit and the
+    stream checkpoint commit, then replay. The old code recomputed
+    decisions against the POST-merge survivor table — a batch vector
+    whose only duplicate edge ran through a now-demoted survivor was
+    re-logged is_kept=True despite never entering the survivor table.
+    Construct exactly that chain: for original s (id BASE_OFF+i) plant
+    b1 = s + c (smaller id i) and b2 = s - c (larger id TWIN_OFF+i) in
+    ONE batch, with cos(b1,s), cos(b2,s) >= threshold but
+    cos(b1,b2) < threshold. Original decisions: component {b1, s, b2}
+    keeps b1, drops b2 (keep_id=b1), demotes s. After the post-merge
+    replay the decision log must be row-for-row unchanged."""
+    chain_ids = list(range(5))
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    base = _base(spark)
+
+    dim = 64
+    pert = F.array(
+        *[F.lit(c) for c in perturbation_constants(dim, 0.05)]
+    )
+    sel = base.filter(
+        F.col("vec_id").isin([BASE_OFF + i for i in chain_ids])
+    )
+    b1 = sel.select(
+        (F.col("vec_id") - BASE_OFF).alias("vec_id"),
+        F.zip_with("embedding", pert, lambda x, c: x + c).alias("embedding"),
+    )
+    b2 = sel.select(
+        (F.col("vec_id") - BASE_OFF + TWIN_OFF).alias("vec_id"),
+        F.zip_with("embedding", pert, lambda x, c: x - c).alias("embedding"),
+    )
+
+    # geometric preconditions (unit-norm testdata + scale 0.05):
+    # each leg above threshold, the b1-b2 diagonal below it
+    vecs = {
+        r.vec_id: r.embedding
+        for r in sel.unionByName(b1).unionByName(b2).collect()
+    }
+
+    def cos(u, v):
+        du = sum(x * x for x in u) ** 0.5
+        dv = sum(x * x for x in v) ** 0.5
+        return sum(a * b for a, b in zip(u, v)) / (du * dv)
+
+    for i in chain_ids:
+        s, v1, v2 = vecs[BASE_OFF + i], vecs[i], vecs[TWIN_OFF + i]
+        assert cos(v1, s) >= THRESH and cos(v2, s) >= THRESH
+        assert cos(v1, v2) < THRESH
+
+    base.coalesce(1).write.mode("append").parquet(d["landing"])
+    _run(spark, d)
+    b1.unionByName(b2).coalesce(1).write.mode("append").parquet(d["landing"])
+    _run(spark, d)
+
+    def log_rows():
+        return sorted(
+            (r.vec_id, r.cluster, r.group_id, r.keep_id, r.is_kept)
+            for r in spark.read.parquet(d["decisions"]).collect()
+        )
+
+    before_log = log_rows()
+    before_survivors = _survivor_ids(spark, d)
+    # anti-vacuity: the chain actually formed — b2 was dropped THROUGH
+    # the demoted original for most triples (cluster-boundary slack)
+    by_id = {t[0]: t for t in before_log}
+    chained = [
+        i for i in chain_ids
+        if not by_id[TWIN_OFF + i][4] and by_id[TWIN_OFF + i][3] == i
+    ]
+    assert len(chained) >= 3
+    assert all(BASE_OFF + i not in before_survivors for i in chained)
+
+    # the post-merge / pre-checkpoint crash seam
+    _crash_last_commit(d["ckpt"])
+    _run(spark, d)
+
+    assert log_rows() == before_log
+    assert _survivor_ids(spark, d) == before_survivors
+    # structural invariant the old code violated: every id the FINAL
+    # batch's log claims kept must actually BE in the survivor table
+    # (earlier batches' keeps may be legitimately demoted later — the
+    # invariant is per-batch-at-commit-time, checkable on the last)
+    kept_last = {
+        r.vec_id
+        for r in spark.read.parquet(
+            f"{d['decisions']}/batch_id=1"
+        ).collect()
+        if r.is_kept
+    }
+    assert kept_last <= _survivor_ids(spark, d)
