@@ -105,18 +105,24 @@ def asof_join_forward(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = lt.unionByName(rt)
-    # left rows sort before right rows at equal time → the frame starting
-    # at the left row still sees a same-time right row ("≥" semantics);
-    # strict ">" puts right rows first so same-time rows fall behind.
-    tie = F.col("__is_left").desc() if not strict else F.col("__is_left").asc()
+    # "first right row at-or-after" is FIRST ignore-nulls over a
+    # [current, unbounded FOLLOWING] frame on (t asc, tie) — but Spark
+    # executes UnboundedFollowing frames by rescanning current→end per
+    # row: O(rows²) per key (the gap_fill_interpolated lesson,
+    # operators/resample.py). The exact-mirror formulation is a running
+    # LAST ignore-nulls over the REVERSED order (t desc, mirrored tie)
+    # with the O(rows) streaming [unboundedPreceding, current] frame.
+    # Mirror of (t asc, is_left desc) is (t desc, is_left asc): "≥"
+    # semantics keep a same-time right row visible from the left row.
+    tie = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), tie)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumns(
         {
-            f"__r_{c}": F.first(f"__r_{c}", ignorenulls=True).over(w)
+            f"__r_{c}": F.last(f"__r_{c}", ignorenulls=True).over(w)
             for c in value_cols
         }
     )

@@ -89,17 +89,25 @@ def calendar_interpolate(
         .orderBy(date_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "next real value" = FIRST ignore-nulls over [current, unbounded
+    # FOLLOWING] — but Spark executes an UnboundedFollowing frame by
+    # rescanning current→end for EVERY row: O(rows²) per partition
+    # (measured 69.6 s at sf0.1 vs gap_fill_forward's 1.9 s — the r8
+    # sweep's worst absolute cost). The mirror formulation — running
+    # LAST ignore-nulls over the DESCENDING order with an
+    # [unboundedPreceding, current] frame — is the O(rows) streaming
+    # RunningWindowFrame and computes the identical value (69.6 → 2.0 s).
     wn = (
         Window.partitionBy(key)
-        .orderBy(date_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(date_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     x = joined.select(
         key, date_col, value_col,
         F.last(real_c, ignorenulls=True).over(wp).alias("__pc"),
         F.last(real_d, ignorenulls=True).over(wp).alias("__pd"),
-        F.first(real_c, ignorenulls=True).over(wn).alias("__nc"),
-        F.first(real_d, ignorenulls=True).over(wn).alias("__nd"),
+        F.last(real_c, ignorenulls=True).over(wn).alias("__nc"),
+        F.last(real_d, ignorenulls=True).over(wn).alias("__nd"),
     )
     k = F.datediff(F.col(date_col), F.col("__pd"))
     n = F.datediff(F.col("__nd"), F.col("__pd"))

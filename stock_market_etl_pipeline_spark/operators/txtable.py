@@ -66,6 +66,12 @@ class SnapshotUnavailable(Exception):
     (never written, or reclaimed by vacuum)."""
 
 
+class ConstraintViolation(Exception):
+    """Rows being written violate a registered CHECK constraint — the
+    commit is refused and the table is untouched (staged files become
+    vacuum-able orphans)."""
+
+
 class TxTable:
     def __init__(
         self,
@@ -374,11 +380,104 @@ class TxTable:
         )
         return df.filter(F.col(column).isin(values))
 
-    def _stage(self, df: DataFrame) -> tuple[list[str], int, dict]:
+    def constraints(self) -> dict[str, str]:
+        """The table's registered CHECK constraints (name → SQL
+        predicate) as of the latest snapshot."""
+        prev = self.latest_snapshot()
+        if prev is None:
+            return {}
+        return dict(self._manifest(prev).get("constraints") or {})
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Enforce every registered CHECK constraint on rows about to be
+        written (standard SQL CHECK semantics: a row violates only when
+        the predicate evaluates to FALSE — NULL passes). One aggregate
+        pass counts all constraints together; raises ConstraintViolation
+        naming each violated constraint and its row count."""
+        cons = self.constraints()
+        if not cons:
+            return
+        names = sorted(cons)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(cons[n]), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        bad = {n: int(counts[n]) for n in names if counts[n]}
+        if bad:
+            raise ConstraintViolation(
+                "CHECK constraint(s) violated by incoming rows: "
+                + ", ".join(
+                    f"{n} ({cons[n]!r}): {c} row(s)"
+                    for n, c in sorted(bad.items())
+                )
+            )
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """Register a CHECK constraint (Delta's ALTER TABLE ADD
+        CONSTRAINT): all EXISTING rows are validated first (the
+        constraint must hold table-wide, not just going forward), then
+        the constraint is committed as a data-less snapshot and every
+        subsequent append/overwrite/merge enforces it on incoming rows.
+        NOT NULL is the special case ``col IS NOT NULL``."""
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        prev = self.latest_snapshot()
+        schema = None
+        schema_json = None
+        if prev is not None:
+            m = self._manifest(prev)
+            schema, schema_json = m["schema"], m.get("schema_json")
+            if m["files"]:
+                existing = self.read(spark)
+                n_bad = existing.filter(
+                    ~F.coalesce(F.expr(expr), F.lit(True))
+                ).count()
+                if n_bad:
+                    raise ConstraintViolation(
+                        f"cannot add constraint {name!r} ({expr!r}): "
+                        f"{n_bad} existing row(s) violate it"
+                    )
+        cons[name] = expr
+        return self._commit(
+            "set_constraint", [], 0, schema, None, True,
+            base=prev, schema_json=schema_json, constraints=cons,
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint; future writes stop enforcing it."""
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cons[name]
+        prev = self.latest_snapshot()
+        m = self._manifest(prev)
+        return self._commit(
+            "set_constraint", [], 0, m["schema"], None, True,
+            base=prev, schema_json=m.get("schema_json"), constraints=cons,
+        )
+
+    def _stage(
+        self, df: DataFrame, enforce: bool = True
+    ) -> tuple[list[str], int, dict]:
         """Write df's files under unique names inside data/. Staged files
         are INVISIBLE until a manifest references them — a crash here
         leaves orphans for vacuum, never a torn table. Returns the file
-        list, row count, and per-file column stats for the manifest."""
+        list, row count, and per-file column stats for the manifest.
+
+        ``enforce=False`` skips CHECK-constraint validation — only for
+        pure-rearrangement writers (delete survivors, OPTIMIZE rewrite)
+        whose rows already live in the table."""
+        if enforce:
+            self._check_constraints(df)
         stage_id = uuid.uuid4().hex
         stage_dir = os.path.join(self.data_dir, f"_stage_{stage_id}")
         df.write.mode("overwrite").parquet(stage_dir)
@@ -433,6 +532,7 @@ class TxTable:
         schema_json: str | None = None,
         allow_schema_change: bool = False,
         stats: dict | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Claim snapshot ``base + 1``. ``base`` is the table state the
         writer READ when it started (captured before staging); if a racer
@@ -454,7 +554,13 @@ class TxTable:
         if keep_previous and prev is not None:
             live = list(self._manifest(prev)["files"])
             prev_schema = self._manifest(prev)["schema"]
-            if prev_schema != schema and not allow_schema_change:
+            # prev_schema is None only for a constraint-set committed on
+            # an EMPTY table — the first data write defines the schema
+            if (
+                prev_schema is not None
+                and prev_schema != schema
+                and not allow_schema_change
+            ):
                 raise ValueError(
                     f"append schema mismatch: table has {prev_schema}, "
                     f"commit brings {schema} "
@@ -471,6 +577,11 @@ class TxTable:
             prev_stats = self._manifest(prev).get("stats") or {}
             carried = {f: prev_stats[f] for f in live if f in prev_stats}
         carried.update(stats or {})
+        if constraints is None:
+            constraints = (
+                self._manifest(prev).get("constraints") if prev is not None
+                else None
+            ) or {}
         manifest = {
             "snapshot": (prev + 1) if prev is not None else 0,
             "action": action,
@@ -482,6 +593,7 @@ class TxTable:
             "schema_json": schema_json,
             "txn_id": txn_id,
             "stats": carried,
+            "constraints": constraints,
         }
         path = os.path.join(self.log_dir, f"{manifest['snapshot']:010d}.json")
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -997,7 +1109,7 @@ class TxTable:
             spark, affected_files, m["schema"],
             struct=self._schema_struct(m),
         ).where(~cond)
-        files, n, stats = self._stage(survivors)
+        files, n, stats = self._stage(survivors, enforce=False)
 
         def _cond_in(their_files: list[str]) -> bool:
             theirs = self._read_files(
@@ -1088,7 +1200,7 @@ class TxTable:
             )
         else:
             df = df.repartition(n_files)
-        files, n, stats = self._stage(df)
+        files, n, stats = self._stage(df, enforce=False)
         return self._commit(
             "optimize", files, n, m["schema"], txn_id, True,
             base=base, removed=list(m["files"]),

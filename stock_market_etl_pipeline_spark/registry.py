@@ -897,3 +897,5 @@ from . import registry_stats  # noqa: E402,F401
 from . import registry_fin4  # noqa: E402,F401
 from . import registry_ext4  # noqa: E402,F401
 from . import registry_llm5  # noqa: E402,F401
+from . import registry_fin5  # noqa: E402,F401
+from . import registry_ext5  # noqa: E402,F401

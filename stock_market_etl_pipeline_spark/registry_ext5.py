@@ -1,0 +1,401 @@
+"""Events + corpus analytics, part 5: survival analysis, interval
+self-join (range join), tokenizer fertility.
+
+- ``user_lifetime_survival`` — a Kaplan-Meier-style life table with
+  right-censoring: the survival-analysis shape (at-risk sets, hazard)
+  none of the retention queries cover.
+- ``session_overlap_counts`` — a true INTERVAL SELF-JOIN (how many other
+  sessions overlap mine in time). Spark has no native range join; the
+  registered plan is the bucketized-interval pattern (explode over hour
+  buckets → equi-join on bucket → exact predicate → first-shared-bucket
+  dedup) — the scale path for every "overlapping intervals" question,
+  with the quadratic DuckDB inequality join as the oracle.
+- ``token_fertility_by_lang`` — chars/token and tokens/word by language
+  (the tokenizer-budget planning table for an LLM corpus).
+
+Exactness: everything integer except single correctly-rounded divisions
+(NOTES rule 11's single-op exemption) — no rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .functions.text import BPE_ISH_PATTERN, bpe_ish_tokens, ws_tokens
+from .registry import register
+from .sources.events import load_events
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# User-lifetime survival table (Kaplan-Meier life table, right-censored)
+# ---------------------------------------------------------------------------
+
+_CENSOR_DAYS = 7
+
+
+@register(
+    "user_lifetime_survival",
+    f"""
+    WITH u AS (
+        SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY 1
+    ),
+    g AS (SELECT MAX(ts) AS m FROM events),
+    lab AS (
+        SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS t_days,
+               date_diff('day', CAST(l AS DATE), CAST(m AS DATE))
+                   < {_CENSOR_DAYS} AS cens
+        FROM u, g
+    ),
+    byt AS (
+        SELECT t_days,
+               SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS ch,
+               SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS ce
+        FROM lab GROUP BY 1
+    ),
+    cum AS (
+        SELECT t_days, ch, ce,
+               SUM(ch + ce) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pri,
+               SUM(ch + ce) OVER () AS tot
+        FROM byt
+    )
+    SELECT CAST(t_days AS INTEGER)                  AS t_days,
+           CAST(tot - COALESCE(pri, 0) AS BIGINT)   AS n_at_risk,
+           CAST(ch AS BIGINT)                       AS n_churned,
+           CAST(ce AS BIGINT)                       AS n_censored,
+           CAST(ch AS BIGINT)
+               / CAST(tot - COALESCE(pri, 0) AS DOUBLE) AS hazard
+    FROM cum
+    """,
+)
+def q_user_lifetime_survival(spark, sf_dir):
+    """Kaplan-Meier life table over user lifetimes: t = days between a
+    user's first and last event; users whose last event falls within
+    7 days of the corpus max timestamp are right-CENSORED (still
+    active — they attest survival to t but no churn). Output per
+    distinct t: the at-risk count (users with lifetime ≥ t), churned
+    and censored counts at t, and the discrete hazard churned/at_risk.
+
+    All quantities are exact integers; the hazard is one int/int
+    division (correctly rounded identically on both engines, emitted
+    raw). The at-risk set is the covered-tail decomposition — total
+    minus the running sum of earlier terminations — computed with ONE
+    unpartitioned window over the per-t rollup, whose row count is
+    bounded by the calendar span (days), not the user count: safe at
+    any corpus scale. Reference: no survival surface (extension per
+    SURVEY §2.12 events analytics); standard KM estimator semantics.
+    """
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    gmax = ev.agg(F.max("ts").alias("m"))
+    lab = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.datediff(F.to_date("l"), F.to_date("f")).alias("t_days"),
+        (
+            F.datediff(F.to_date("m"), F.to_date("l")) < _CENSOR_DAYS
+        ).alias("cens"),
+    )
+    byt = lab.groupBy("t_days").agg(
+        F.sum(F.when(F.col("cens"), 0).otherwise(1)).alias("ch"),
+        F.sum(F.when(F.col("cens"), 1).otherwise(0)).alias("ce"),
+    )
+    w_prior = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = byt.select(
+        "t_days", "ch", "ce",
+        F.sum(F.col("ch") + F.col("ce")).over(w_prior).alias("pri"),
+        F.sum(F.col("ch") + F.col("ce")).over(w_all).alias("tot"),
+    )
+    at_risk = F.col("tot") - F.coalesce(F.col("pri"), F.lit(0))
+    return cum.select(
+        F.col("t_days").cast("int").alias("t_days"),
+        at_risk.cast("bigint").alias("n_at_risk"),
+        F.col("ch").cast("bigint").alias("n_churned"),
+        F.col("ce").cast("bigint").alias("n_censored"),
+        (F.col("ch").cast("bigint") / at_risk.cast("double")).alias(
+            "hazard"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session overlap counts — bucketized interval self-join (range join)
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+_SESSIONS_CTE = """
+    gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, ts
+        FROM gaps
+    ),
+    iv AS (
+        SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+               epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+        FROM sess GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "session_overlap_counts",
+    "WITH "
+    + _SESSIONS_CTE
+    + """,
+    p AS (
+        SELECT a.user_id AS ua, a.session_id AS sa,
+               b.user_id AS ub, b.session_id AS sb
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    ),
+    c AS (
+        SELECT ua AS user_id, sa AS session_id FROM p
+        UNION ALL
+        SELECT ub, sb FROM p
+    ),
+    g AS (SELECT user_id, session_id, COUNT(*) AS n FROM c GROUP BY 1, 2)
+    SELECT iv.user_id, iv.session_id,
+           CAST(COALESCE(g.n, 0) AS BIGINT) AS n_overlapping
+    FROM iv LEFT JOIN g USING (user_id, session_id)
+    """,
+)
+def q_session_overlap_counts(spark, sf_dir):
+    """For every session (the 30-minute-gap windows of
+    sessionize_events, closed intervals [first_ts, last_ts]): how many
+    OTHER users' sessions overlap it in time — the per-entity form of
+    peak_concurrency's capacity question ("who was I concurrent with",
+    not just "how many at peak").
+
+    This is an interval self-join, which Spark would otherwise plan as
+    a broadcast-nested-loop on the inequality predicates. The
+    registered plan is the BUCKETIZED range join: each interval
+    explodes over the hour buckets it spans (sessions are gap-bounded,
+    so the fan-out is duration/1h ≈ 1), candidates equi-join on the
+    bucket key, the exact closed-interval predicate filters, and each
+    pair is counted ONCE by keeping it only in its first shared bucket
+    (h == greatest(h0_a, h0_b)) — no distinct shuffle. Same-user
+    sessions never overlap by construction (gap-separated), so the
+    a.user < b.user orientation is also the self-pair guard. The
+    DuckDB oracle states the quadratic inequality join directly,
+    proving the bucketed plan's equivalence. All integers; at 100 TB
+    the candidate work is Σ per-bucket n², bounded by the busiest
+    hour, not the corpus (the LSH max_bucket lesson applied to time).
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    iv = (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("int"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s"),
+            F.unix_micros(F.max("ts")).alias("e"),
+        )
+        .withColumn("h0", F.expr(f"s div {_HOUR_US}"))
+        .withColumn("h1", F.expr(f"e div {_HOUR_US}"))
+        .localCheckpoint(eager=True)  # 3 consumers: a-side, b-side, base
+    )
+    expl = iv.withColumn("h", F.explode(F.sequence("h0", "h1")))
+    a = expl.select(
+        F.col("user_id").alias("ua"), F.col("session_id").alias("sa"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+        F.col("h0").alias("h0_a"), "h",
+    )
+    b = expl.select(
+        F.col("user_id").alias("ub"), F.col("session_id").alias("sb"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+        F.col("h0").alias("h0_b"), F.col("h").alias("hb"),
+    )
+    pairs = a.join(b, a.h == b.hb).filter(
+        (F.col("ua") < F.col("ub"))
+        & (F.col("s_a") <= F.col("e_b"))
+        & (F.col("s_b") <= F.col("e_a"))
+        & (F.col("h") == F.greatest("h0_a", "h0_b"))
+    )
+    cnt = (
+        pairs.select(F.col("ua").alias("user_id"), F.col("sa").alias("session_id"))
+        .unionAll(
+            pairs.select(
+                F.col("ub").alias("user_id"), F.col("sb").alias("session_id")
+            )
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return iv.join(cnt, ["user_id", "session_id"], "left").select(
+        "user_id", "session_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+            "n_overlapping"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_fertility_by_lang",
+    rf"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                              AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT)                     AS n_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                AS BIGINT)                                       AS n_words,
+           CAST(SUM(len(regexp_extract_all(text,
+                '{BPE_ISH_PATTERN}'))) AS BIGINT)                AS n_bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT)
+               / CAST(SUM(len(regexp_extract_all(text,
+                     '{BPE_ISH_PATTERN}'))) AS DOUBLE)           AS chars_per_token,
+           CAST(SUM(len(regexp_extract_all(text,
+                '{BPE_ISH_PATTERN}'))) AS BIGINT)
+               / CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                     AS DOUBLE)                                  AS tokens_per_word
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility table per language: characters per BPE-ish
+    lexer token and lexer tokens per whitespace word — the numbers
+    that size an LLM training-token budget from raw corpus bytes
+    (fertility varies by language; this is the planning table).
+
+    Composes the two registered tokenizers (functions/text.py
+    ws_tokens / bpe_ish_tokens, both JVM regexp expressions inside
+    codegen). All sums are exact int64; the two fertility ratios are
+    single int/int divisions emitted raw (NOTES rule 11 single-op
+    exemption). One |langs|-row output at any corpus size; partial
+    aggregation makes the shuffle carry only per-partition sums.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(ws_tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_words"),
+        F.sum(F.size(bpe_ish_tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang", "n_docs", "n_chars", "n_words", "n_bpe_tokens",
+        (F.col("n_chars") / F.col("n_bpe_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+        (F.col("n_bpe_tokens") / F.col("n_words").cast("double")).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog per day — sweep line over order lifetimes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "open_order_backlog",
+    """
+    WITH life AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_day,
+               MAX(CAST(l.l_shipdate AS DATE)) AS end_day
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT start_day AS day, 1 AS d FROM life
+        UNION ALL
+        SELECT end_day + INTERVAL 1 DAY, -1 FROM life
+    ),
+    byday AS (SELECT day, SUM(d) AS d FROM deltas GROUP BY 1)
+    SELECT CAST(day AS DATE) AS day,
+           CAST(SUM(d) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_open_orders
+    FROM byday
+    """,
+)
+def q_open_order_backlog(spark, sf_dir):
+    """Orders in flight per calendar day: an order is OPEN from its
+    order date until its last lineitem ships — the operations dashboard
+    number behind "how deep is the backlog?". The TPC-H-side sibling of
+    peak_concurrency_by_day's sweep line.
+
+    Sweep-line decomposition: each order contributes +1 at its start
+    day and −1 the day after its last shipment; deltas aggregate per
+    day (one day-keyed exchange over order-count rows), and the running
+    backlog is ONE unpartitioned cumulative sum over the per-day rollup
+    — whose row count is the calendar span (~2.5k days at any sf), not
+    the order count, so the unpartitioned window is scale-safe by
+    construction (same argument as user_lifetime_survival's life
+    table). The orderkey join reuses lineitem's natural key; everything
+    is exact integers. Days with zero delta between events carry the
+    running value implicitly — emitted rows are CHANGE days only,
+    matching the oracle's identical byday grid.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    life = (
+        orders.select("o_orderkey", F.to_date("o_orderdate").alias("sd"))
+        .join(
+            li.select("l_orderkey", F.to_date("l_shipdate").alias("shd")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "sd")
+        .agg(F.max("shd").alias("ed"))
+    )
+    # both deltas in ONE pass: a union would re-evaluate life (and its
+    # orders⋈lineitem) per branch — explode a 2-element struct array
+    # instead (plan audit: 4 scans → 2)
+    deltas = life.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("sd").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add("ed", 1).alias("day"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
+    byday = deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return byday.select(
+        "day", F.sum("d").over(w).cast("bigint").alias("n_open_orders")
+    )

@@ -195,6 +195,13 @@ DEFAULT_QUERIES = [
     "bootstrap_order_value_ci",
     "part_association_rules",
     "ann_ivf_pq_topk",
+    # round 8
+    "heikin_ashi",
+    "momentum_decile_backtest",
+    "user_lifetime_survival",
+    "session_overlap_counts",
+    "token_fertility_by_lang",
+    "open_order_backlog",
 ]
 
 
