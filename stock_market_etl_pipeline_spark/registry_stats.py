@@ -1205,6 +1205,19 @@ def q_spearman_volume_move(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 100
+# One md5 per (row, hash-group) serves _BOOT_PER_MD5 = 6 replicates: the
+# digest's first 30 hex chars parse as TWO 15-hex (60-bit) integers (the
+# md5_hash60 idiom — hex->int conversion is the measured hot path, so
+# each conversion is reused for THREE 20-bit chunks via cheap div/mod),
+# and each 20-bit chunk buckets mod 1e6. The 2^20-vs-1e6 wrap bias
+# (~4.6% of bucket mass folded onto low buckets) shifts the effective
+# Poisson CDF thresholds by <5e-5 in probability — immaterial for
+# replicate weights, and the OPERATOR is defined by this exact hash
+# stream on both engines. Net: md5 x17 and conv x34 per row instead of
+# x100 each (quiet steady-state 20.5 -> 6-7 s at sf0.1).
+_BOOT_PER_MD5 = 6
+_BOOT_GROUPS = -(-_BOOT_B // _BOOT_PER_MD5)  # 17; last group partial
+_CHUNK = 1 << 20
 # Poisson(1) CDF at scale 1e6 (k = 0..8); a row's replicate weight is the
 # number of thresholds <= its hash bucket — the classic Poisson bootstrap
 # approximation of multinomial resampling, exact-integer on both engines.
@@ -1215,15 +1228,36 @@ _BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406, 999917,
 @register(
     "bootstrap_order_value_ci",
     f"""
-    WITH w AS (
-        SELECT b.b,
+    WITH hg AS (
+        SELECT g.g,
                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               md5(o_orderkey || '-' || g.g) AS h32
+        FROM orders
+        CROSS JOIN (SELECT unnest(range({_BOOT_GROUPS})) AS g) g
+    ),
+    c AS (
+        SELECT g, cents,
+               ('0x' || substr(h32, 1, 15))::BIGINT  AS c0,
+               ('0x' || substr(h32, 16, 15))::BIGINT AS c1
+        FROM hg
+    ),
+    w0 AS (
+        SELECT g * {_BOOT_PER_MD5} + j.j AS b, cents,
+               ((CASE WHEN j.j < 3 THEN c0 ELSE c1 END)
+                // (CASE j.j % 3 WHEN 0 THEN 1 WHEN 1 THEN {_CHUNK}
+                    ELSE {_CHUNK * _CHUNK} END))
+               % {_CHUNK} % 1000000 AS bk
+        FROM c
+        CROSS JOIN (SELECT unnest(range({_BOOT_PER_MD5})) AS j) j
+        WHERE g * {_BOOT_PER_MD5} + j.j < {_BOOT_B}
+    ),
+    w AS (
+        SELECT b, cents,
                {" + ".join(
-                   f"CASE WHEN ('0x' || substr(md5(o_orderkey || '-' || b.b),"
-                   f" 1, 15))::BIGINT % 1000000 >= {t} THEN 1 ELSE 0 END"
+                   f"CASE WHEN bk >= {t} THEN 1 ELSE 0 END"
                    for t in _BOOT_CDF
                )} AS wt
-        FROM orders CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+        FROM w0
     ),
     reps AS (
         SELECT b,
@@ -1255,10 +1289,11 @@ def q_bootstrap_order_value_ci(spark, sf_dir):
     replacement (which needs global coordination), every (row,
     replicate) pair independently gets a Poisson(1) weight, which
     converges to multinomial resampling for large n. Weights come from
-    the portable md5 60-bit hash (functions/text.md5_hash60 idiom)
-    bucketed against the Poisson(1) CDF at 1e6 — fully deterministic,
-    seedless, identical across engines/partitionings/runs: the
-    reproducible-CI property a training-data release needs.
+    portable md5-derived buckets (functions/text.md5_hash60 idiom; one
+    md5 per 6 replicates, one 60-bit conversion per 3 — see _BOOT_PER_MD5
+    comment) tested against the Poisson(1) CDF at 1e6 — fully
+    deterministic, seedless, identical across engines/partitionings/
+    runs: the reproducible-CI property a training-data release needs.
 
     Exactness: wt is an exact small int (count of CDF thresholds ≤ the
     hash bucket); each replicate mean is Σ(wt·cents)/Σwt/100 — exact
@@ -1267,8 +1302,11 @@ def q_bootstrap_order_value_ci(spark, sf_dir):
     identically), never an interpolated percentile. Point estimate is
     the exact full-sample mean. All raw, no rounding.
 
-    Plan: one orders scan cross-joined with a broadcast {100}-row
-    replicate range; the B× row fan-out collapses map-side (partial
+    Plan: one orders scan cross-joined with a broadcast 17-row
+    hash-group range (6 replicates per group, staged projections so
+    md5/conv stay single-evaluation columns — GenerateExec gets no
+    subexpression elimination, so CASE chains must consume plain
+    attributes); the B× row fan-out collapses map-side (partial
     aggregation into ≤ B groups per task), so the shuffle carries
     B·tasks rows, not B·n — the bootstrap costs B× COMPUTE (inherent to
     the statistic) but no extra data movement. The rank window runs
@@ -1279,23 +1317,67 @@ def q_bootstrap_order_value_ci(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
-    reps_ids = spark.range(_BOOT_B).select(F.col("id").alias("b"))
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", "o_orderkey", "b")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % F.lit(1000000)
+    grp_ids = spark.range(_BOOT_GROUPS).select(F.col("id").alias("g"))
+    hg = o.crossJoin(F.broadcast(grp_ids)).select(
+        "cents", "g",
+        F.md5(F.concat_ws("-", "o_orderkey", "g")).alias("h32"),
     )
-    wt = None
-    for t in _BOOT_CDF:
-        ind = F.when(h >= t, 1).otherwise(0)
-        wt = ind if wt is None else wt + ind
-    w = o.crossJoin(F.broadcast(reps_ids)).select(
-        "b", "cents", wt.alias("wt")
+
+    # staged projections keep every expensive expression a PLAIN COLUMN
+    # before it is referenced many times: md5 (5 chunk consumers) and
+    # each conv bucket (9 CASE consumers) would otherwise be re-inlined
+    # into every consumer inside the explode's struct array, where
+    # GenerateExec gets no subexpression elimination (first cut measured
+    # 103 s — 6x SLOWER than the one-md5-per-replicate version it was
+    # meant to beat; staged: ~4 s).
+    convs = hg.select(
+        "cents", "g",
+        F.conv(F.substring("h32", 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("c0"),
+        F.conv(F.substring("h32", 16, 15), 16, 10)
+        .cast("bigint")
+        .alias("c1"),
+    )
+
+    def _bucket(j: int):
+        shift = _CHUNK ** (j % 3)
+        return F.expr(
+            f"(({'c0' if j < 3 else 'c1'} div {shift}) "
+            f"% {_CHUNK}) % 1000000"
+        ).alias(f"h{j}")
+
+    def _wt(j: int):
+        h = F.col(f"h{j}")
+        wt = None
+        for t in _BOOT_CDF:
+            ind = F.when(h >= t, 1).otherwise(0)
+            wt = ind if wt is None else wt + ind
+        return wt.alias(f"w{j}")
+
+    buckets = convs.select(
+        "cents", "g", *[_bucket(j) for j in range(_BOOT_PER_MD5)]
+    )
+    weights = buckets.select(
+        "cents", "g", *[_wt(j) for j in range(_BOOT_PER_MD5)]
+    )
+    w = (
+        weights.select(
+            "cents",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("g") * _BOOT_PER_MD5 + j).alias("b"),
+                            F.col(f"w{j}").alias("wt"),
+                        )
+                        for j in range(_BOOT_PER_MD5)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select(F.col("x.b").alias("b"), "cents", F.col("x.wt").alias("wt"))
+        .filter(F.col("b") < _BOOT_B)
     )
     reps = w.groupBy("b").agg(
         (
