@@ -245,3 +245,175 @@ def q_momentum_decile_backtest(spark, sf_dir):
             F.round(F.avg("fwd_ret_pct"), 6).alias("avg_fwd_ret_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_trend",
+    WITH_TICKS
+    + """,
+    pts AS (
+        SELECT symbol,
+               date_diff('day', DATE '1970-01-01', date) AS d,
+               CAST(round(close * 100) AS BIGINT) AS cc
+        FROM ticks
+    ),
+    slopes AS (
+        SELECT a.symbol,
+               (b.cc - a.cc) / ((b.d - a.d) * 100.0) AS slope
+        FROM pts a JOIN pts b
+          ON a.symbol = b.symbol AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT symbol, slope,
+               ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY slope) AS rn,
+               COUNT(*)     OVER (PARTITION BY symbol)                AS m
+        FROM slopes
+    )
+    SELECT symbol, CAST(MAX(m) AS BIGINT) AS n_pairs,
+           CASE WHEN MAX(m) % 2 = 1
+                THEN MAX(CASE WHEN rn = (m + 1) // 2 THEN slope END)
+                ELSE (MAX(CASE WHEN rn = m // 2     THEN slope END)
+                    + MAX(CASE WHEN rn = m // 2 + 1 THEN slope END)) / 2
+           END AS theil_sen_slope
+    FROM ranked GROUP BY symbol
+    """,
+)
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen estimator per symbol: the MEDIAN of all pairwise
+    slopes (close_j − close_i)/(day_j − day_i) — the robust trend that
+    linear_trend_forecast's OLS is not (one crash day moves OLS, not
+    the slope median; breakdown point 29%).
+
+    Exactness: every slope is ONE division of exact ints (cents delta
+    over day-count·100 → dollars/day), so both engines hold identical
+    doubles; the median is ORDER-STATISTIC selection (row_number over
+    slope — ties carry equal values, so cross-engine tie order is
+    immaterial), closed by at most one add + one halving for even
+    counts. No rounding anywhere.
+
+    Scale: the pair join is per-symbol quadratic in DAYS — a constant
+    per key (~500 at sf0.1; the time axis doesn't grow with sf), so
+    total work is linear in symbols: one symbol-keyed sort-merge
+    self-join, one symbol exchange for the rank. The same
+    group-size-bounded argument as the LSH bucket cap, with the oracle
+    stating the identical quadratic directly."""
+    t = ticks(spark, sf_dir).select(
+        "symbol",
+        F.datediff(F.col("date"), F.lit("1970-01-01")).alias("d"),
+        F.round(F.col("close") * 100, 0).cast("bigint").alias("cc"),
+    )
+
+    def pair_slopes():
+        a = t.select(
+            F.col("symbol").alias("sym"), F.col("d").alias("da"),
+            F.col("cc").alias("ca"),
+        )
+        b = t.select(
+            F.col("symbol").alias("symb"), F.col("d").alias("db"),
+            F.col("cc").alias("cb"),
+        )
+        # try_divide, not /: Catalyst pools this projection into the
+        # phase-2 multi-join condition, where it can be EVALUATED on a
+        # da == db diagonal row before the da < db residual filters it
+        # — ANSI / throws there; try_divide yields NULL and the row is
+        # dropped by the residual as intended (slope values on
+        # surviving rows are identical).
+        return a.join(
+            b, (F.col("sym") == F.col("symb")) & (F.col("da") < F.col("db"))
+        ).select(
+            F.col("sym").alias("symbol"),
+            F.try_divide(
+                F.col("cb") - F.col("ca"),
+                (F.col("db") - F.col("da")) * F.lit(100.0),
+            ).alias("slope"),
+        )
+
+    # pair count is CLOSED-FORM from per-symbol day counts (days are
+    # distinct within a symbol): m = n(n-1)/2 — no count window over
+    # the pair stream, and the median target ranks are known up front.
+    mdf = t.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n")).select(
+        "symbol",
+        F.expr("__n * (__n - 1) div 2").alias("m"),
+    ).select(
+        "symbol", "m",
+        F.expr("(m + 1) div 2").alias("klo"),
+        F.expr("m div 2 + 1").alias("khi"),
+    ).localCheckpoint(eager=True)
+
+    # Phase 1 — bucket histogram: the pair stream collapses map-side
+    # into (symbol, floor(slope)) counts, so NOTHING the size of the
+    # pair set is ever shuffled or sorted (the first cut sorted all
+    # n²/2 slopes under a row_number window: 36 s at sf0.1). Bucket
+    # width 1 $/day: measured 15-47M distinct buckets at finer widths
+    # (slopes are heavy-tailed) versus ≤ a few thousand pairs per
+    # integer bucket — the refinement stays tiny while the histogram
+    # stays aggregable. A pathological all-equal-slope symbol would
+    # put every pair in one bucket and phase 2 degrades to the sort it
+    # replaced — cost bound, not correctness bound.
+    qb = F.floor(F.col("slope")).cast("long")
+    hist = pair_slopes().groupBy(
+        "symbol", qb.alias("qb")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("symbol")
+        .orderBy("qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "symbol", "qb", "cnt",
+        F.sum("cnt").over(wcum).alias("cum_end"),
+    ).withColumn("cum_start", F.col("cum_end") - F.col("cnt") + 1)
+    targets = cum.join(mdf, "symbol").filter(
+        (
+            (F.col("klo") >= F.col("cum_start"))
+            & (F.col("klo") <= F.col("cum_end"))
+        )
+        | (
+            (F.col("khi") >= F.col("cum_start"))
+            & (F.col("khi") <= F.col("cum_end"))
+        )
+    ).select("symbol", "qb", "cum_start")  # ≤ 2 buckets per symbol
+
+    # Phase 2 — re-enumerate pairs, keep only rows landing in a target
+    # bucket (broadcast semi-filter), rank WITHIN the bucket: global
+    # rank = cum_start - 1 + within-bucket row_number.
+    tgt = targets.select(
+        F.col("symbol").alias("__tsym"), F.col("qb").alias("__tqb"),
+        "cum_start",
+    )
+    refined = pair_slopes().join(
+        F.broadcast(tgt),
+        (F.col("symbol") == F.col("__tsym"))
+        & (F.floor(F.col("slope")).cast("long") == F.col("__tqb")),
+    ).select("symbol", "slope", "cum_start")
+    wb = Window.partitionBy("symbol", "cum_start").orderBy("slope")
+    picked = refined.select(
+        "symbol", "slope",
+        (F.col("cum_start") - 1 + F.row_number().over(wb)).alias("grank"),
+    ).join(F.broadcast(mdf), "symbol").filter(
+        (F.col("grank") == F.col("klo")) | (F.col("grank") == F.col("khi"))
+    )
+    return picked.groupBy("symbol").agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        F.when(
+            F.max("m") % 2 == 1,
+            F.max(F.when(F.col("grank") == F.col("klo"), F.col("slope"))),
+        )
+        .otherwise(
+            (
+                F.max(
+                    F.when(F.col("grank") == F.col("klo"), F.col("slope"))
+                )
+                + F.max(
+                    F.when(F.col("grank") == F.col("khi"), F.col("slope"))
+                )
+            )
+            / 2
+        )
+        .alias("theil_sen_slope"),
+    )

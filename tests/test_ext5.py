@@ -227,3 +227,142 @@ def test_momentum_deciles_partition_evenly(spark):
     import math
     assert all(math.isfinite(r.avg_fwd_ret_pct) for r in rows)
     assert all(-100.0 < r.avg_fwd_ret_pct for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_matches_python_reference(spark):
+    t = ticks(spark, SF_DIR).collect()
+    by_sym = defaultdict(list)
+    for r in t:
+        d = (r.date - __import__("datetime").date(1970, 1, 1)).days
+        by_sym[r.symbol].append((d, int(r.close * 100 + 0.5)))
+    rows = _q("theil_sen_trend")(spark, SF_DIR).collect()
+    got = {r.symbol: (r.n_pairs, r.theil_sen_slope) for r in rows}
+    assert set(got) == set(by_sym)
+    for sym in list(by_sym)[:10]:
+        pts = sorted(by_sym[sym])
+        slopes = sorted(
+            (cb - ca) / ((db - da) * 100.0)
+            for i, (da, ca) in enumerate(pts)
+            for db, cb in pts[i + 1:]
+        )
+        m = len(slopes)
+        med = (
+            slopes[(m - 1) // 2]
+            if m % 2 == 1
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+        n_pairs, slope = got[sym]
+        assert n_pairs == m
+        assert slope == pytest.approx(med, rel=1e-12)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """The estimator's point: a single corrupted day must barely move
+    the slope (OLS would move). Inject one 100x close into a copied
+    symbol's series and compare."""
+    import math
+
+    t = ticks(spark, SF_DIR).filter(F.col("symbol") == 1).collect()
+    pts = sorted(
+        (
+            (r.date - __import__("datetime").date(1970, 1, 1)).days,
+            int(r.close * 100 + 0.5),
+        )
+        for r in t
+    )
+
+    def ts_slope(p):
+        slopes = sorted(
+            (cb - ca) / ((db - da) * 100.0)
+            for i, (da, ca) in enumerate(p)
+            for db, cb in p[i + 1:]
+        )
+        m = len(slopes)
+        return (
+            slopes[(m - 1) // 2]
+            if m % 2
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+
+    clean = ts_slope(pts)
+    mid = len(pts) // 2
+    poisoned = list(pts)
+    poisoned[mid] = (poisoned[mid][0], poisoned[mid][1] * 100)
+    dirty = ts_slope(poisoned)
+    spread = max(c for _, c in pts) - min(c for _, c in pts)
+    # the poisoned median moves by far less than the injected jump
+    assert math.isfinite(dirty)
+    assert abs(dirty - clean) * 100.0 < spread / 10
+
+
+# ---------------------------------------------------------------------------
+# daily_event_ewma
+# ---------------------------------------------------------------------------
+
+
+def test_daily_event_ewma_matches_python_reference(spark):
+    from stock_market_etl_pipeline_spark.registry_ext5 import (
+        _EWMA_D,
+        _EWMA_N,
+    )
+
+    ev = load_events(spark, SF_DIR).select("event_type", "ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    by_type = defaultdict(list)
+    for (et, day), c in sorted(daily.items()):
+        by_type[et].append((day, c))
+    expect = {}
+    for et, seq in by_type.items():
+        for i in range(_EWMA_N - 1, len(seq)):
+            num = sum(
+                3 ** k * 4 ** (_EWMA_N - 1 - k) * seq[i - k][1]
+                for k in range(_EWMA_N)
+            )
+            expect[(et, seq[i][0])] = (
+                seq[i][1], num / _EWMA_D, seq[i][1] * _EWMA_D > 2 * num
+            )
+    rows = _q("daily_event_ewma")(spark, SF_DIR).collect()
+    got = {
+        (r.event_type, r.day): (r.n_events, r.ewma, r.is_burst)
+        for r in rows
+    }
+    assert set(got) == set(expect)
+    for k, (c, e, b) in expect.items():
+        gc, ge, gb = got[k]
+        assert gc == c and gb == b
+        assert ge == pytest.approx(e, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# nation_market_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_nation_coverage_full_outer_nonvacuous(spark):
+    """The FULL OUTER join's whole point is the one-sided rows: at
+    sf0.001 (~10 suppliers over 25 nations, 23 AUTOMOBILE customers)
+    both one-sided classes must be populated — if a testdata regen
+    covered every nation on both sides this would degenerate to an
+    inner join silently."""
+    rows = _q("nation_market_coverage")(spark, SF_DIR).collect()
+    kinds = {r.coverage for r in rows}
+    assert "customers_only" in kinds
+    assert "suppliers_only" in kinds or "both" in kinds
+    # counts agree with direct rollups
+    cust = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter("c_mktsegment = 'AUTOMOBILE'")
+        .count()
+    )
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet").count()
+    assert sum(r.n_customers for r in rows) == cust
+    assert sum(r.n_suppliers for r in rows) == supp
+    # every row is one-sided-or-both, never neither
+    assert all(r.n_customers > 0 or r.n_suppliers > 0 for r in rows)

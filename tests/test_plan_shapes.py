@@ -625,3 +625,56 @@ def test_tfidf_single_corpus_scan_capped_join(spark, qs):
     assert count_nodes(plan, "Window") == 1
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heikin_ashi_one_exchange_one_window(spark, qs):
+    """The unrolled recursion must stay a single window spine: one
+    lineitem scan, one symbol exchange, one Window node (all 20 lag
+    terms share the frame)."""
+    plan = plan_of(qs["heikin_ashi"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_open_order_backlog_single_pass_deltas(spark, qs):
+    """Both sweep-line deltas come from ONE orders⋈lineitem pass via a
+    struct explode — a union formulation re-scanned both tables
+    (plan audit caught 4 scans)."""
+    plan = plan_of(qs["open_order_backlog"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert count_nodes(plan, "Generate") == 1
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_session_overlap_no_nested_loop(spark, qs):
+    """The interval self-join must run via the hour-bucket equi-join —
+    a BroadcastNestedLoopJoin here means the inequality predicates
+    reached the join planner raw (quadratic at scale)."""
+    plan = plan_of(qs["session_overlap_counts"](spark, SF_DIR))
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_interpolated_no_unbounded_following(spark, qs):
+    """The 'next real value' must ride the DESC running frame: an
+    UnboundedFollowing frame executes as a per-row rescan (O(rows²) per
+    partition — measured 69.6 s vs 3.7 s at sf0.1)."""
+    plan = plan_of(qs["gap_fill_interpolated"](spark, SF_DIR))
+    assert "unboundedfollowing" not in plan.lower()
+    assert count_nodes(plan, "Window") == 2  # asc spine + desc mirror
+
+
+def test_asof_next_no_unbounded_following(spark, qs):
+    plan = plan_of(qs["asof_next_order_value"](spark, SF_DIR))
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_bootstrap_staged_conv_single_evaluation(spark, qs):
+    """The md5 and the two hex conversions must appear exactly once
+    each in the projection chain (staged columns) — re-inlining them
+    into the explode's struct array (GenerateExec: no subexpression
+    elimination) measured 5x slower."""
+    plan = plan_of(qs["bootstrap_order_value_ci"](spark, SF_DIR))
+    assert plan.lower().count("md5(") <= 2  # weight path + point path
+    assert plan.lower().count("conv(") <= 2

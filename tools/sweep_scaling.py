@@ -202,6 +202,9 @@ DEFAULT_QUERIES = [
     "session_overlap_counts",
     "token_fertility_by_lang",
     "open_order_backlog",
+    "theil_sen_trend",
+    "daily_event_ewma",
+    "nation_market_coverage",
 ]
 
 
