@@ -763,6 +763,109 @@ class TxTable:
 
     # -- reads ----------------------------------------------------------
 
+    # -- write-audit-publish (Iceberg WAP) ------------------------------
+    #
+    # Stage data invisibly, AUDIT it with arbitrary checks (the staged
+    # DataFrame is readable through read_wap), then atomically publish —
+    # or abort, leaving readers untouched either way. The pending state
+    # lives in _log/_wap/<wap_id>.json, which snapshot resolution never
+    # looks at, so a crash at ANY point before publish leaves only
+    # vacuum-able orphans. publish_wap() re-runs the registered CHECK
+    # constraints at publish time by default (audit gate + constraint
+    # gate compose), and commits through the same rebase path as append
+    # — concurrent appends between stage and publish are legal.
+
+    def _wap_dir(self) -> str:
+        d = os.path.join(self.log_dir, "_wap")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _wap_path(self, wap_id: str) -> str:
+        if "/" in wap_id or wap_id.startswith("."):
+            raise ValueError(f"bad wap_id: {wap_id!r}")
+        return os.path.join(self._wap_dir(), f"{wap_id}.json")
+
+    def stage_wap(self, df: DataFrame, wap_id: str) -> None:
+        """Stage ``df`` for later publication under ``wap_id``. Readers
+        see nothing; CHECK constraints are deferred to publish (the
+        audit step may be what decides the data is acceptable)."""
+        path = self._wap_path(wap_id)
+        if os.path.exists(path):
+            raise ValueError(f"wap_id {wap_id!r} already staged")
+        files, n, stats = self._stage(df, enforce=False)
+        pending = {
+            "wap_id": wap_id,
+            "files": files,
+            "n_rows": n,
+            "schema": df.schema.simpleString(),
+            "schema_json": df.schema.json(),
+            "stats": stats,
+        }
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(pending, f)
+        try:
+            os.link(tmp, path)
+        except FileExistsError as e:
+            raise ValueError(f"wap_id {wap_id!r} already staged") from e
+        finally:
+            os.unlink(tmp)
+
+    def _wap_pending(self, wap_id: str) -> dict:
+        path = self._wap_path(wap_id)
+        if not os.path.exists(path):
+            raise ValueError(f"no staged WAP {wap_id!r}")
+        with open(path) as f:
+            return json.load(f)
+
+    def read_wap(self, spark: SparkSession, wap_id: str) -> DataFrame:
+        """The staged-but-unpublished rows — what the audit step reads."""
+        p = self._wap_pending(wap_id)
+        from pyspark.sql.types import StructType
+
+        struct = (
+            StructType.fromJson(json.loads(p["schema_json"]))
+            if p.get("schema_json")
+            else None
+        )
+        return self._read_files(spark, p["files"], p["schema"], struct=struct)
+
+    def publish_wap(
+        self,
+        spark: SparkSession,
+        wap_id: str,
+        txn_id: str | None = None,
+        enforce_constraints: bool = True,
+    ) -> int:
+        """Atomically append the staged rows as the next snapshot. The
+        staged files are adopted as-is (no rewrite); CHECK constraints
+        run against the staged data unless explicitly waived; the commit
+        rides the append rebase path, so interleaved appends since
+        stage_wap are fine. The pending marker is removed AFTER the
+        commit — a crash between the two leaves a published snapshot
+        plus a stale marker whose re-publish is refused by the txn_id
+        no-op (pass one) or lands duplicate rows (pass none: callers
+        that may replay must supply txn_id, same contract as append)."""
+        p = self._wap_pending(wap_id)
+        if enforce_constraints and self.constraints():
+            self._check_constraints(self.read_wap(spark, wap_id))
+        snap = self._commit_with_rebase(
+            "append", p["files"], p["n_rows"], p["schema"], txn_id,
+            base=self.latest_snapshot(), our_removed=None,
+            overlap_probe=None, schema_json=p.get("schema_json"),
+            stats=p.get("stats"),
+        )
+        os.unlink(self._wap_path(wap_id))
+        return snap
+
+    def abort_wap(self, wap_id: str) -> int:
+        """Discard a staged WAP: the marker is removed and the staged
+        files become ordinary orphans for vacuum. Returns the number of
+        data files released."""
+        p = self._wap_pending(wap_id)
+        os.unlink(self._wap_path(wap_id))
+        return len(p["files"])
+
     def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
         """Resolve a manifest and read EXACTLY its file list — snapshot
         isolation by construction: concurrent commits change the log, not
@@ -1238,9 +1341,23 @@ class TxTable:
         files_deleted). The retained history bounds time travel."""
         snaps = self.snapshots()
         if not snaps:
-            # no commits: everything in data/ is an orphan
+            # no commits: everything in data/ is an orphan — except
+            # staged-but-unpublished WAP data
+            wap_keep: set[str] = set()
+            wap_dir = os.path.join(self.log_dir, "_wap")
+            if os.path.isdir(wap_dir):
+                for name in os.listdir(wap_dir):
+                    if name.endswith(".json"):
+                        try:
+                            with open(os.path.join(wap_dir, name)) as f:
+                                wap_keep.update(
+                                    json.load(f).get("files") or []
+                                )
+                        except (OSError, ValueError):
+                            continue
             orphans = [
-                n for n in os.listdir(self.data_dir) if n.endswith(".parquet")
+                n for n in os.listdir(self.data_dir)
+                if n.endswith(".parquet") and n not in wap_keep
             ]
             for n in orphans:
                 os.unlink(os.path.join(self.data_dir, n))
@@ -1253,6 +1370,17 @@ class TxTable:
         keep_files: set[str] = set()
         for s in retained:
             keep_files.update(self._manifest(s)["files"])
+        # staged-but-unpublished WAP data is live state, not orphans
+        wap_dir = os.path.join(self.log_dir, "_wap")
+        if os.path.isdir(wap_dir):
+            for name in os.listdir(wap_dir):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(wap_dir, name)) as f:
+                        keep_files.update(json.load(f).get("files") or [])
+                except (OSError, ValueError):
+                    continue
         dropped = 0
         for s in snaps:
             if s not in retained:
