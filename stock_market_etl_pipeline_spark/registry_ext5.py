@@ -560,3 +560,224 @@ def q_nation_market_coverage(spark, sf_dir):
         .otherwise("suppliers_only")
         .alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence within sessions — market-basket on sessions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_type_cooccurrence",
+    "WITH "
+    + _SESSIONS_CTE.replace(
+        "SELECT user_id, ts,", "SELECT user_id, ts, event_type,"
+    ).replace(
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, ts",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, ts,"
+        " event_type",
+    ).replace(
+        """    iv AS (
+        SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+               epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+        FROM sess GROUP BY 1, 2
+    )""",
+        """    st AS (
+        SELECT DISTINCT user_id, sid, event_type FROM sess
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, sid)) AS n_sessions FROM sess),
+    tf AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+           FROM st GROUP BY 1)""",
+    )
+    + """,
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ta.n_t AS n_a, tb.n_t AS n_b,
+           CAST(n.n_sessions AS BIGINT) AS n_sessions,
+           p.n_both * CAST(n.n_sessions AS BIGINT)
+               / CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN tf ta ON p.type_a = ta.event_type
+    JOIN tf tb ON p.type_b = tb.event_type
+    CROSS JOIN n
+    """,
+)
+def q_session_type_cooccurrence(spark, sf_dir):
+    """Market-basket analysis where the basket is a SESSION: which
+    event types co-occur within the 30-minute-gap sessions, with exact
+    lift = P(a,b)/(P(a)·P(b)) = n_both·N/(n_a·n_b). The session-level
+    sibling of part_cooccurrence (whose basket is an order).
+
+    Scale shape: the per-session distinct-type set is bounded by the
+    TYPE VOCABULARY (5 here), so the within-session pair fan-out is
+    ≤ C(|types|,2) per session — linear in sessions, never quadratic
+    in events; the pair join runs on the (user,sid)-keyed distinct-type
+    table and everything downstream is |types|²-sized. Exact integers
+    closed by one double division for the lift (int64 product n_a·n_b
+    is safe to ~3e9 sessions per type). Reference: no session-basket
+    surface (extension per SURVEY §2.12)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    st = (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("user_id", "sid", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # pairs (2 sides) + tf + n
+    )
+    n_sessions = st.select("user_id", "sid").distinct().count()
+    tf = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    a = st.select(
+        F.col("user_id").alias("u"), F.col("sid").alias("s1"),
+        F.col("event_type").alias("type_a"),
+    )
+    b = st.select(
+        F.col("user_id").alias("u2"), F.col("sid").alias("s2"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("u") == F.col("u2"))
+            & (F.col("s1") == F.col("s2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ta = tf.select(
+        F.col("event_type").alias("__ta"), F.col("n_t").alias("n_a")
+    )
+    tb = tf.select(
+        F.col("event_type").alias("__tb"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), F.col("type_a") == F.col("__ta"))
+        .join(F.broadcast(tb), F.col("type_b") == F.col("__tb"))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.lit(n_sessions).cast("bigint").alias("n_sessions"),
+            (
+                F.col("n_both") * F.lit(n_sessions)
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overnight price gaps — open vs previous close, exact threshold flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_gap_events",
+    """
+    WITH ticks AS (
+        SELECT l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS date,
+               MIN(l_extendedprice) AS open,
+               MAX(l_extendedprice) AS close
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT symbol, date,
+               CAST(round(open * 100) AS BIGINT)  AS oc,
+               LAG(CAST(round(close * 100) AS BIGINT))
+                   OVER (PARTITION BY symbol ORDER BY date) AS pc
+        FROM ticks
+    ),
+    flagged AS (
+        SELECT symbol, date, oc, pc,
+               (oc - pc) / (pc / 100.0) AS gap_pct,
+               20 * oc > 21 * pc AS gap_up,
+               20 * oc < 19 * pc AS gap_down
+        FROM c WHERE pc IS NOT NULL AND pc > 0
+    )
+    SELECT symbol,
+           CAST(COUNT(*) AS BIGINT)                             AS n_days,
+           CAST(SUM(CASE WHEN gap_up   THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS n_gap_up,
+           CAST(SUM(CASE WHEN gap_down THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS n_gap_down,
+           MAX(gap_pct)                                         AS max_gap_pct,
+           MIN(gap_pct)                                         AS min_gap_pct
+    FROM flagged GROUP BY symbol
+    """,
+)
+def q_price_gap_events(spark, sf_dir):
+    """Overnight gap detection per symbol: today's open vs yesterday's
+    close, counting ±5% gap days and the extreme gap sizes — the data
+    feed for gap-trading scans and for data-quality review (a gap
+    cluster often means a bad load, the reference's clean-step
+    territory: ``src/transform.py`` price-consistency checks).
+
+    The gap FLAGS never touch floats: 20·oc > 21·pc is the
+    cross-multiplied exact-integer form of oc/pc − 1 > 5% (NOTES
+    cross-multiplication idiom; int64-safe trivially). gap_pct itself
+    is emitted for the MIN/MAX extremes only: (oc − pc)/(pc/100) is
+    two sequential correctly-rounded ops on exact ints — deterministic
+    doubles, and MIN/MAX are order-insensitive exact selections (rule
+    10's safe class). One symbol exchange serves the lag window and
+    the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("symbol"),
+        F.to_date("l_shipdate").alias("date"),
+        "l_extendedprice",
+    )
+    t = (
+        li.repartition(F.col("symbol"))
+        .groupBy("symbol", "date")
+        .agg(
+            F.min("l_extendedprice").alias("open"),
+            F.max("l_extendedprice").alias("close"),
+        )
+    )
+    w = Window.partitionBy("symbol").orderBy("date")
+    c = t.select(
+        "symbol", "date",
+        F.round(F.col("open") * 100, 0).cast("bigint").alias("oc"),
+        F.lag(F.round(F.col("close") * 100, 0).cast("bigint"))
+        .over(w)
+        .alias("pc"),
+    ).filter(F.col("pc").isNotNull() & (F.col("pc") > 0))
+    flagged = c.select(
+        "symbol",
+        (
+            (F.col("oc") - F.col("pc")) / (F.col("pc") / F.lit(100.0))
+        ).alias("gap_pct"),
+        (20 * F.col("oc") > 21 * F.col("pc")).alias("gap_up"),
+        (20 * F.col("oc") < 19 * F.col("pc")).alias("gap_down"),
+    )
+    return flagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("gap_up"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gap_up"),
+        F.sum(F.when(F.col("gap_down"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gap_down"),
+        F.max("gap_pct").alias("max_gap_pct"),
+        F.min("gap_pct").alias("min_gap_pct"),
+    )

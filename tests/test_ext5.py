@@ -366,3 +366,80 @@ def test_nation_coverage_full_outer_nonvacuous(spark):
     assert sum(r.n_suppliers for r in rows) == supp
     # every row is one-sided-or-both, never neither
     assert all(r.n_customers > 0 or r.n_suppliers > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# session_type_cooccurrence / price_gap_events
+# ---------------------------------------------------------------------------
+
+
+def test_session_type_cooccurrence_matches_bruteforce(spark):
+    ev = (
+        load_events(spark, SF_DIR)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    baskets = []
+    for u, rows in by_user.items():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        cur, end = set(), None
+        for ts, _eid, et in rows:
+            if end is not None and (ts - end) > timedelta(minutes=30):
+                baskets.append(cur)
+                cur = set()
+            cur.add(et)
+            end = ts
+        baskets.append(cur)
+    n = len(baskets)
+    from collections import Counter
+
+    tcount = Counter(t for b in baskets for t in b)
+    pcount = Counter(
+        (a, b2)
+        for b in baskets
+        for a in b
+        for b2 in b
+        if a < b2
+    )
+    rows = _q("session_type_cooccurrence")(spark, SF_DIR).collect()
+    got = {(r.type_a, r.type_b): r for r in rows}
+    assert set(got) == set(pcount)
+    for (a, b2), r in got.items():
+        assert r.n_both == pcount[(a, b2)]
+        assert r.n_a == tcount[a] and r.n_b == tcount[b2]
+        assert r.n_sessions == n
+        assert r.lift == pytest.approx(
+            pcount[(a, b2)] * n / (tcount[a] * tcount[b2])
+        )
+
+
+def test_price_gap_flags_consistent(spark):
+    """Exact cross-multiplied flags must agree with the float gap_pct
+    on every collected row (they are the same predicate stated two
+    ways), and flags must be strictly beyond the 5% threshold."""
+    rows = _q("price_gap_events")(spark, SF_DIR).collect()
+    assert rows and all(r.n_days > 0 for r in rows)
+    # re-derive per-row flags for a few symbols
+    from stock_market_etl_pipeline_spark.sources.ticks import ticks as _t
+
+    t = _t(spark, SF_DIR).orderBy("symbol", "date").collect()
+    by_sym = defaultdict(list)
+    for r in t:
+        by_sym[r.symbol].append(
+            (int(r.open * 100 + 0.5), int(r.close * 100 + 0.5))
+        )
+    expect_up = defaultdict(int)
+    expect_dn = defaultdict(int)
+    for sym, seq in by_sym.items():
+        for (oc, _c), (_po, pc) in zip(seq[1:], seq[:-1]):
+            if pc > 0:
+                if 20 * oc > 21 * pc:
+                    expect_up[sym] += 1
+                if 20 * oc < 19 * pc:
+                    expect_dn[sym] += 1
+    got = {r.symbol: (r.n_gap_up, r.n_gap_down) for r in rows}
+    for sym in got:
+        assert got[sym] == (expect_up[sym], expect_dn[sym])

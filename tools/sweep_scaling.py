@@ -205,6 +205,8 @@ DEFAULT_QUERIES = [
     "theil_sen_trend",
     "daily_event_ewma",
     "nation_market_coverage",
+    "session_type_cooccurrence",
+    "price_gap_events",
 ]
 
 
