@@ -224,3 +224,91 @@ def start_pipeline_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_wap_gated_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    table_root: str,
+    quarantine_root: str,
+    checkpoint_dir: str,
+    validation_threshold: float = 0.90,
+):
+    """The quality gate as WRITE-AUDIT-PUBLISH into transactional
+    tables: each micro-batch is cleaned + enriched, STAGED invisibly
+    into the serving TxTable (operators/txtable.stage_wap), audited by
+    the one-pass quality suite READING THE STAGED FILES (staging is the
+    single materialization — no cache/unpersist dance), then atomically
+    published (txn_id-idempotent) or diverted whole to a quarantine
+    TxTable. start_gated_quote_ingest writes raw parquet directories;
+    this is the same ≥90% gate (reference ``src/pipeline.py:227-251``)
+    upgraded to the lakehouse contract: readers of the serving table see
+    a batch entirely or not at all, at EVERY crash point —
+
+    - crash before/during stage: unreferenced orphans, vacuum sweeps;
+    - crash after stage, before the audit/publish: the replay finds the
+      pending marker and audits THE SAME staged files (stage_wap is
+      wap_id-idempotent here by reuse, not re-write);
+    - crash after publish/quarantine-append, before the checkpoint
+      commit: the replay sees the txn marker on whichever table won and
+      drops the stale pending marker without recomputing anything —
+      decisions are never re-derived against moved state (the
+      semantic_dedup ADVICE-r7 lesson applied at design time).
+
+    Returns the started StreamingQuery (availableNow).
+    """
+    from ..operators.clean import clean_quotes
+    from ..operators.enrich import enrich
+    from ..operators.txtable import TxTable
+    from ..plans.quality import run_quality_suite, stock_quality_checks
+
+    table = TxTable(table_root)
+    quarantine = TxTable(quarantine_root)
+    raw = (
+        spark.readStream.schema(RAW_QUOTE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(landing_dir)
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        txn = f"wapgate-{batch_id}"
+        wap = f"gate-{batch_id}"
+        if table.txn_committed(txn) or quarantine.txn_committed(txn):
+            # this batch already landed on a previous delivery; a crash
+            # between the commit and the marker cleanup may have left a
+            # stale pending WAP — drop it, never re-audit
+            try:
+                table.abort_wap(wap)
+            except ValueError:
+                pass
+            return
+        try:
+            enriched = enrich(
+                clean_quotes(batch_df).drop("extracted_at", "data_source")
+            )
+            table.stage_wap(enriched, wap)
+        except ValueError:
+            pass  # staged by a crashed earlier attempt: audit those files
+        staged = table.read_wap(spark, wap)
+        ok, _rate, _results = run_quality_suite(
+            staged,
+            stock_quality_checks(),
+            success_threshold=validation_threshold,
+        )
+        if ok:
+            table.publish_wap(spark, wap, txn_id=txn)
+        else:
+            # copy staged rows to quarantine FIRST, then release the
+            # staged files (replay after a crash in between is caught
+            # by the quarantine txn marker above)
+            quarantine.append(staged, txn_id=txn)
+            table.abort_wap(wap)
+
+    return (
+        raw.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
