@@ -678,3 +678,30 @@ def test_bootstrap_staged_conv_single_evaluation(spark, qs):
     plan = plan_of(qs["bootstrap_order_value_ci"](spark, SF_DIR))
     assert plan.lower().count("md5(") <= 2  # weight path + point path
     assert plan.lower().count("conv(") <= 2
+
+
+def test_session_overlap_no_pair_materialization(spark, qs):
+    """The boundary-rank rewrite must keep the pair join OUT of the
+    plan: no Generate (the old hour-bucket explode), no join between
+    two session-sized sides (the only joins left are the broadcast
+    hourly-cumsum lookup and the start/end metric zip)."""
+    plan = plan_of(qs["session_overlap_counts"](spark, SF_DIR))
+    assert count_nodes(plan, "Generate") == 0
+    assert "CartesianProduct" not in plan
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_theil_sen_two_phase_no_pair_sort(spark, qs):
+    """Phase 1 must aggregate the pair stream straight into the bucket
+    histogram — a Sort feeding a Window over the raw pair join (the
+    36-second first cut) shows up as a Window whose input is the
+    SortMergeJoin; in the two-phase plan every Window runs over an
+    aggregate output."""
+    plan = plan_of(qs["theil_sen_trend"](spark, SF_DIR))
+    # the histogram aggregate exists
+    assert count_nodes(plan, "HashAggregate") >= 2
+    # windows in this plan are over bucket rollups, which arrive via
+    # exchanges from aggregates — the raw pair join feeds ONLY
+    # aggregates, never a Window directly. Structural proxy: the plan
+    # has at most 2 Window nodes (cumsum + within-bucket rank).
+    assert count_nodes(plan, "Window") <= 2
