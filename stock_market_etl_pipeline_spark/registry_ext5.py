@@ -781,3 +781,52 @@ def q_price_gap_events(spark, sf_dir):
         F.max("gap_pct").alias("max_gap_pct"),
         F.min("gap_pct").alias("min_gap_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantity distribution audit — exact integer histogram + share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantity_distribution",
+    """
+    WITH h AS (
+        SELECT CAST(l_quantity AS BIGINT) AS quantity,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+    SELECT h.quantity, h.n,
+           h.n / CAST(t.total AS DOUBLE) AS share,
+           CAST(SUM(h.n) OVER (ORDER BY h.quantity
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n
+    FROM h, t
+    """,
+)
+def q_quantity_distribution(spark, sf_dir):
+    """Order-quantity distribution audit: exact per-value counts,
+    share of total, and the cumulative count — the uniformity check a
+    data audit runs on any discrete column (TPC-H quantity is uniform
+    1..50; a regenerated or corrupted load shows up as a skewed or
+    truncated histogram immediately).
+
+    All integers; share is one int/int division (raw); the cumulative
+    sum is an unpartitioned window over the VALUE-DOMAIN-sized rollup
+    (≤50 rows at any sf — the bounded-rollup argument again). The scan
+    reads one column; partial aggregation means the shuffle carries at
+    most |domain| rows per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("quantity")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = h.agg(F.sum("n").cast("bigint").alias("total"))
+    w = Window.orderBy("quantity").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "quantity", "n",
+        (F.col("n") / F.col("total").cast("double")).alias("share"),
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )

@@ -207,6 +207,7 @@ DEFAULT_QUERIES = [
     "nation_market_coverage",
     "session_type_cooccurrence",
     "price_gap_events",
+    "quantity_distribution",
 ]
 
 
