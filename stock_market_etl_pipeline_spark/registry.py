@@ -130,15 +130,19 @@ def queries() -> dict[str, QueryFn]:
             f"(rename/removal without retiring them): {sorted(unknown)}",
             stacklevel=2,
         )
+    # Single source of truth: membership and sort key both come from
+    # _SAMPLE_HISTORY (DRIVER_SAMPLED is a frozen convenience view; if
+    # the two ever diverge — e.g. a test monkeypatching only one —
+    # queries() must not brick on a KeyError).
     fresh = [
         n for n in _QUERIES
-        if n in _ORACLES and n not in DRIVER_SAMPLED
+        if n in _ORACLES and n not in _SAMPLE_HISTORY
     ]
     lead = fresh[:DRIVER_SAMPLE_WINDOW]
     if len(lead) < DRIVER_SAMPLE_WINDOW:
         resample = sorted(
-            (n for n in _QUERIES if n in _ORACLES and n in DRIVER_SAMPLED),
-            key=lambda n: (_SAMPLE_HISTORY[n], n),
+            (n for n in _QUERIES if n in _ORACLES and n in _SAMPLE_HISTORY),
+            key=lambda n: (_SAMPLE_HISTORY.get(n, 0), n),
         )
         lead += resample[: DRIVER_SAMPLE_WINDOW - len(lead)]
     lead_set = set(lead)
