@@ -82,6 +82,9 @@ def run_loop(
             # drop nothing the cached series relies on; in the uncached
             # phase this guards against any accidental cache pickup
             spark.catalog.clearCache()
+            # VERDICT r7 #6: the uncached series must really be uncached
+            assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty(), \
+                "cached relations present at uncached-phase start"
         for name in raw:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -66,6 +66,15 @@ class SnapshotUnavailable(Exception):
     (never written, or reclaimed by vacuum)."""
 
 
+class AlreadyStaged(ValueError):
+    """``stage_wap`` found pending state under this wap_id — a crashed
+    earlier attempt staged it; audit THOSE files instead of re-staging.
+    Subclasses ValueError so pre-existing broad handlers keep working,
+    but callers should catch this type: a broad ``except ValueError``
+    around the transform + stage swallows genuine transform errors
+    (ADVICE r8)."""
+
+
 class ConstraintViolation(Exception):
     """Rows being written violate a registered CHECK constraint — the
     commit is refused and the table is untouched (staged files become
@@ -93,6 +102,15 @@ class TxTable:
         self.bloom_bits = bloom_bits
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # incrementally-extended txn-marker cache (ADVICE r8: a
+        # per-micro-batch full-log scan is O(snapshots^2) metadata reads
+        # over a long-running stream's lifetime). The log is append-only
+        # — manifests are never rewritten, and vacuum only deletes OLD
+        # ones we have already scanned or never will need — so markers
+        # once seen stay valid and each call reads only manifests newer
+        # than the high-water mark.
+        self._txn_cache: set = set()
+        self._txn_scanned: int = -1
 
     # -- log resolution (KB-scale metadata reads, never data listing) ---
 
@@ -117,10 +135,21 @@ class TxTable:
         metrics) alongside the table commit check this FIRST: a replayed
         batch whose merge already landed must not recompute the side
         artifact against the post-commit table state (ADVICE r7)."""
-        return any(
-            self._manifest(s).get("txn_id") == txn_id
-            for s in self.snapshots()
-        )
+        return txn_id in self._txn_ids_seen()
+
+    def _txn_ids_seen(self) -> set:
+        """Every txn marker in the log, via the instance cache: only
+        manifests newer than the last scan are read (the log is
+        append-only; snapshot numbers are claimed monotonically by
+        exclusive-create, so no commit can appear below the high-water
+        mark)."""
+        for s in self.snapshots():
+            if s > self._txn_scanned:
+                t = self._manifest(s).get("txn_id")
+                if t:
+                    self._txn_cache.add(t)
+                self._txn_scanned = s
+        return self._txn_cache
 
     def _manifest(self, snapshot: int) -> dict:
         path = os.path.join(self.log_dir, f"{snapshot:010d}.json")
@@ -475,9 +504,15 @@ class TxTable:
 
         ``enforce=False`` skips CHECK-constraint validation — only for
         pure-rearrangement writers (delete survivors, OPTIMIZE rewrite)
-        whose rows already live in the table."""
-        if enforce:
-            self._check_constraints(df)
+        whose rows already live in the table.
+
+        CHECK constraints are validated on the STAGED files, not on the
+        incoming DataFrame (ADVICE r8): validating df first would compute
+        it twice, and a nondeterministic df (rand(), a mutating source)
+        could pass the pre-check yet stage violating rows — the checked
+        bytes must be the committed bytes. A failed check raises before
+        any manifest references the files, so they are vacuum-able
+        orphans, never table state."""
         stage_id = uuid.uuid4().hex
         stage_dir = os.path.join(self.data_dir, f"_stage_{stage_id}")
         df.write.mode("overwrite").parquet(stage_dir)
@@ -508,6 +543,12 @@ class TxTable:
                     st["bloom"] = bl
             files.append(final)
         shutil.rmtree(stage_dir)
+        if enforce and files and self.constraints():
+            self._check_constraints(
+                df.sparkSession.read.parquet(
+                    *[os.path.join(self.data_dir, f) for f in files]
+                )
+            )
         return files, n_rows, stats
 
     def _schema_struct(self, m: dict):
@@ -541,12 +582,7 @@ class TxTable:
         it never saw."""
         prev = self.latest_snapshot() if base is None else base
         if txn_id is not None and prev is not None:
-            seen = set()
-            for s in self.snapshots():
-                t = self._manifest(s).get("txn_id")
-                if t:
-                    seen.add(t)
-            if txn_id in seen:
+            if txn_id in self._txn_ids_seen():
                 # replayed delivery: the work is already committed.
                 # Staged files become orphans; vacuum reclaims them.
                 return prev
@@ -791,7 +827,7 @@ class TxTable:
         audit step may be what decides the data is acceptable)."""
         path = self._wap_path(wap_id)
         if os.path.exists(path):
-            raise ValueError(f"wap_id {wap_id!r} already staged")
+            raise AlreadyStaged(f"wap_id {wap_id!r} already staged")
         files, n, stats = self._stage(df, enforce=False)
         pending = {
             "wap_id": wap_id,
@@ -807,7 +843,7 @@ class TxTable:
         try:
             os.link(tmp, path)
         except FileExistsError as e:
-            raise ValueError(f"wap_id {wap_id!r} already staged") from e
+            raise AlreadyStaged(f"wap_id {wap_id!r} already staged") from e
         finally:
             os.unlink(tmp)
 

@@ -259,7 +259,7 @@ def start_wap_gated_ingest(
     """
     from ..operators.clean import clean_quotes
     from ..operators.enrich import enrich
-    from ..operators.txtable import TxTable
+    from ..operators.txtable import AlreadyStaged, TxTable
     from ..plans.quality import run_quality_suite, stock_quality_checks
 
     table = TxTable(table_root)
@@ -284,12 +284,12 @@ def start_wap_gated_ingest(
             except ValueError:
                 pass
             return
+        enriched = enrich(
+            clean_quotes(batch_df).drop("extracted_at", "data_source")
+        )
         try:
-            enriched = enrich(
-                clean_quotes(batch_df).drop("extracted_at", "data_source")
-            )
             table.stage_wap(enriched, wap)
-        except ValueError:
+        except AlreadyStaged:
             pass  # staged by a crashed earlier attempt: audit those files
         staged = table.read_wap(spark, wap)
         ok, _rate, _results = run_quality_suite(

@@ -106,3 +106,57 @@ def test_multiple_violations_reported_together(spark, tmp_path):
     msg = str(e.value)
     assert "v_positive" in msg and "k_small" in msg
     assert "1 row(s)" in msg and "2 row(s)" in msg
+
+
+def test_check_validates_staged_bytes_not_input_plan(spark, tmp_path):
+    """ADVICE r8 TOCTOU: validation must run on the STAGED files so the
+    checked bytes are the committed bytes and the input plan is evaluated
+    once. A nondeterministic df (rand()) whose pre-check evaluation could
+    pass while the staged evaluation violates must be judged on what was
+    actually written: with a constraint that the staged rows always
+    violate, the refused write leaves the table untouched and the staged
+    files as vacuum-able orphans."""
+    import os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0, "a")]))
+    t.add_check_constraint(spark, "v_positive", "v > 0")
+    before = set(os.listdir(t.data_dir))
+    with pytest.raises(ConstraintViolation, match="v_positive"):
+        t.append(
+            spark.range(4).select(
+                F.col("id").alias("k"),
+                # nondeterministic, but always <= 0: any single
+                # evaluation passes or fails on the staged bytes alone
+                (-F.rand() - F.lit(0.001)).alias("v"),
+                F.lit("x").alias("tag"),
+            )
+        )
+    assert t.read(spark).count() == 1
+    # refused rows were staged (validation read them back), then orphaned
+    orphans = set(os.listdir(t.data_dir)) - before
+    assert orphans, "violating write should have staged files first"
+    live = set(t._manifest(t.latest_snapshot())["files"])
+    assert not (orphans & live)
+    t.vacuum(keep_last=1)
+    assert not (set(os.listdir(t.data_dir)) & orphans)
+
+
+def test_txn_marker_cache_sees_other_writers(spark, tmp_path):
+    """The incremental txn-marker cache must pick up commits made by a
+    DIFFERENT TxTable instance after this instance's last scan (the
+    per-micro-batch O(log^2) fix cannot go stale)."""
+    root = str(tmp_path / "t")
+    a = TxTable(root)
+    b = TxTable(root)
+    a.append(_df(spark, [(1, 1.0, "a")]), txn_id="batch-1")
+    # b's cache was warmed before a's commit? force a warm scan first:
+    assert not b.txn_committed("batch-0")
+    assert b.txn_committed("batch-1")
+    b.append(_df(spark, [(2, 2.0, "b")]), txn_id="batch-2")
+    assert a.txn_committed("batch-2")
+    # replayed txn through the cached path is still a recorded no-op
+    snap = a.latest_snapshot()
+    a.append(_df(spark, [(9, 9.0, "z")]), txn_id="batch-2")
+    assert a.latest_snapshot() == snap
+    assert a.read(spark).count() == 2
