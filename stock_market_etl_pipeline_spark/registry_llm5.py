@@ -335,3 +335,258 @@ def q_tfidf_doc_vectors(spark, sf_dir):
             (F.col("weight_u").cast("double") / F.lit(1e6)).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25-scored decontamination (VERDICT r7 #3): compose bm25_topk's
+# exact-integer scoring with benchmark_contamination's needle screen
+# into a per-doc keep / flag / drop decision.
+# ---------------------------------------------------------------------------
+
+# The benchmark "queries" are the needle phrases themselves (in
+# production: one query per eval item, thousands of them — same plan).
+# Kept in sync with registry_llm.py's _CONTAMINATION_NEEDLES so the two
+# screens audit the SAME benchmark set.
+_DECON_NEEDLES: list[tuple[str, str]] = [
+    ("needle_1", "the quick brown fox"),
+    ("needle_2", "hash join build side"),
+    ("needle_3", "stream stream stream"),
+]
+# Flag a doc when its BM25 score reaches 9/10 of the per-query best —
+# scale-free (both sides of the cross-multiplied comparison are exact
+# int64, so the decision is hash-portable at any corpus size). Measured
+# flag mass on the testdata corpus: ~2% of docs at 9/10 (a reviewable
+# tail) vs ~70% at 3/5 (scores cluster tightly on homogeneous corpora —
+# the threshold is a review-budget dial, not a semantics knob).
+_DECON_REL_NUM, _DECON_REL_DEN = 9, 10
+# Query terms seen in >90% of docs carry ~zero idf and corpus-sized
+# postings; drop them from scoring (an impact-sorted index's stop-term
+# cut). Mirrored in the oracle — a cost bound, not a heuristic.
+_DECON_MAX_DF_NUM, _DECON_MAX_DF_DEN = 9, 10
+
+
+def bm25_decontaminate(
+    spark,
+    docs,
+    queries: list[tuple[str, str]],
+    rel_num: int = _DECON_REL_NUM,
+    rel_den: int = _DECON_REL_DEN,
+):
+    """Per-document contamination decisions for a benchmark query set.
+
+    ``queries`` is [(query_id, phrase)]. Two composed signals:
+
+    - exact: the normalized text CONTAINS the contiguous phrase
+      (benchmark_contamination's screen) → decision 'drop', weight 0.0 —
+      certain leakage, whatever the lexical score says;
+    - lexical: BM25 (exact-integer scoring, see module docstring) of the
+      doc against the phrase's term set reaches ``rel_num/rel_den`` of
+      the per-query best score (default 9/10) → decision 'flag',
+      weight 0.5 — a
+      paraphrase-ish near-copy the contiguous n-gram screen CANNOT see
+      (terms present, phrase broken). Everything else keeps weight 1.0
+      and is not emitted.
+
+    100 TB shape: the (query, doc) pair stream is the inverted-index
+    postings for the query terms only (Σ_t df(t) rows — linear in
+    corpus, never quadratic), the >90%-df stop-term cap bounds the
+    worst posting list, per-query stats/idf broadcast, and the
+    threshold needs one tiny best-per-query rollup — no window over
+    corpus-sized partitions anywhere. Reference lineage: extension
+    scope per SURVEY §2.12 (the reference has no retrieval surface).
+    """
+    qterms = [(qid, t) for qid, phrase in queries
+              for t in sorted(set(phrase.split()))]
+    terms = sorted({t for _, t in qterms})
+    toks = docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("__tk"),
+    ).select("doc_id", "dl", F.lower("__tk").alias("token"))
+    stats = docs.select(
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("__n")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").alias("sl"),
+    ).localCheckpoint(eager=True)
+    qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+             F.max("dl").alias("dl"))
+    ).localCheckpoint(eager=True)
+    df_t = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    idf = (
+        df_t.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * _DECON_MAX_DF_DEN
+                <= F.col("n_docs") * _DECON_MAX_DF_NUM)
+        .select("token", _idf_u(F.col("n_docs"), F.col("df")).alias("idf_u"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    contrib = (
+        tf.join(F.broadcast(idf), "token")
+        .join(F.broadcast(qdf), F.col("token") == F.col("term"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id",
+            (dec(F.col("idf_u")) * 22 * dec(F.col("tf")) * dec(F.col("sl"))
+             * _CONTRIB_SCALE).alias("__num"),
+            (dec(F.lit(10)) * dec(F.col("sl")) * dec(F.col("tf"))
+             + dec(F.lit(3)) * dec(F.col("sl"))
+             + dec(F.lit(9)) * dec(F.col("dl")) * dec(F.col("n_docs"))
+             ).alias("__den"),
+        )
+        .select(
+            "query_id", "doc_id",
+            F.expr("__num div __den").cast("long").alias("__c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("__c").alias("score_nano")
+    ).localCheckpoint(eager=True)
+    best = scored.groupBy("query_id").agg(
+        F.max("score_nano").alias("best_nano")
+    )
+    ntext = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    exact = (
+        docs.select("doc_id", ntext.alias("__nt"))
+        .select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.col("__nt").contains(phrase).alias("h"),
+                )
+                for qid, phrase in queries
+            ])).alias("e"),
+        )
+        .filter(F.col("e.h"))
+        .select(F.col("e.query_id").alias("query_id"), "doc_id")
+    )
+    on = ["query_id", "doc_id"]
+    drop_rows = (
+        exact.join(scored, on, "left")
+        .select(
+            *on,
+            F.coalesce(F.col("score_nano"), F.lit(0).cast("long"))
+            .alias("score_nano"),
+            F.lit(True).alias("ngram_hit"),
+            F.lit("drop").alias("decision"),
+            F.lit(0.0).alias("weight"),
+        )
+    )
+    flag_rows = (
+        scored.join(F.broadcast(best), "query_id")
+        .filter(F.col("score_nano") * rel_den >= F.col("best_nano") * rel_num)
+        .join(exact, on, "left_anti")
+        .select(
+            *on,
+            "score_nano",
+            F.lit(False).alias("ngram_hit"),
+            F.lit("flag").alias("decision"),
+            F.lit(0.5).alias("weight"),
+        )
+    )
+    return drop_rows.unionByName(flag_rows).select(
+        *on,
+        (F.col("score_nano").cast("double") / F.lit(1e9)).alias("bm25"),
+        "ngram_hit", "decision", "weight",
+    )
+
+
+_DECON_Q_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, phrase in _DECON_NEEDLES
+    for t in sorted(set(phrase.split()))
+)
+_DECON_EXACT_SQL = " UNION ALL ".join(
+    f"SELECT '{qid}' AS query_id, doc_id FROM norm "
+    f"WHERE ntext LIKE '%{phrase}%'"
+    for qid, phrase in _DECON_NEEDLES
+)
+
+
+@register(
+    "bm25_decontamination",
+    "WITH " + _LEX_CTE + f""",
+    q AS (SELECT * FROM (VALUES {_DECON_Q_VALUES}) AS v(query_id, term)),
+    hits AS (
+        SELECT q.query_id, tf.doc_id, tf.token, tf.tf, dl.dl
+        FROM tf JOIN q ON tf.token = q.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM hits GROUP BY 1
+    ),
+    idf AS (
+        SELECT token, {_IDF_EXPR} AS idf_u
+        FROM df, stats
+        WHERE df * {_DECON_MAX_DF_DEN} <= n_docs * {_DECON_MAX_DF_NUM}
+    ),
+    contrib AS (
+        SELECT h.query_id, h.doc_id,
+               CAST(CAST(i.idf_u AS HUGEINT) * 22 * h.tf * s.sl * 1000
+                    // (10 * CAST(s.sl AS HUGEINT) * h.tf
+                        + 3 * CAST(s.sl AS HUGEINT)
+                        + 9 * CAST(h.dl AS HUGEINT) * s.n_docs)
+                    AS BIGINT) AS c
+        FROM hits h JOIN idf i ON h.token = i.token, stats s
+    ),
+    scored AS (
+        SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_nano
+        FROM contrib GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT query_id, MAX(score_nano) AS best_nano
+        FROM scored GROUP BY 1
+    ),
+    norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+        FROM documents
+    ),
+    exact AS ({_DECON_EXACT_SQL}),
+    drop_rows AS (
+        SELECT e.query_id, e.doc_id,
+               COALESCE(s.score_nano, CAST(0 AS BIGINT)) AS score_nano,
+               TRUE AS ngram_hit, 'drop' AS decision,
+               CAST(0.0 AS DOUBLE) AS weight
+        FROM exact e
+        LEFT JOIN scored s
+          ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+    ),
+    flag_rows AS (
+        SELECT s.query_id, s.doc_id, s.score_nano,
+               FALSE AS ngram_hit, 'flag' AS decision,
+               CAST(0.5 AS DOUBLE) AS weight
+        FROM scored s JOIN best b ON s.query_id = b.query_id
+        WHERE s.score_nano * {_DECON_REL_DEN}
+              >= b.best_nano * {_DECON_REL_NUM}
+          AND NOT EXISTS (
+              SELECT 1 FROM exact e
+              WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id
+          )
+    )
+    SELECT query_id, doc_id, score_nano / 1000000000.0 AS bm25,
+           ngram_hit, decision, weight
+    FROM (SELECT * FROM drop_rows UNION ALL SELECT * FROM flag_rows)
+    """,
+)
+def q_bm25_decontamination(spark, sf_dir):
+    """BM25-scored decontamination decisions over the benchmark needle
+    set (see :func:`bm25_decontaminate`): exact contiguous-phrase hits
+    drop (weight 0.0); docs whose exact-integer BM25 score reaches 9/10
+    of the per-query best — paraphrase-ish near-copies the n-gram
+    screen cannot see — flag for downweighting (weight 0.5); everything
+    else keeps weight 1.0 and is not emitted. The per-query argmax doc
+    is always emitted, so the query is non-vacuous at every scale by
+    construction."""
+    return bm25_decontaminate(
+        spark, load_table(spark, sf_dir, "documents"), _DECON_NEEDLES
+    )

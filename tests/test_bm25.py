@@ -189,3 +189,67 @@ def test_bm25_salted_topk_equals_global_window(spark):
         assert [r.bm25_rank for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.bm25 for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_decontamination_bm25_catches_paraphrase_ngram_misses(spark):
+    """The composition's reason to exist (VERDICT r7 #3): a doc carrying
+    the benchmark's TERMS but not the contiguous PHRASE is invisible to
+    the n-gram screen and must be flagged by the BM25 tier; the exact
+    contiguous copy must be dropped; background docs stay keep."""
+    from stock_market_etl_pipeline_spark.registry_llm5 import (
+        bm25_decontaminate,
+    )
+
+    filler = [
+        (i, f"alpha beta gamma delta epsilon token{i % 7} zeta eta")
+        for i in range(40)
+    ]
+    rows = filler + [
+        # exact contamination: contiguous needle phrase
+        (100, "intro words then the quick brown fox jumps over it all"),
+        # paraphrase-ish: all four terms, phrase broken — no substring
+        (101, "the rather quick and very brown old fox sat down"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [("bench_q", "the quick brown fox")]
+
+    # the n-gram screen itself cannot see doc 101
+    from pyspark.sql import functions as F
+
+    ntext = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    ngram_hits = {
+        r.doc_id
+        for r in docs.select("doc_id", ntext.alias("n"))
+        .filter(F.col("n").contains("the quick brown fox"))
+        .collect()
+    }
+    assert ngram_hits == {100}
+
+    out = bm25_decontaminate(spark, docs, queries).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[100].decision == "drop" and by_doc[100].ngram_hit
+    assert by_doc[100].weight == 0.0
+    assert by_doc[101].decision == "flag" and not by_doc[101].ngram_hit
+    assert by_doc[101].weight == 0.5
+    assert by_doc[101].bm25 > 0
+    # background docs carry only the near-universal 'the'-free filler
+    # vocabulary: not emitted (implicit keep, weight 1.0)
+    assert set(by_doc) == {100, 101}
+
+
+def test_decontamination_drop_overrides_high_bm25(spark):
+    """An exact hit is 'drop' even when it is ALSO the top BM25 doc —
+    the certain-leakage signal outranks the lexical tier."""
+    from stock_market_etl_pipeline_spark.registry_llm5 import (
+        bm25_decontaminate,
+    )
+
+    rows = [(i, f"filler alpha beta gamma delta id{i % 5}") for i in range(20)]
+    rows.append((50, "the quick brown fox appears verbatim in this doc"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_decontaminate(
+        spark, docs, [("q", "the quick brown fox")]
+    ).collect()
+    top = max(out, key=lambda r: r.bm25)
+    assert top.doc_id == 50
+    assert top.decision == "drop" and top.ngram_hit

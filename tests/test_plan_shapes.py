@@ -705,3 +705,17 @@ def test_theil_sen_two_phase_no_pair_sort(spark, qs):
     # aggregates, never a Window directly. Structural proxy: the plan
     # has at most 2 Window nodes (cumsum + within-bucket rank).
     assert count_nodes(plan, "Window") <= 2
+
+
+def test_bm25_decontamination_no_smj_no_window(spark, qs):
+    """bm25_decontamination: postings/stats/scored are checkpoint-
+    materialized; idf/query/stats/best sides broadcast (no
+    SortMergeJoin on the scoring path); the decision tier needs NO
+    window at all (best-per-query is a tiny aggregate, the threshold a
+    cross-multiplied filter) — only the exact-screen scan and the
+    left/anti joins against the needle hits remain."""
+    plan = plan_of(qs["bm25_decontamination"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 0
+    assert "CartesianProduct" not in plan
+    # exact-containment screen reads documents once per union branch
+    assert count_nodes(plan, "Scan parquet") <= 2
