@@ -39,8 +39,12 @@ def test_bloom_skips_point_lookups_minmax_cannot(spark, tmp_path):
         st = m["stats"][f]["id"]
         assert st["min"] < 100 and st["max"] > N_FILES * PER_FILE - 100
         assert "bloom" in st
-    band_kept, band_skipped = t.prune_band("id", 5_432, 5_432)
-    assert len(band_skipped) == 0  # the stats-only path reads everything
+    # a degenerate band IS an equality leaf: since r9 prune_band probes
+    # the bloom for it (VERDICT r7 #4) — covered in depth by
+    # test_band_read_equality_probes_bloom_like_prune_keys; a REAL band
+    # stays stats-only and reads everything on this interleaved layout
+    band_kept, band_skipped = t.prune_band("id", 5_432, 5_433)
+    assert len(band_skipped) == 0
 
     total_kept = 0
     probes = [27, 123, 4_444, 9_979, 6_012, 5_432]
@@ -171,3 +175,77 @@ def test_bloom_log_stays_kb_scale(spark, tmp_path):
     # and it round-trips as plain JSON
     with open(path) as fh:
         json.load(fh)
+
+
+def test_band_read_equality_probes_bloom_like_prune_keys(spark, tmp_path):
+    """VERDICT r7 #4: a DEGENERATE band (lo == hi) is an equality leaf —
+    prune_band must skip exactly the files prune_keys skips for that
+    value (min/max bands prune nothing here: ids interleave across
+    every file), with zero false skips."""
+    t = _build(spark, tmp_path / "t")
+    key = 7_777  # lives in file id % 20 == 17
+    kept_k, skipped_k = t.prune_keys("id", [key])
+    kept_b, skipped_b = t.prune_band("id", lo=key, hi=key)
+    assert set(kept_b) == set(kept_k)
+    assert set(skipped_b) == set(skipped_k)
+    assert len(skipped_b) >= N_FILES - 2  # blooms actually bit
+    # zero false skips: the banded read returns exactly the row
+    got = t.read_band(spark, "id", lo=key, hi=key).collect()
+    assert [(r.id, r.payload) for r in got] == [(key, f"v{key}")]
+    # a REAL band (lo < hi) must not consult blooms (they cannot
+    # serve ranges): nothing skipped on the interleaved layout
+    kept_r, skipped_r = t.prune_band("id", lo=100, hi=200)
+    assert not skipped_r and len(kept_r) == N_FILES
+
+
+def test_prune_bands_equality_and_in_leaves(spark, tmp_path):
+    """prune_bands' op-tagged leaves: ('=', v) and ('in', [..]) compose
+    bloom + min/max skipping with plain band leaves under AND, and
+    read_predicate returns exactly read().filter(...)."""
+    t = _build(spark, tmp_path / "t")
+    kept, skipped = t.prune_bands({"id": ("=", 4_242)})
+    k2, s2 = t.prune_keys("id", [4_242])
+    assert set(kept) == set(k2) and set(skipped) == set(s2)
+    kept_in, _ = t.prune_bands({"id": ("in", [4_242, 4_243])})
+    assert set(kept_in) == set(t.prune_keys("id", [4_242, 4_243])[0])
+    # conjunction with a band leaf can only shrink the kept set
+    kept_and, _ = t.prune_bands(
+        {"id": ("in", [4_242, 4_243]), "payload": ("v4242", "v4243")}
+    )
+    assert set(kept_and) <= set(kept_in)
+    got = t.read_predicate(spark, {"id": ("in", [4_242, 4_243])}).collect()
+    assert sorted((r.id, r.payload) for r in got) == [
+        (4_242, "v4242"), (4_243, "v4243")
+    ]
+    eq = t.read_predicate(spark, {"id": ("=", 4_242)}).collect()
+    assert [(r.id, r.payload) for r in eq] == [(4_242, "v4242")]
+
+
+def test_merge_discovery_minmax_prunes_bloomless_writer(spark, tmp_path):
+    """MERGE discovery pruning must now work for bloom-LESS writers too:
+    on a range-clustered layout the manifest min/max alone excludes
+    every non-matching file (VERDICT r7 #4 — the txview incremental
+    refresh path, whose view tables are written without blooms)."""
+    t = TxTable(str(tmp_path / "t"))  # no bloom_columns
+    for part in range(10):  # range-clustered: file p holds [1000p, 1000p+999]
+        rows = [(i, f"v{i}") for i in range(part * 1000, part * 1000 + 1000)]
+        t.append(
+            spark.createDataFrame(rows, "id bigint, payload string")
+            .coalesce(1)
+        )
+    seen: list[list[str]] = []
+    orig = t._read_files
+
+    def spy(spark_, files, schema, struct=None):
+        seen.append(list(files))
+        return orig(spark_, files, schema, struct=struct)
+
+    t._read_files = spy
+    ups = spark.createDataFrame([(5_500, "NEW")], "id bigint, payload string")
+    t.merge(spark, ups, ["id"])
+    t._read_files = orig
+    # discovery saw only the one file whose [min, max] brackets 5500
+    assert len(seen[0]) == 1
+    got = t.read(spark).filter("id = 5500").collect()
+    assert [(r.id, r.payload) for r in got] == [(5_500, "NEW")]
+    assert t.read(spark).count() == 10_000
