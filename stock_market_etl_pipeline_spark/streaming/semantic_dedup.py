@@ -9,10 +9,14 @@ maintainer mirrors ``dedup_incremental_near``'s persisted-index pattern
 cluster id playing the band-signature role:
 
 1. centroids are trained ONCE, on the first batch (seeded KMeans via
-   ivf_assignments), and persisted — later batches ASSIGN to the frozen
-   centroids (broadcast k-row table, argmin squared distance, JVM
-   higher-order arithmetic). Frozen geometry is what makes "compare
-   only within the assigned cluster" stable across batches.
+   ivf_assignments), and persisted in their own TxTable — later batches
+   ASSIGN to the frozen centroids (broadcast k-row table, argmin
+   squared distance, JVM higher-order arithmetic). Frozen geometry is
+   what makes "compare only within the assigned cluster" stable across
+   batches; when the corpus outgrows it, the offline :func:`recluster`
+   refresh re-trains on a bounded survivor sample and atomically swaps
+   BOTH the centroid table and the survivors' cluster labels
+   (replay-idempotent two-commit protocol — see its docstring).
 2. the survivor set lives in a TxTable (operators/txtable.py) keyed by
    vec_id — one row per kept vector, and under the min-id survivorship
    rule the invariant ``vec_id == group_id`` holds for every survivor.
@@ -56,8 +60,6 @@ process pandas ``src/transform.py:199-204``); extension per SURVEY
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,23 +76,96 @@ from ..operators.txtable import TxTable
 _SURVIVOR_SCHEMA = "vec_id bigint, cluster int, v array<double>"
 
 
-def train_and_store_centroids(
-    batch: DataFrame, centroids_dir: str, n_clusters: int, seed: int
-) -> None:
-    """First-batch centroid training (seeded KMeans — the same
-    ivf_assignments machinery as the batch ANN/semdedup operators),
-    persisted as a k-row parquet. Callers gate on the _SUCCESS marker:
-    a crash mid-write leaves no marker and replay retrains; once the
-    marker exists the geometry is frozen forever."""
-    spark = batch.sparkSession
-    _, model = ivf_assignments(batch, n_clusters, seed)
+def _train_centroids_df(
+    vectors: DataFrame, n_clusters: int, seed: int
+) -> DataFrame:
+    """Seeded KMeans (the batch ANN/semdedup machinery) → k-row
+    (cluster, centroid) DataFrame. ``vectors`` needs (vec_id,
+    embedding)."""
+    spark = vectors.sparkSession
+    _, model = ivf_assignments(vectors, n_clusters, seed)
     rows = [
         (int(i), [float(x) for x in c])
         for i, c in enumerate(model.clusterCenters())
     ]
-    spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(centroids_dir)
+    return spark.createDataFrame(
+        rows, "cluster int, centroid array<double>"
+    ).coalesce(1)
+
+
+def train_and_store_centroids(
+    batch: DataFrame, centroids_dir: str, n_clusters: int, seed: int
+) -> None:
+    """First-batch centroid training, committed to the centroid TxTable
+    (one atomic k-row overwrite): a crash mid-stage leaves no manifest
+    and replay retrains; once snapshot 0 exists the geometry is frozen
+    until :func:`recluster` swaps it."""
+    TxTable(centroids_dir).overwrite(
+        _train_centroids_df(batch, n_clusters, seed),
+        txn_id="centroids-init",
+    )
+
+
+def recluster(
+    spark: SparkSession,
+    survivors_dir: str,
+    centroids_dir: str,
+    n_clusters: int | None = None,
+    seed: int = 43,
+    sample_cap: int = 100_000,
+    tag: str | None = None,
+) -> int | None:
+    """Offline centroid refresh (VERDICT r7 #7): first-batch geometry
+    drifts as the corpus grows — clusters inflate past the pair cap or
+    stop separating new content. Re-train on a BOUNDED hash-ordered
+    survivor sample (the pq_codebooks driver-bound contract), re-assign
+    every survivor in one batch, and swap both tables atomically via
+    TxTable commits:
+
+    1. new centroids land as one overwrite commit on the centroid
+       TxTable (txn-marked);
+    2. survivors are re-assigned against the COMMITTED centroids (read
+       back from the table, not the in-memory model) and land as one
+       overwrite commit on the survivor TxTable (same txn tag).
+
+    Crash between the commits: rerunning recluster recomputes the same
+    default ``tag`` (derived from the survivor snapshot it read — which
+    step 2 had not yet advanced), so the centroid commit replays as a
+    txn no-op and step 2 completes against the already-committed
+    geometry — the two-table swap is replay-idempotent without a
+    cross-table transaction (the BM25-maintainer pattern). Run with the
+    stream QUIESCED (between availableNow runs), like OPTIMIZE.
+
+    Survivorship is untouched by design: the survivor SET (vec_ids and
+    vectors) is byte-identical before and after — only cluster labels
+    move — so keep/drop decisions stay min-id-stable across the refresh
+    boundary (asserted in tests/test_streaming_semdedup.py). Returns
+    the new survivor snapshot id, or None when the survivor table is
+    empty (nothing to recluster — the stream's first batch trains as
+    usual)."""
+    table = TxTable(survivors_dir)
+    ctable = TxTable(centroids_dir)
+    src_snap = table.latest_snapshot()
+    if src_snap is None:
+        return None
+    if tag is None:
+        tag = f"recluster-src{src_snap}"
+    survivors = table.read(spark)
+    if n_clusters is None:
+        n_clusters = ctable.read(spark).count()
+    sample = (
+        survivors.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(sample_cap)
+        .select("vec_id", F.col("v").alias("embedding"))
+    )
+    ctable.overwrite(
+        _train_centroids_df(sample, int(n_clusters), seed), txn_id=tag
+    )
+    centroids = ctable.read(spark).select("cluster", "centroid")
+    reassigned = assign_to_centroids(
+        survivors.select("vec_id", F.col("v").alias("embedding")), centroids
+    ).select("vec_id", "cluster", "v")
+    return table.overwrite(reassigned, txn_id=tag)
 
 
 def assign_to_centroids(batch: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -235,13 +310,12 @@ def start_semantic_dedup_stream(
         txn_id = f"semdedup-{batch_id}"
         if table.txn_committed(txn_id):
             return
-        if not os.path.exists(os.path.join(centroids_dir, "_SUCCESS")):
+        ctable = TxTable(centroids_dir)
+        if ctable.latest_snapshot() is None:
             train_and_store_centroids(
                 batch_df, centroids_dir, n_clusters, seed
             )
-        centroids = spark.read.parquet(centroids_dir).select(
-            "cluster", "centroid"
-        )
+        centroids = ctable.read(spark).select("cluster", "centroid")
         assigned = assign_to_centroids(batch_df, centroids)
         survivors = (
             table.read(spark) if table.latest_snapshot() is not None else None

@@ -270,3 +270,124 @@ def test_decision_log_stable_across_post_merge_replay(spark, tmp_path):
         if r.is_kept
     }
     assert kept_last <= _survivor_ids(spark, d)
+
+
+def test_recluster_swaps_geometry_decisions_stay_min_id_stable(
+    spark, tmp_path
+):
+    """VERDICT r7 #7: recluster between availableNow runs must (a) keep
+    the survivor SET byte-identical (only cluster labels move), (b)
+    leave every survivor's label consistent with assignment under the
+    COMMITTED new centroids, and (c) keep post-refresh keep/drop
+    decisions min-id-stable — the stream after the boundary still
+    equals the one-shot union result for the planted structure."""
+    from stock_market_etl_pipeline_spark.streaming.semantic_dedup import (
+        assign_to_centroids,
+        recluster,
+    )
+
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    base, w1, w2 = _waves(spark)
+    for w in (base, w1):
+        w.coalesce(1).write.mode("append").parquet(d["landing"])
+        _run(spark, d)
+    before = {
+        (r.vec_id, tuple(r.v))
+        for r in TxTable(d["survivors"]).read(spark).collect()
+    }
+
+    snap = recluster(
+        spark, d["survivors"], d["centroids"],
+        n_clusters=N_CLUSTERS + 3, seed=7,
+    )
+    assert snap is not None
+
+    after_rows = TxTable(d["survivors"]).read(spark).collect()
+    assert {(r.vec_id, tuple(r.v)) for r in after_rows} == before
+    ct = TxTable(d["centroids"]).read(spark)
+    assert ct.count() == N_CLUSTERS + 3
+    # labels == assignment under the committed geometry
+    surv = TxTable(d["survivors"]).read(spark)
+    expect_assign = {
+        r.vec_id: r.cluster
+        for r in assign_to_centroids(
+            surv.select("vec_id", F.col("v").alias("embedding")),
+            ct.select("cluster", "centroid"),
+        ).collect()
+    }
+    assert {r.vec_id: r.cluster for r in after_rows} == expect_assign
+
+    # the stream continues across the refresh boundary: wave-2 brings
+    # SMALLER-id twins that must demote existing survivors exactly as
+    # without the refresh
+    w2.coalesce(1).write.mode("append").parquet(d["landing"])
+    _run(spark, d)
+    got = _survivor_ids(spark, d)
+    union = base.unionByName(w1).unionByName(w2)
+    expect = {
+        r.vec_id
+        for r in semantic_dedup(
+            union, n_clusters=N_CLUSTERS, threshold=THRESH,
+            survivor="min_id",
+        ).filter("is_kept").collect()
+    }
+    assert got == expect
+
+
+def test_recluster_replay_after_crash_between_commits(spark, tmp_path):
+    """Crash between the centroid commit and the survivor commit, then
+    rerun with the default tag: the centroid commit must replay as a
+    txn no-op (geometry NOT retrained/advanced) and the survivor labels
+    must land consistent with the already-committed centroids."""
+    from stock_market_etl_pipeline_spark.streaming.semantic_dedup import (
+        _train_centroids_df,
+        assign_to_centroids,
+        recluster,
+    )
+
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    base, _, _ = _waves(spark)
+    base.coalesce(1).write.mode("append").parquet(d["landing"])
+    _run(spark, d)
+
+    table = TxTable(d["survivors"])
+    ctable = TxTable(d["centroids"])
+    src_snap = table.latest_snapshot()
+    tag = f"recluster-src{src_snap}"
+    # simulate step 1 committed, step 2 crashed: commit new centroids
+    # under the tag recluster() will derive
+    sample = table.read(spark).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    ctable.overwrite(
+        _train_centroids_df(sample, N_CLUSTERS + 1, seed=99), txn_id=tag
+    )
+    ct_snap = ctable.latest_snapshot()
+    committed = {
+        r.cluster: tuple(r.centroid) for r in ctable.read(spark).collect()
+    }
+
+    # rerun with a DIFFERENT seed/k request: the txn marker must win
+    snap = recluster(
+        spark, d["survivors"], d["centroids"],
+        n_clusters=N_CLUSTERS + 5, seed=1234,
+    )
+    assert snap is not None
+    assert ctable.latest_snapshot() == ct_snap  # no second geometry
+    now = {
+        r.cluster: tuple(r.centroid) for r in ctable.read(spark).collect()
+    }
+    assert now == committed
+    rows = table.read(spark).collect()
+    expect_assign = {
+        r.vec_id: r.cluster
+        for r in assign_to_centroids(
+            table.read(spark).select(
+                "vec_id", F.col("v").alias("embedding")
+            ),
+            ctable.read(spark).select("cluster", "centroid"),
+        ).collect()
+    }
+    assert {r.vec_id: r.cluster for r in rows} == expect_assign
