@@ -719,3 +719,28 @@ def test_bm25_decontamination_no_smj_no_window(spark, qs):
     assert "CartesianProduct" not in plan
     # exact-containment screen reads documents once per union branch
     assert count_nodes(plan, "Scan parquet") <= 2
+
+
+def test_ar1_one_exchange_lag_plus_agg(spark, qs):
+    """The lag window and the groupBy(symbol) must share ticks()'s one
+    HashPartitioning(symbol) exchange: one scan, one exchange."""
+    plan = plan_of(qs["ar1_mean_reversion"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_parkinson_gk_one_exchange(spark, qs):
+    """groupBy(symbol, year, month) is a refinement of ticks()'s
+    HashPartitioning(symbol) — no second exchange, no window."""
+    plan = plan_of(qs["parkinson_gk_volatility"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_amihud_one_exchange(spark, qs):
+    plan = plan_of(qs["amihud_illiquidity"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Window") == 1
