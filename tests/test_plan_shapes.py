@@ -744,3 +744,31 @@ def test_amihud_one_exchange(spark, qs):
     assert count_nodes(plan, "Scan parquet") == 1
     assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "Window") == 1
+
+
+def test_zipf_single_scan_no_vocab_window(spark, qs):
+    """Top-N selection must be TakeOrderedAndProject, never a
+    row_number window over the full vocabulary (token_frequencies
+    lesson); the whole fit is one corpus scan."""
+    plan = plan_of(qs["zipf_slope"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Window") == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_one_materialized_corpus_pass(spark, qs):
+    """The count table is localCheckpoint-shared: the final plan reads
+    the materialized aggregate, not the corpus twice."""
+    plan = plan_of(qs["vocab_coverage"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0  # corpus read at cp time
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_kl_divergence_pair_phase_off_corpus(spark, qs):
+    """The a x b self-join must run over the checkpointed dense matrix:
+    zero parquet scans in the final plan (probe: the naive tree
+    re-scanned the corpus 12x through the pair join)."""
+    plan = plan_of(qs["kl_source_divergence"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
