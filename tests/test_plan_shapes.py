@@ -772,3 +772,29 @@ def test_kl_divergence_pair_phase_off_corpus(spark, qs):
     assert count_nodes(plan, "Scan parquet") == 0
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_markov_3step_off_corpus_matrix_power(spark, qs):
+    """Both matrix-multiply joins must run over the checkpointed
+    transition matrix — zero parquet scans in the final plan (T appears
+    three times in T^3; without the checkpoint the corpus subtree
+    triplicates)."""
+    plan = plan_of(qs["markov_3step_distribution"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exp_ks_single_exchange_window_stack(spark, qs):
+    """Lag, rank, per-type totals, and the final groupBy all share one
+    HashPartitioning(event_type) exchange."""
+    plan = plan_of(qs["exp_gap_fit_ks"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_embedding_drift_pair_join_off_corpus(spark, qs):
+    """The consecutive-batch join runs over the checkpointed centroid
+    table: zero parquet scans, no nested-loop join."""
+    plan = plan_of(qs["embedding_batch_drift"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
