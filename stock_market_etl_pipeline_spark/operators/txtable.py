@@ -502,6 +502,75 @@ class TxTable:
             base=prev, schema_json=m.get("schema_json"), constraints=cons,
         )
 
+    # -- snapshot tags (Iceberg-style named refs) -----------------------
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs from the LATEST manifest (tags ride the
+        manifest like constraints, so one metadata read resolves them)."""
+        prev = self.latest_snapshot()
+        if prev is None:
+            return {}
+        return dict(self._manifest(prev).get("tags") or {})
+
+    def create_tag(
+        self, name: str, snapshot: int | None = None, txn_id: str | None = None
+    ) -> int:
+        """Pin ``snapshot`` (default: latest) under a durable name —
+        Iceberg's CREATE TAG (iceberg SnapshotRef semantics, re-expressed
+        on the manifest log). A tag is a metadata-only commit: atomic via
+        the same exclusive-create protocol as data commits, optionally
+        txn-marked for replay-idempotent creation from a streaming job.
+        Tagged snapshots are RETENTION ROOTS: vacuum keeps their manifest
+        and data files regardless of ``keep_last``, so ``read(tag=...)``
+        stays serviceable until the tag is dropped. Re-creating an
+        existing tag with the same target is a no-op; with a different
+        target it raises (retag = delete + create, deliberate)."""
+        prev = self.latest_snapshot()
+        if prev is None:
+            raise SnapshotUnavailable("cannot tag an empty table")
+        if txn_id is not None and self.txn_committed(txn_id):
+            return prev  # replayed delivery: already recorded
+        target = prev if snapshot is None else snapshot
+        if target not in self.snapshots():
+            raise SnapshotUnavailable(f"no manifest for snapshot {target}")
+        cur = self.tags()
+        if name in cur:
+            # idempotent re-create: same snapshot, or (default target)
+            # the same DATA STATE — the original set_tag commit itself is
+            # metadata-only, so "tag now" right after "tag now" must not
+            # conflict. Anything else is a refused retag (retag =
+            # delete_tag + create_tag, deliberate, like Iceberg's
+            # CREATE TAG without REPLACE).
+            same_files = (
+                self._manifest(cur[name])["files"]
+                == self._manifest(target)["files"]
+            )
+            if cur[name] == target or (snapshot is None and same_files):
+                return prev
+            raise ValueError(
+                f"tag {name!r} already points at snapshot {cur[name]}"
+            )
+        cur[name] = target
+        m = self._manifest(prev)
+        return self._commit(
+            "set_tag", [], 0, m["schema"], txn_id, True,
+            base=prev, schema_json=m.get("schema_json"), tags=cur,
+        )
+
+    def delete_tag(self, name: str) -> int:
+        """Drop a tag; its snapshot's files become ordinary history and
+        the next vacuum may reclaim them."""
+        cur = self.tags()
+        if name not in cur:
+            raise ValueError(f"no such tag: {name!r}")
+        del cur[name]
+        prev = self.latest_snapshot()
+        m = self._manifest(prev)
+        return self._commit(
+            "set_tag", [], 0, m["schema"], None, True,
+            base=prev, schema_json=m.get("schema_json"), tags=cur,
+        )
+
     def _stage(
         self, df: DataFrame, enforce: bool = True
     ) -> tuple[list[str], int, dict]:
@@ -582,6 +651,7 @@ class TxTable:
         allow_schema_change: bool = False,
         stats: dict | None = None,
         constraints: dict | None = None,
+        tags: dict | None = None,
     ) -> int:
         """Claim snapshot ``base + 1``. ``base`` is the table state the
         writer READ when it started (captured before staging); if a racer
@@ -626,6 +696,11 @@ class TxTable:
                 self._manifest(prev).get("constraints") if prev is not None
                 else None
             ) or {}
+        if tags is None:
+            tags = (
+                self._manifest(prev).get("tags") if prev is not None
+                else None
+            ) or {}
         manifest = {
             "snapshot": (prev + 1) if prev is not None else 0,
             "action": action,
@@ -638,6 +713,7 @@ class TxTable:
             "txn_id": txn_id,
             "stats": carried,
             "constraints": constraints,
+            "tags": tags,
         }
         path = os.path.join(self.log_dir, f"{manifest['snapshot']:010d}.json")
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -910,10 +986,23 @@ class TxTable:
         os.unlink(self._wap_path(wap_id))
         return len(p["files"])
 
-    def read(self, spark: SparkSession, snapshot: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
         """Resolve a manifest and read EXACTLY its file list — snapshot
         isolation by construction: concurrent commits change the log, not
-        the files this reader was handed."""
+        the files this reader was handed. ``tag`` resolves a named ref
+        (create_tag) to its pinned snapshot."""
+        if tag is not None:
+            if snapshot is not None:
+                raise ValueError("pass snapshot or tag, not both")
+            refs = self.tags()
+            if tag not in refs:
+                raise SnapshotUnavailable(f"no such tag: {tag!r}")
+            snapshot = refs[tag]
         snap = self.latest_snapshot() if snapshot is None else snapshot
         if snap is None:
             raise SnapshotUnavailable("table has no commits")
@@ -1477,6 +1566,12 @@ class TxTable:
                     shutil.rmtree(full)
             return 0, len(orphans)
         retained = snaps[-keep_last:] if keep_last > 0 else []
+        # tagged snapshots are retention roots (Iceberg ref semantics):
+        # their manifests and data files survive any keep_last
+        tagged = {
+            s for s in self.tags().values() if s in snaps
+        }
+        retained = sorted(set(retained) | tagged)
         keep_files: set[str] = set()
         for s in retained:
             keep_files.update(self._manifest(s)["files"])

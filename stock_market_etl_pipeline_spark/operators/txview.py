@@ -105,7 +105,10 @@ def refresh_view(
     delta = (
         feed.groupBy(*group_cols)
         .agg(
-            F.sum(sign).alias("_d_n"),
+            F.sum(sign).alias("_d__rowcount"),  # reserved alias: "_d_" + a
+            # sum-column NAME is the per-column delta, so a sum column
+            # literally named "n" collided with the old "_d_n" rowcount
+            # alias (AMBIGUOUS_REFERENCE — found by the drift monitor)
             *[
                 F.sum(F.col(c) * sign).alias(f"_d_{c}")
                 for c in sum_cols
@@ -117,7 +120,7 @@ def refresh_view(
         delta.join(old, on=group_cols, how="left")
         .select(
             *group_cols,
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_n"))
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d__rowcount"))
             .alias("n_rows"),
             *[
                 (

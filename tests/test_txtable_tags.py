@@ -1,0 +1,109 @@
+"""Snapshot tags on TxTable (Iceberg named-ref semantics): tags resolve
+reads, survive subsequent commits, pin their snapshot's files through
+vacuum, and are replay-idempotent when txn-marked."""
+
+import pytest
+
+from stock_market_etl_pipeline_spark.operators.txtable import (
+    SnapshotUnavailable,
+    TxTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v double")
+
+
+def test_tag_resolves_pinned_snapshot(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.create_tag("v1")
+    t.append(_df(spark, [(2, 2.0)]))
+    assert t.read(spark).count() == 2
+    assert {r.k for r in t.read(spark, tag="v1").collect()} == {1}
+    assert t.tags() == {"v1": 0}
+
+
+def test_tag_carries_through_commits_and_overwrite(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.create_tag("baseline")
+    t.overwrite(_df(spark, [(9, 9.0)]))
+    t.append(_df(spark, [(10, 10.0)]))
+    # still resolvable after unrelated history
+    assert {r.k for r in t.read(spark, tag="baseline").collect()} == {1}
+    # and the current table is the overwritten one
+    assert {r.k for r in t.read(spark).collect()} == {9, 10}
+
+
+def test_tag_create_idempotent_and_retag_refused(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.create_tag("v1")
+    before = t.latest_snapshot()
+    t.create_tag("v1")  # same target: no-op
+    assert t.latest_snapshot() == before
+    t.append(_df(spark, [(2, 2.0)]))
+    with pytest.raises(ValueError, match="already points"):
+        t.create_tag("v1")  # different implied target
+
+
+def test_tag_unknown_refs_raise(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    with pytest.raises(SnapshotUnavailable, match="no such tag"):
+        t.read(spark, tag="nope")
+    with pytest.raises(SnapshotUnavailable, match="no manifest"):
+        t.create_tag("x", snapshot=99)
+    with pytest.raises(ValueError, match="no such tag"):
+        t.delete_tag("nope")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, snapshot=0, tag="v1")
+
+
+def test_vacuum_keeps_tagged_snapshot(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.create_tag("pin")
+    t.overwrite(_df(spark, [(2, 2.0)]))  # old file now dead in HEAD
+    t.append(_df(spark, [(3, 3.0)]))
+    dropped, deleted = t.vacuum(keep_last=1)
+    # the tagged snapshot's manifest AND data file survive
+    assert {r.k for r in t.read(spark, tag="pin").collect()} == {1}
+    assert {r.k for r in t.read(spark).collect()} == {2, 3}
+
+
+def test_vacuum_reclaims_after_tag_delete(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.create_tag("pin")
+    t.overwrite(_df(spark, [(2, 2.0)]))
+    t.vacuum(keep_last=1)
+    assert t.read(spark, tag="pin").count() == 1  # still pinned
+    t.delete_tag("pin")
+    t.vacuum(keep_last=1)
+    with pytest.raises(SnapshotUnavailable):
+        t.read(spark, snapshot=0)
+    assert {r.k for r in t.read(spark).collect()} == {2}
+
+
+def test_tag_creation_replay_idempotent(spark, tmp_path):
+    """A streaming job tagging per-batch replays the same txn_id after a
+    crash: the second create must be a recorded no-op, not a conflict."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    s1 = t.create_tag("batch-7", txn_id="tag-batch-7")
+    s2 = t.create_tag("batch-7", txn_id="tag-batch-7")  # replay
+    assert t.tags() == {"batch-7": 0}
+    assert s2 <= s1 or t.latest_snapshot() == s1
+
+
+def test_restore_via_tag_lookup(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.create_tag("good")
+    t.overwrite(_df(spark, [(666, 6.66)]))
+    t.restore(t.tags()["good"])
+    assert {r.k for r in t.read(spark).collect()} == {1}
+    # the tag still resolves after restore (history is append-only)
+    assert {r.k for r in t.read(spark, tag="good").collect()} == {1}
