@@ -798,3 +798,19 @@ def test_embedding_drift_pair_join_off_corpus(spark, qs):
     plan = plan_of(qs["embedding_batch_drift"](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 0
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_median_broadcast_dims_one_exchange(spark, qs):
+    """Both dims broadcast; the cumulative window, the total window and
+    the selection share ONE nation exchange."""
+    plan = plan_of(qs["weighted_median_price_by_nation"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 3
+    assert count_nodes(plan, "Exchange") == 1
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert count_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_runs_test_one_exchange(spark, qs):
+    plan = plan_of(qs["runs_test_updown"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
