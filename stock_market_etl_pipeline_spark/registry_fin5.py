@@ -301,7 +301,17 @@ def q_theil_sen_trend(spark, sf_dir):
     total work is linear in symbols: one symbol-keyed sort-merge
     self-join, one symbol exchange for the rank. The same
     group-size-bounded argument as the LSH bucket cap, with the oracle
-    stating the identical quadratic directly."""
+    stating the identical quadratic directly. Measured (r9): 207 s at
+    sf1 (10k symbols), 2274 s at sf10 (100k symbols), single-rep on a
+    contended host — ×11 for 10× keys, i.e. linear in symbols as
+    argued. If instead the TIME axis grew 100× (100× DAYS per symbol),
+    the map-side histogram phase stays aggregate-only but per-bucket
+    occupancy grows ×10⁴ (pairs are quadratic in days), so the phase-2
+    refinement of ≤2 buckets/symbol would enumerate ~10⁴× more pairs:
+    the widen knob is a FINER bucket width (e.g. 0.01 $/day), which
+    re-bounds per-bucket pair counts at the cost of a larger — still
+    aggregable — histogram; the two-phase structure itself is what
+    keeps the long-history axis tractable."""
     t = ticks(spark, sf_dir).select(
         "symbol",
         F.datediff(F.col("date"), F.lit("1970-01-01")).alias("d"),
