@@ -82,7 +82,15 @@ def run_loop(
             # drop nothing the cached series relies on; in the uncached
             # phase this guards against any accidental cache pickup
             spark.catalog.clearCache()
-            # VERDICT r7 #6: the uncached series must really be uncached
+            # One-shot localCheckpoint RDDs (corpus_prep's shared shingle
+            # table) are cleaned ASYNCHRONOUSLY by ContextCleaner once
+            # their DataFrame is dropped, so "is empty" is a race, not an
+            # invariant — ENFORCE the uncached state instead: unpersist
+            # any leftovers (no query holds a reference between passes),
+            # then assert (VERDICT r7 #6).
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in jmap.values():
+                rdd.unpersist()
             assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty(), \
                 "cached relations present at uncached-phase start"
         for name in raw:
