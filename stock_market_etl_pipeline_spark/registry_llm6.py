@@ -413,3 +413,171 @@ def q_kl_source_divergence(spark, sf_dir):
             ).alias("js"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram entropy / perplexity per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_trigram_entropy",
+    r"""
+    WITH s AS (
+        SELECT lang, lower(text) AS s FROM documents
+    ),
+    tri AS (
+        SELECT lang, substr(s, CAST(u.i AS INTEGER), 3) AS g
+        FROM s, UNNEST(generate_series(1, greatest(length(s) - 2, 0)))
+             AS u(i)
+    ),
+    prof AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM prof GROUP BY 1
+    )
+    SELECT p.lang,
+           t.t                                        AS n_trigrams,
+           t.vocab                                    AS trigram_vocab,
+           ROUND(SUM(-(p.n * 1.0 / t.t) * ln(p.n * 1.0 / t.t)), 6)
+                                                      AS entropy_nats,
+           ROUND(exp(SUM(-(p.n * 1.0 / t.t) * ln(p.n * 1.0 / t.t))), 6)
+                                                      AS perplexity
+    FROM prof p JOIN tot t USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_char_trigram_entropy(spark, sf_dir):
+    """Shannon entropy (nats) and perplexity of each language's
+    character-trigram distribution — the script-complexity number that
+    separates a natural language from template or encoded junk (low
+    entropy) and random bytes (entropy near ln(vocab)). Companion of
+    ``lang_trigram_similarity`` (which compares profiles ACROSS
+    languages; this scores each profile's internal shape).
+
+    Exactness: trigram counts are exact ints; each p = n/t is ONE
+    exact division; ln is 1-ulp-exposed and the entropy sum is
+    order-sensitive, so entropy and perplexity are each ROUND(...,6)
+    computed from the UNROUNDED sum (perplexity is exp of the
+    unrounded entropy, then rounded — rounding before exp would
+    quantize twice).
+
+    Plan: one (lang, trigram) aggregate off the exploded trigram
+    stream; per-language totals and the entropy sum reuse the lang
+    hash partitioning (lang is a prefix of the profile key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("lang", F.lower("text").alias("s"))
+    tri = s.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(s) - 2, 0)),"
+                " i -> substring(s, i, 3))"
+            )
+        ).alias("g"),
+    )
+    prof = tri.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # per-lang totals as WINDOW aggregates over the profile (not a
+    # groupBy + join back, which re-plans the corpus subtree twice):
+    # the window reuses the lang-prefixed hash partitioning
+    from pyspark.sql import Window as _W
+
+    wl = _W.partitionBy("lang")
+    withtot = prof.select(
+        "lang", "n",
+        F.sum("n").over(wl).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(wl).cast("bigint").alias("vocab"),
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("t")
+    ent = F.sum(-p * F.log(p))
+    return (
+        withtot.groupBy("lang", "t", "vocab")
+        .agg(
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(F.exp(ent), 6).alias("perplexity"),
+        )
+        .select(
+            "lang",
+            F.col("t").alias("n_trigrams"),
+            F.col("vocab").alias("trigram_vocab"),
+            "entropy_nats", "perplexity",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (Church-Gale): clustering of occurrences into documents
+# ---------------------------------------------------------------------------
+
+_BURST_TOP = 100
+
+
+@register(
+    "token_burstiness",
+    "WITH "
+    + _TOKS_CTE
+    + f""",
+    occ AS (
+        SELECT doc_id, token, COUNT(*) AS k FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT token,
+               CAST(SUM(k) AS BIGINT)   AS cf,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM occ GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    top AS (
+        SELECT token, cf, df FROM stats
+        ORDER BY cf DESC, token LIMIT {_BURST_TOP}
+    )
+    SELECT token, cf, df,
+           cf * 1.0 / df AS mean_per_doc,
+           ROUND(df / (n_docs * (1.0 - exp(-(cf * 1.0 / n_docs)))), 6)
+               AS df_vs_poisson
+    FROM top, nd
+    """,
+)
+def q_token_burstiness(spark, sf_dir):
+    """Church-Gale burstiness for the top-{_BURST_TOP} tokens by
+    collection frequency: mean occurrences per CONTAINING document
+    (cf/df — a function word reads ~uniform, a topical word bursts)
+    and the observed document frequency against the Poisson-mixing
+    expectation N(1 - e^(-cf/N)). df_vs_poisson << 1 marks bursty,
+    topical tokens — the content-word detector a keyword extractor or
+    stopword-list builder reads.
+
+    Exactness: cf/df/N are exact ints; mean_per_doc is ONE exact
+    division (RAW); the Poisson expectation chains one division, one
+    1-ulp exp, and two more single ops, so the ratio is ROUND(...,6).
+
+    Plan: one (doc_id, token) aggregate, one token aggregate on top of
+    it, TakeOrderedAndProject for the head, 1-row N broadcast. No
+    windows, nothing pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("tk")
+    ).select("doc_id", F.lower("tk").alias("token"))
+    occ = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    stats = occ.groupBy("token").agg(
+        F.sum("k").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    top = stats.orderBy(F.col("cf").desc(), "token").limit(_BURST_TOP)
+    expect = F.col("n_docs") * (
+        F.lit(1.0) - F.exp(-(F.col("cf") * F.lit(1.0) / F.col("n_docs")))
+    )
+    return top.crossJoin(F.broadcast(nd)).select(
+        "token", "cf", "df",
+        (F.col("cf") * F.lit(1.0) / F.col("df")).alias("mean_per_doc"),
+        F.round(F.col("df") / expect, 6).alias("df_vs_poisson"),
+    )

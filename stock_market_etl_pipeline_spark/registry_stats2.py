@@ -234,3 +234,190 @@ def q_runs_test_updown(spark, sf_dir):
         "symbol", "n_up", "n_down", "n_runs",
         F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer spend-quartile migration year over year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_segment_migration",
+    """
+    WITH cy AS (
+        SELECT o_custkey AS custkey,
+               CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_c
+        FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT custkey, yr,
+               CAST(4 * (ROW_NUMBER() OVER (PARTITION BY yr
+                         ORDER BY spend_c DESC, custkey) - 1)
+                    // (COUNT(*) OVER (PARTITION BY yr)) + 1
+                    AS INTEGER) AS seg
+        FROM cy
+    ),
+    mig AS (
+        SELECT a.yr AS year_from, a.seg AS seg_from, b.seg AS seg_to,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM seg a JOIN seg b ON a.custkey = b.custkey
+                             AND b.yr = a.yr + 1
+        GROUP BY 1, 2, 3
+    )
+    SELECT year_from, seg_from, seg_to, n_customers,
+           n_customers * 1.0 / CAST(SUM(n_customers) OVER (
+               PARTITION BY year_from, seg_from) AS BIGINT)
+               AS migration_prob
+    FROM mig
+    """,
+)
+def q_customer_segment_migration(spark, sf_dir):
+    """Year-over-year spend-quartile migration matrix: each customer's
+    annual spend ranks them into an integer quartile segment (1 = top
+    spenders), and consecutive-year pairs count who moved where —
+    the churn/upsell panel behind ``rfm_segments`` (static snapshot)
+    and ``new_vs_returning_revenue`` (binary version of the same
+    question).
+
+    Segments are INTEGER ntile: seg = 4*(rank-1) div n + 1 over the
+    (spend desc, custkey) total order — pure int arithmetic, no
+    interpolated thresholds, so a boundary customer's segment cannot
+    flip across engines. Migration probabilities are exact int
+    divisions (RAW).
+
+    Plan: orders collapse to one row per (custkey, year); the rank
+    window runs per YEAR over that collapsed table (customers/year
+    rows — fine at verify scales; at 10^9 customers/year the window
+    partition needs the two-phase global-rank spine,
+    operators/enumerate.global_sequence_ids, the documented widen
+    path); the consecutive-year self-join shuffles on custkey."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    cy = o.groupBy("custkey", "yr").agg(
+        F.sum("c").cast("bigint").alias("spend_c")
+    )
+    wr = Window.partitionBy("yr").orderBy(
+        F.col("spend_c").desc(), F.col("custkey")
+    )
+    wn = Window.partitionBy("yr")
+    # materialize the segment table once: it appears on BOTH sides of
+    # the consecutive-year self-join (the checkpointed-matrix-power
+    # rule — without this the orders subtree re-plans twice)
+    seg = cy.select(
+        "custkey", "yr",
+        (F.row_number().over(wr) - 1).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    ).select(
+        "custkey", "yr",
+        (F.expr("(4 * __r) div __n") + 1).cast("int").alias("seg"),
+    ).localCheckpoint(eager=True)
+    a, b = seg.alias("a"), seg.alias("b")
+    mig = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.yr").alias("year_from"),
+            F.col("a.seg").alias("seg_from"),
+            F.col("b.seg").alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+    wrow = Window.partitionBy("year_from", "seg_from")
+    return mig.select(
+        "year_from", "seg_from", "seg_to", "n_customers",
+        (F.col("n_customers")
+         / F.sum("n_customers").over(wrow).cast("bigint"))
+        .alias("migration_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator on order values
+# ---------------------------------------------------------------------------
+
+_HILL_K = 500
+
+
+@register(
+    "hill_tail_index",
+    f"""
+    WITH ranked AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (
+                   ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+               ) AS rn
+        FROM orders
+        ORDER BY rn LIMIT {_HILL_K + 1}
+    ),
+    xmin AS (SELECT c AS cmin FROM ranked WHERE rn = {_HILL_K + 1})
+    SELECT CAST({_HILL_K} AS BIGINT)           AS k_order_stats,
+           cmin / 100.0                        AS x_min,
+           ROUND(AVG(ln(c * 1.0 / cmin)), 6)   AS hill_estimate,
+           ROUND(1.0 / AVG(ln(c * 1.0 / cmin)), 6) AS pareto_alpha
+    FROM ranked, xmin WHERE rn <= {_HILL_K}
+    GROUP BY cmin
+    """,
+)
+def q_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the order-value tail index over the top
+    {_HILL_K} order statistics: hill = mean(ln(x_i / x_(k+1))),
+    alpha = 1/hill. Alpha ~ 1-2 reads a genuinely heavy (Pareto-like)
+    revenue tail — whether the whale orders dominate — the parametric
+    tail companion of ``lorenz_revenue_deciles`` / ``abc_revenue_classes``
+    (which describe the WHOLE distribution).
+
+    Exactness: values are exact int64 cents and the top-(k+1) SET plus
+    its internal ranks are fixed by the (cents desc, orderkey) total
+    order; each ratio is one exact division, ln is 1-ulp-exposed and
+    the mean order-sensitive -> hill and alpha ROUND(...,6) (alpha
+    from the UNROUNDED mean); x_min is one exact division (RAW).
+
+    Plan: TakeOrderedAndProject(k+1) — per-partition top-k then a tiny
+    merge; the estimator itself runs on {_HILL_K + 1} rows. No window
+    over the full orders table, no second scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        "o_orderkey",
+    )
+    top = o.orderBy(F.col("c").desc(), "o_orderkey").limit(_HILL_K + 1)
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("c")).alias("__neg"),
+                         F.col("o_orderkey"), F.col("c"))
+            )
+        ).alias("__ts")
+    )
+    # k+1 rows, referenced twice (estimator + x_min): materialize so
+    # the TakeOrderedAndProject corpus pass runs once
+    ranked = packed.select(
+        F.posexplode("__ts").alias("__pos", "__s")
+    ).select(
+        (F.col("__pos") + 1).alias("rn"), F.col("__s.c").alias("c")
+    ).localCheckpoint(eager=True)
+    xmin = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("c").alias("cmin")
+    )
+    hill = F.avg(F.log(F.col("c") * F.lit(1.0) / F.col("cmin")))
+    return (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(xmin))
+        .groupBy("cmin")
+        .agg(
+            F.round(hill, 6).alias("hill_estimate"),
+            F.round(F.lit(1.0) / hill, 6).alias("pareto_alpha"),
+        )
+        .select(
+            F.lit(_HILL_K).cast("bigint").alias("k_order_stats"),
+            (F.col("cmin") / F.lit(100.0)).alias("x_min"),
+            "hill_estimate", "pareto_alpha",
+        )
+    )

@@ -174,3 +174,60 @@ def test_kl_matches_reference_and_is_asymmetric(spark, monkeypatch):
     assert r12.js == r21.js
     assert r12.kl_ab != r21.kl_ab
     assert r12.kl_ab > 0 and r12.js > 0
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram entropy
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_entropy_uniform_and_degenerate(spark, monkeypatch):
+    # 'abcabc' -> trigrams abc, bca, cab, abc: H = -(2/4 ln 2/4 + 2*(1/4 ln 1/4))
+    rows = [(0, "abcabc", "uni"), (1, "xxxxx", "flat")]
+    df = spark.createDataFrame(
+        [(i, t, lang, "s0", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm6, "load_table", lambda s, d, n: df)
+    out = {r.lang: r for r in
+           llm6.q_char_trigram_entropy(spark, SF_DIR).collect()}
+    h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert out["uni"].n_trigrams == 4
+    assert out["uni"].trigram_vocab == 3
+    assert out["uni"].entropy_nats == pytest.approx(round(h, 6), abs=2e-6)
+    assert out["uni"].perplexity == pytest.approx(
+        round(math.exp(h), 6), abs=2e-6
+    )
+    # single repeated trigram: zero entropy, perplexity 1
+    assert out["flat"].trigram_vocab == 1
+    assert out["flat"].entropy_nats == 0.0
+    assert out["flat"].perplexity == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_bursty_vs_uniform(spark, monkeypatch):
+    # 'uni' appears once in each of 8 docs; 'burst' 8 times in one doc:
+    # same cf, very different df
+    rows = []
+    for i in range(8):
+        rows.append((i, "uni filler" + str(i), "s0"))
+    rows.append((100, " ".join(["burst"] * 8), "s0"))
+    _patch(monkeypatch, spark, rows)
+    out = {r.token: r for r in
+           llm6.q_token_burstiness(spark, SF_DIR).collect()}
+    uni, burst = out["uni"], out["burst"]
+    assert (uni.cf, uni.df) == (8, 8)
+    assert (burst.cf, burst.df) == (8, 1)
+    assert uni.mean_per_doc == 1.0
+    assert burst.mean_per_doc == 8.0
+    n = 9
+    expect = n * (1.0 - math.exp(-8 / n))
+    assert uni.df_vs_poisson == pytest.approx(round(8 / expect, 6), abs=2e-6)
+    assert burst.df_vs_poisson == pytest.approx(
+        round(1 / expect, 6), abs=2e-6
+    )
+    assert burst.df_vs_poisson < 0.5 < uni.df_vs_poisson

@@ -814,3 +814,30 @@ def test_runs_test_one_exchange(spark, qs):
     plan = plan_of(qs["runs_test_updown"](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 1
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_trigram_entropy_single_pass_window_totals(spark, qs):
+    """Per-lang totals ride a window over the profile, not a
+    groupBy+join-back (which re-planned the corpus subtree twice)."""
+    plan = plan_of(qs["char_trigram_entropy"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_segment_migration_self_join_off_checkpoint(spark, qs):
+    """Both sides of the consecutive-year self-join read the
+    materialized segment table: zero parquet scans in the final plan."""
+    plan = plan_of(qs["customer_segment_migration"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hill_estimator_runs_off_materialized_head(spark, qs):
+    plan = plan_of(qs["hill_tail_index"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0
+
+
+def test_burstiness_no_window_toap_head(spark, qs):
+    plan = plan_of(qs["token_burstiness"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 0
+    assert "TakeOrderedAndProject" in plan

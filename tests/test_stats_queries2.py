@@ -164,3 +164,106 @@ def test_runs_test_degenerate_dropped(spark, monkeypatch):
         st2, "ticks", lambda s, d: _ohlcv_from_closes(spark, closes)
     )
     assert st2.q_runs_test_updown(spark, SF_DIR).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Segment migration
+# ---------------------------------------------------------------------------
+
+
+def _orders(spark, rows):
+    """rows: (custkey, date_iso, totalprice)."""
+    return spark.createDataFrame(
+        [(i, c, d, float(p)) for i, (c, d, p) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderdate string, "
+        "o_totalprice double",
+    )
+
+
+def test_segment_migration_hand_case(spark, monkeypatch):
+    # 2023: c1 spends most (seg 1), c2 (seg 2), c3 (seg 3), c4 (seg 4)
+    # 2024: c4 jumps to the top, c1 drops to the bottom; c5 is new
+    rows = [
+        (1, "2023-03-01", 400.0), (2, "2023-03-01", 300.0),
+        (3, "2023-03-01", 200.0), (4, "2023-03-01", 100.0),
+        (1, "2024-03-01", 100.0), (2, "2024-03-01", 300.0),
+        (3, "2024-03-01", 200.0), (4, "2024-03-01", 400.0),
+        (5, "2024-03-01", 50.0),
+    ]
+    tabs = {"orders": _orders(spark, rows)}
+    monkeypatch.setattr(st2, "load_table", lambda s, d, n: tabs[n])
+    out = {
+        (r.seg_from, r.seg_to): r
+        for r in st2.q_customer_segment_migration(spark, SF_DIR).collect()
+    }
+    # 2023 segments with 4 customers: ranks 1-4 -> 4*(r-1)//4+1 = 1..4
+    # 2024 has 5 customers: seg = 4*(rank-1)//5 + 1:
+    # c4: rank 1 -> seg 1; c2: rank 2 -> 4//5+1 = 1; c3: rank 3 ->
+    # 8//5+1 = 2; c1: rank 4 -> 12//5+1 = 3; c5: rank 5 -> seg 4
+    # (c5 not in 2023: excluded from the matrix)
+    assert out[(1, 3)].n_customers == 1        # c1 fell 1 -> 3
+    assert out[(4, 1)].n_customers == 1        # c4 rose 4 -> 1
+    assert out[(2, 1)].n_customers == 1        # c2 rose into the top band
+    assert out[(3, 2)].n_customers == 1        # c3 nudged up
+    for r in out.values():
+        assert r.year_from == 2023
+        assert r.migration_prob == 1.0  # every from-segment had 1 customer
+
+
+def test_segment_migration_probs_sum_to_one(spark, monkeypatch):
+    rows = []
+    for c in range(12):
+        rows.append((c, "2023-06-01", 100.0 + 7 * c))
+        rows.append((c, "2024-06-01", 100.0 + 7 * ((c * 5) % 12)))
+    tabs = {"orders": _orders(spark, rows)}
+    monkeypatch.setattr(st2, "load_table", lambda s, d, n: tabs[n])
+    out = st2.q_customer_segment_migration(spark, SF_DIR).collect()
+    by_from = {}
+    for r in out:
+        by_from.setdefault((r.year_from, r.seg_from), 0.0)
+        by_from[(r.year_from, r.seg_from)] += r.migration_prob
+    for s in by_from.values():
+        assert s == pytest.approx(1.0, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator
+# ---------------------------------------------------------------------------
+
+
+def test_hill_recovers_planted_pareto_exponent(spark, monkeypatch):
+    # exact Pareto(alpha=2) quantile grid: x_i = (n/i)^(1/2), scaled
+    n = 2000
+    alpha = 2.0
+    rows = [
+        (c, "2023-01-01", 100.0 * (n / (i + 1)) ** (1 / alpha))
+        for i, c in enumerate(range(n))
+    ]
+    tabs = {"orders": _orders(spark, rows)}
+    monkeypatch.setattr(st2, "load_table", lambda s, d, n_: tabs[n_])
+    r = st2.q_hill_tail_index(spark, SF_DIR).collect()[0]
+    assert r.k_order_stats == 500
+    # Hill on the exact quantile grid reads close to 1/alpha
+    assert r.hill_estimate == pytest.approx(1 / alpha, rel=0.05)
+    assert r.pareto_alpha == pytest.approx(alpha, rel=0.05)
+
+
+def test_hill_matches_python_reference(spark, monkeypatch):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (c, "2023-01-01", round(100.0 * (1.0 / rng.random()) ** 0.7, 2))
+        for c in range(1500)
+    ]
+    tabs = {"orders": _orders(spark, rows)}
+    monkeypatch.setattr(st2, "load_table", lambda s, d, n_: tabs[n_])
+    r = st2.q_hill_tail_index(spark, SF_DIR).collect()[0]
+    cents = sorted(
+        (round(p * 100) for _, _, p in rows), reverse=True
+    )
+    cmin = cents[500]
+    hill = sum(math.log(c / cmin) for c in cents[:500]) / 500
+    assert r.x_min == cmin / 100.0
+    assert r.hill_estimate == pytest.approx(round(hill, 6), abs=2e-6)
+    assert r.pareto_alpha == pytest.approx(round(1 / hill, 6), abs=2e-6)
