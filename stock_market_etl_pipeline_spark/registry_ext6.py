@@ -380,3 +380,181 @@ def q_embedding_batch_drift(spark, sf_dir):
         ).alias("cosine"),
         (F.sqrt(F.col("d2").cast("double")) / F.lit(10000.0)).alias("l2_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan on daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint_daily",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, x,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS k,
+               SUM(x) OVER (PARTITION BY event_type) AS s,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM d
+    ),
+    c AS (
+        -- scaled CUSUM numerator: nd*cum - k*s = nd * sum_{i<=k}(x_i - mean)
+        -- — exact integers end to end (running sums of ints are exact
+        -- under ANY accumulation order, unlike float cusums)
+        SELECT event_type, day, nd, s,
+               abs(nd * cum - k * s) AS dev
+        FROM w WHERE k < nd
+    ),
+    mx AS (
+        SELECT c.*, MAX(dev) OVER (PARTITION BY event_type) AS mdev
+        FROM c
+    )
+    SELECT event_type,
+           CAST(MIN(nd) AS BIGINT)                    AS n_days,
+           MIN(CASE WHEN dev = mdev THEN day END)     AS changepoint_day,
+           CAST(MAX(dev) AS BIGINT)                   AS max_dev_scaled,
+           MAX(dev) / (CAST(MIN(nd) AS DOUBLE))       AS max_cusum
+    FROM mx GROUP BY 1
+    """,
+)
+def q_cusum_changepoint_daily(spark, sf_dir):
+    """CUSUM changepoint scan per event type: the day k maximizing
+    |sum_{i<=k}(x_i - mean)| over the daily count series — the
+    classic level-shift locator (did the rate change, and WHEN),
+    complementing ``daily_event_ewma`` (which flags drift as it
+    happens; this retrospectively places the break).
+
+    Exactness: the CUSUM deviation is kept as the SCALED integer
+    nd*cum - k*s (= nd * the float cusum) — running sums of ints are
+    exact under any accumulation order, so no float ever enters the
+    argmax; the winning day is the EARLIEST day attaining the per-type
+    max deviation (window max + conditional min on exact ints —
+    DuckDB's min_by takes no struct key), deterministic in both
+    engines.
+    The reported max_cusum is one final int->double division. The
+    last day (k = nd) is excluded — its deviation is identically 0.
+
+    Plan: events collapse to (type, day) counts in one shuffle; the
+    running/total windows and the final groupBy reuse the type
+    partitioning. Overflow audit: nd*cum <= nd * total_events; at
+    1e12 events over 1e5 days that is 1e17 — within int64 headroom
+    here (6e14 at sf10), DECIMAL the widen path."""
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    w = d.select(
+        "event_type", "day", "x",
+        F.sum("x").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("x").over(wt).alias("s"),
+        F.count(F.lit(1)).over(wt).alias("nd"),
+    )
+    c = w.filter(F.col("k") < F.col("nd")).select(
+        "event_type", "day", "nd",
+        F.abs(F.col("nd") * F.col("cum") - F.col("k") * F.col("s"))
+        .alias("dev"),
+    )
+    mx = c.select(
+        "*", F.max("dev").over(Window.partitionBy("event_type")).alias("mdev")
+    )
+    return mx.groupBy("event_type").agg(
+        F.min("nd").cast("bigint").alias("n_days"),
+        F.min(F.when(F.col("dev") == F.col("mdev"), F.col("day")))
+        .alias("changepoint_day"),
+        F.max("dev").cast("bigint").alias("max_dev_scaled"),
+        (F.max("dev") / F.min("nd").cast("double")).alias("max_cusum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional entropy of the event-transition process
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transition_conditional_entropy",
+    "WITH "
+    + _TRANS_CTE
+    + """,
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pairs),
+    ent AS (
+        SELECT p.f,
+               SUM(-(p.n * 1.0 / t.t) * ln(tm.p)) AS hpart,
+               CAST(SUM(p.n) AS BIGINT) AS n_from
+        FROM pairs p JOIN tm ON p.f = tm.f AND p.t = tm.t
+        CROSS JOIN tot t
+        GROUP BY 1
+    )
+    SELECT f AS from_event, n_from,
+           ROUND(hpart, 6) AS h_contribution,
+           ROUND(SUM(hpart) OVER (), 6) AS h_conditional_total
+    FROM ent
+    """,
+)
+def q_transition_conditional_entropy(spark, sf_dir):
+    """Conditional entropy H(next | current) of the event-type process,
+    decomposed per conditioning type: how PREDICTABLE is the next
+    click given the current one. H -> 0 reads deterministic flows
+    (funnel-like), H near ln(|types|) reads noise — the one-number
+    summary over ``event_transition_matrix`` and the information-
+    theoretic sibling of ``markov_3step_distribution``.
+
+    H = -sum_{a,b} p(a,b) ln p(b|a): p(a,b) = n_ab/T and p(b|a) are
+    each ONE exact int division; ln is 1-ulp-exposed and both the
+    per-type partial sums and the total are order-sensitive ->
+    ROUND(...,6). n_from (exact int) rides along so the reader can
+    weight contributions.
+
+    Plan: one user_id shuffle for the pairs; everything downstream
+    runs on the <= |types|^2 checkpointed transition table (shared
+    with the matrix-power query's discipline)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("f"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tm = pairs.select(
+        "f", "t",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("f"))).alias("p"),
+    )
+    tot = pairs.agg(F.sum("n").cast("bigint").alias("t_all"))
+    ent = (
+        pairs.join(tm.select("f", "t", "p"), ["f", "t"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("f")
+        .agg(
+            F.sum(
+                -(F.col("n") * F.lit(1.0) / F.col("t_all"))
+                * F.log(F.col("p"))
+            ).alias("hpart"),
+            F.sum("n").cast("bigint").alias("n_from"),
+        )
+    )
+    return ent.select(
+        F.col("f").alias("from_event"),
+        "n_from",
+        F.round(F.col("hpart"), 6).alias("h_contribution"),
+        F.round(F.sum("hpart").over(Window.partitionBy()), 6)
+        .alias("h_conditional_total"),
+    )

@@ -230,3 +230,106 @@ def test_drift_quantization_reference(spark, monkeypatch):
         r = out[bf]
         assert r.cosine == dot / (math.sqrt(na) * math.sqrt(nb))
         assert r.l2_dist == math.sqrt(d2) / 1e4
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_locates_planted_level_shift(spark, monkeypatch):
+    # 10 days at 2 events/day, then 10 days at 8/day: the cusum max
+    # sits exactly at the break (end of the low regime)
+    rows = []
+    eid = 0
+    for day in range(20):
+        rate = 2 if day < 10 else 8
+        for j in range(rate):
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 00:{j:02d}:00", 1, "ping")
+            )
+            eid += 1
+    monkeypatch.setattr(ext6, "load_events", lambda s, d: _events(spark, rows))
+    r = ext6.q_cusum_changepoint_daily(spark, SF_DIR).collect()[0]
+    assert r.n_days == 20
+    assert str(r.changepoint_day) == "2024-01-10"
+    # reference: nd*|cum_k - k*mean| maximized at k=10: cum=20, s=100,
+    # dev = |20*20 - 10*100| = 600
+    assert r.max_dev_scaled == 600
+    assert r.max_cusum == 600 / 20
+
+
+def test_cusum_integer_reference_on_irregular_series(spark, monkeypatch):
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    rows = []
+    eid = 0
+    for day, x in enumerate(xs):
+        for j in range(x):
+            rows.append(
+                (eid, f"2024-02-{day + 1:02d} 00:{j:02d}:00", 1, "ping")
+            )
+            eid += 1
+    monkeypatch.setattr(ext6, "load_events", lambda s, d: _events(spark, rows))
+    r = ext6.q_cusum_changepoint_daily(spark, SF_DIR).collect()[0]
+    nd, s = len(xs), sum(xs)
+    devs = []
+    cum = 0
+    for k, x in enumerate(xs[:-1], start=1):
+        cum += x
+        devs.append((abs(nd * cum - k * s), k))
+    mdev = max(d for d, _ in devs)
+    kstar = min(k for d, k in devs if d == mdev)
+    assert r.max_dev_scaled == mdev
+    assert str(r.changepoint_day) == f"2024-02-{kstar:02d}"
+
+
+# ---------------------------------------------------------------------------
+# Conditional entropy
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_entropy_deterministic_chain_is_zero(spark, monkeypatch):
+    # a -> b -> a -> b ...: next type is fully determined by current
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "a" if i % 2 == 0 else "b")
+        for i in range(10)
+    ]
+    monkeypatch.setattr(ext6, "load_events", lambda s, d: _events(spark, rows))
+    out = ext6.q_transition_conditional_entropy(spark, SF_DIR).collect()
+    for r in out:
+        assert r.h_contribution == 0.0
+        assert r.h_conditional_total == 0.0
+
+
+def test_conditional_entropy_matches_reference(spark, monkeypatch):
+    seqs = {
+        1: ["a", "b", "a", "c", "a", "b"],
+        2: ["b", "a", "b", "c", "b"],
+    }
+    rows = []
+    eid = 0
+    for u, s in seqs.items():
+        for i, t in enumerate(s):
+            rows.append((eid, f"2024-01-01 00:{i:02d}:00", u, t))
+            eid += 1
+    monkeypatch.setattr(ext6, "load_events", lambda s, d: _events(spark, rows))
+    out = {r.from_event: r for r in
+           ext6.q_transition_conditional_entropy(spark, SF_DIR).collect()}
+    import math as _m
+
+    counts, row = {}, {}
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+            row[a] = row.get(a, 0) + 1
+    tot = sum(counts.values())
+    hparts = {}
+    for (a, b), n in counts.items():
+        hparts[a] = hparts.get(a, 0.0) - (n / tot) * _m.log(n / row[a])
+    total = round(sum(hparts.values()), 6)
+    for a, hp in hparts.items():
+        assert out[a].h_contribution == pytest.approx(
+            round(hp, 6), abs=2e-6
+        )
+        assert out[a].n_from == row[a]
+        assert out[a].h_conditional_total == pytest.approx(total, abs=2e-6)

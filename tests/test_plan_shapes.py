@@ -841,3 +841,16 @@ def test_burstiness_no_window_toap_head(spark, qs):
     plan = plan_of(qs["token_burstiness"](spark, SF_DIR))
     assert count_nodes(plan, "Window") == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_single_scan_shared_type_partitioning(spark, qs):
+    plan = plan_of(qs["cusum_changepoint_daily"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_conditional_entropy_off_checkpointed_pairs(spark, qs):
+    """All entropy arithmetic runs over the checkpointed pair table:
+    zero parquet scans in the final plan."""
+    plan = plan_of(qs["transition_conditional_entropy"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 0
