@@ -65,6 +65,39 @@ HEADLINE = [
 
 N_PASSES = 3
 
+# Clean-host value of the calibration probe (median of calibrate() on an
+# otherwise-idle host, local[32] — measured and documented in BASELINE.md).
+# Any bench artifact can be sanity-checked against its own calibration
+# rows: load_factor = median(observed probes) / CALIBRATION_CLEAN_SEC.
+# A load_factor materially above ~1.3 means the HOST was contended during
+# the run and the query timings over-read by roughly that factor — the
+# r8/r9 phantom-regression mechanism (driver benched minutes after the
+# full-registry verify jobs; VERDICT r9 adjudicated 40.86 s driver vs
+# 23.0 s clean on byte-identical code).
+CALIBRATION_CLEAN_SEC = 1.25  # measured 2026-08-16, see BASELINE.md
+
+
+def calibrate(spark) -> list[float]:
+    """Fixed-cost host-load probe (VERDICT r9 #1): a pure-CPU Spark job
+    with no I/O, no shuffle, and no Python — 4e9 xxhash64 rows reduced
+    to one sum — whose wall time depends ONLY on free CPU. Run before
+    the uncached phase, between phases, and after the cached phase;
+    every rep is recorded so a contaminated reading carries its own
+    refutation. Deliberately NOT min-of-reps: the probe exists to
+    DETECT load spikes, not mask them."""
+    from pyspark.sql import functions as F
+
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # modulo bounds each term so the 4e9-row sum can't overflow
+        # bigint under the session's ANSI mode; the hash still runs
+        spark.range(4_000_000_000).select(
+            F.sum(F.xxhash64("id") % 1_000_003)
+        ).collect()
+        reps.append(round(time.perf_counter() - t0, 3))
+    return reps
+
 
 def run_loop(
     spark, qs, sf_dir: str, clear_cache: bool = False
@@ -112,7 +145,9 @@ def main() -> None:
     # JVM/codegen warmup on a query that touches lineitem + shuffles
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    cal_pre = calibrate(spark)
     uncached, raw_uncached = run_loop(spark, qs, sf_dir, clear_cache=True)
+    cal_mid = calibrate(spark)
 
     # materialize the shared series once (reference: load-then-query — see
     # module docstring); every ticks-derived query plan picks this up
@@ -122,6 +157,15 @@ def main() -> None:
     t.count()
     cached, raw_cached = run_loop(spark, qs, sf_dir)
     t.unpersist()
+    cal_post = calibrate(spark)
+
+    cal_all = cal_pre + cal_mid + cal_post
+    cal_median = sorted(cal_all)[len(cal_all) // 2]
+    load_factor = (
+        round(cal_median / CALIBRATION_CLEAN_SEC, 3)
+        if CALIBRATION_CLEAN_SEC
+        else None
+    )
 
     print(
         json.dumps(
@@ -133,6 +177,19 @@ def main() -> None:
                 "value_cached": round(sum(cached.values()), 3),
                 "queries_cached": {n: round(v, 3) for n, v in cached.items()},
                 "sf": sf,
+                # host-load self-calibration (VERDICT r9 #1): fixed-cost
+                # pure-CPU probe timed before/between/after the phases.
+                # load_factor ≈ 1.0 on a clean host; >> 1 marks the run
+                # as host-contaminated (normalize or re-run — do NOT
+                # read it as a code regression).
+                "calibration_sec": {
+                    "pre_uncached": cal_pre,
+                    "pre_cached": cal_mid,
+                    "post": cal_post,
+                    "median": cal_median,
+                    "clean_host_sec": CALIBRATION_CLEAN_SEC,
+                    "load_factor": load_factor,
+                },
                 # per-rep series (pass-interleaved) so the recorded number
                 # can be audited against host-load transients
                 "raw": {"uncached": raw_uncached, "cached": raw_cached},

@@ -1571,6 +1571,16 @@ class TxTable:
         tagged = {
             s for s in self.tags().values() if s in snaps
         }
+        if tagged:
+            # the tag MAP itself lives in the latest manifest (tags ride
+            # the manifest like constraints) — if vacuum(keep_last=0)
+            # dropped it, tags() would resolve against an older manifest
+            # that predates the tag: the tag silently vanishes, the
+            # pinned snapshot loses protection on the NEXT vacuum, and
+            # latest_snapshot() regresses so new commits reuse
+            # previously-assigned snapshot ids. The latest manifest is
+            # therefore a retention root whenever any tag exists.
+            tagged.add(snaps[-1])
         retained = sorted(set(retained) | tagged)
         keep_files: set[str] = set()
         for s in retained:

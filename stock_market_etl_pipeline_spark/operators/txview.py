@@ -39,6 +39,46 @@ from .txtable import SnapshotUnavailable, TxTable
 _TXN_PREFIX = "cdc-"
 
 
+def _validate_view_cols(group_cols: list[str], sum_cols: list[str]) -> None:
+    """Reject column names that collide with the view's reserved
+    aliases instead of relying on the aliases never matching (ADVICE
+    r9: the ``_d_n`` → ``_d__rowcount`` rename fixed one collision, but
+    a sum column literally named ``_rowcount`` reproduces the same
+    AMBIGUOUS_REFERENCE, and group columns named ``n_rows`` /
+    ``sum_<c>`` / ``_d_*`` / ``_change`` were similarly unvalidated).
+
+    Reserved namespace: ``n_rows`` (the view's count column), ``sum_``
+    prefix (view sum columns), ``_d_`` prefix (delta aliases,
+    including ``_d__rowcount``), ``_change`` (the change-feed meta
+    column). Also rejects duplicate names and group/sum overlap."""
+    all_cols = list(group_cols) + list(sum_cols)
+    if len(set(all_cols)) != len(all_cols):
+        raise ValueError(
+            f"duplicate / overlapping view columns: {all_cols!r}"
+        )
+    for c in group_cols:
+        if c == "n_rows" or c.startswith("sum_") or c.startswith("_d_") \
+                or c == "_change":
+            raise ValueError(
+                f"group column {c!r} collides with a reserved view alias "
+                "(reserved: 'n_rows', 'sum_*', '_d_*', '_change')"
+            )
+    out = {"n_rows"}
+    for c in sum_cols:
+        if c == "_rowcount" or c.startswith("_d_") or c == "_change":
+            raise ValueError(
+                f"sum column {c!r} collides with a reserved delta alias "
+                "(reserved: '_rowcount', '_d_*', '_change')"
+            )
+        name = f"sum_{c}"
+        if name in out or name in group_cols:
+            raise ValueError(
+                f"sum column {c!r} produces view column {name!r}, which "
+                "collides with another view column"
+            )
+        out.add(name)
+
+
 def _view_schema_df(
     spark: SparkSession, src_df: DataFrame, group_cols: list[str],
     sum_cols: list[str],
@@ -56,6 +96,7 @@ def recompute_view(
     """The full-scan reference: GROUP BY over the source snapshot. Used
     to initialize the view and, in tests, to certify the incremental
     path row-for-row."""
+    _validate_view_cols(group_cols, sum_cols)
     return _view_schema_df(
         spark, src.read(spark, snapshot=snapshot), group_cols, sum_cols
     )
@@ -89,6 +130,7 @@ def refresh_view(
     the cdc-<snapshot> txn_id; safe under crash-before-commit because
     the staged files are invisible until the manifest claim (TxTable's
     commit protocol)."""
+    _validate_view_cols(group_cols, sum_cols)
     cur = src.latest_snapshot()
     if cur is None:
         return None

@@ -428,8 +428,8 @@ def q_kl_source_divergence(spark, sf_dir):
     ),
     tri AS (
         SELECT lang, substr(s, CAST(u.i AS INTEGER), 3) AS g
-        FROM s, UNNEST(generate_series(1, greatest(length(s) - 2, 0)))
-             AS u(i)
+        FROM s, UNNEST(generate_series(1, length(s) - 2)) AS u(i)
+        WHERE length(s) >= 3
     ),
     prof AS (
         SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n
@@ -470,12 +470,20 @@ def q_char_trigram_entropy(spark, sf_dir):
     stream; per-language totals and the entropy sum reuse the lang
     hash partitioning (lang is a prefix of the profile key)."""
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.select("lang", F.lower("text").alias("s"))
+    # length >= 3 filter BEFORE the sequence: Spark's sequence(1, 0)
+    # returns a DESCENDING [1, 0] (step defaults to -1 when start >
+    # stop), so empty/NULL/1-2-char docs would emit two spurious
+    # 'trigram' rows where DuckDB's generate_series(1, 0) is empty.
+    # The filter is mirrored in the oracle SQL and pushes down to the
+    # parquet scan; NULL text fails `length >= 3` on both engines.
+    s = docs.select("lang", F.lower("text").alias("s")).filter(
+        F.length("s") >= 3
+    )
     tri = s.select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(s) - 2, 0)),"
+                "transform(sequence(1, length(s) - 2),"
                 " i -> substring(s, i, 3))"
             )
         ).alias("g"),

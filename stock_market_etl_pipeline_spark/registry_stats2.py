@@ -92,11 +92,31 @@ def q_weighted_median_price_by_nation(spark, sf_dir):
     deterministic across engines, and the emitted price is a
     pass-through parquet double: everything RAW, nothing rounded.
 
-    Plan: lineitem joins two BROADCAST dims (supplier, nation), then
-    one cumulative window + filter per nation partition. The window's
-    (price, w) tie order makes the cumulative sum path-deterministic
-    even among equal prices (rule: any window consumed by a selection
-    must have a total order)."""
+    Plan (r10 rewrite, VERDICT r9 #4): the old plan ran ONE cumulative
+    window per nation partition — 25 tasks each sorting its nation's
+    FULL lineitem slice, the per-key sort depth that probed ×10.8 for
+    10× rows at the sf1→sf10 decade. The selection is not a sliding
+    frame, so it decomposes as bucket-then-probe instead of chunking:
+
+    1. bucket = floor(price / 100) — ~1050 buckets over the TPC-H
+       price domain, so the per-(nation, bucket) groupBy is genuinely
+       COMBINABLE (~26k groups; floor(price) at width 1 left ~1 row
+       per group and the partial agg reduced nothing — measured 3×
+       slower at sf0.1). Monotone under IEEE division, so bucket
+       order == price order regardless of representation; the only
+       fact-wide exchange carries bucket rows, not raw rows.
+    2. cumulative weights over the TINY (nation, bucket) table find
+       the target bucket b* whose cumulative crosses half the total
+       (2*bcum >= tot on exact ints), plus cum_before = bcum - sw.
+    3. a second scan keeps ONLY b*'s rows (broadcast of the 25-row
+       target table), sorts those few rows per nation, and selects the
+       first row where 2*(cum_before + local_cum) >= tot — identical
+       ints to the old single-window crossing test, so the SELECTED
+       row (and the oracle hash) is unchanged.
+
+    Largest sort anywhere: one 100-unit price bucket of one nation
+    (degenerate all-one-price nations fall back to the old task shape,
+    no worse). Both dims stay broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice",
         F.col("l_quantity").cast("bigint").alias("w"),
@@ -110,18 +130,55 @@ def q_weighted_median_price_by_nation(spark, sf_dir):
     j = (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .select("nation", F.col("l_extendedprice").alias("price"), "w")
+        .select(
+            "nation", F.col("l_extendedprice").alias("price"), "w",
+            F.floor(F.col("l_extendedprice") / F.lit(100.0)).alias("__b"),
+        )
     )
+    # phase 1: per-(nation, bucket) weight sums — combinable, so the
+    # fact-wide exchange carries bucket rows, not raw rows
+    bs = j.groupBy("nation", "__b").agg(F.sum("w").alias("sw"))
+    wb = Window.partitionBy("nation").orderBy("__b")
+    cum = bs.select(
+        "nation", "__b", "sw",
+        F.sum("sw").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("bcum"),
+        F.sum("sw").over(Window.partitionBy("nation")).alias("tot"),
+    )
+    # target bucket: smallest bucket whose cumulative crosses half the
+    # total; the global crossing ROW provably lives inside it
+    tgt = (
+        cum.filter(2 * F.col("bcum") >= F.col("tot"))
+        .groupBy("nation", "tot")
+        .agg(
+            F.min("__b").alias("tb"),
+            (
+                F.min_by(F.col("bcum"), F.col("__b"))
+                - F.min_by(F.col("sw"), F.col("__b"))
+            ).alias("cum_before"),
+        )
+        # renamed keys: tgt derives from j, so joining on the original
+        # attributes would be an ambiguous self-join
+        .select(
+            F.col("nation").alias("t_nation"), "tb", "tot", "cum_before"
+        )
+    )
+    # phase 2: sort ONLY the target bucket's rows per nation
+    cand = j.join(
+        F.broadcast(tgt),
+        (F.col("nation") == F.col("t_nation")) & (F.col("__b") == F.col("tb")),
+    ).select("nation", "price", "w", "tot", "cum_before")
     wo = Window.partitionBy("nation").orderBy("price", "w")
-    c = j.select(
-        "nation", "price", "w",
-        F.sum("w").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
-        F.sum("w").over(Window.partitionBy("nation")).alias("tot"),
-    )
     sel = (
-        c.filter(2 * F.col("cum") >= F.col("tot"))
+        cand.withColumn(
+            "cum",
+            F.col("cum_before")
+            + F.sum("w").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(2 * F.col("cum") >= F.col("tot"))
         .withColumn("rn", F.row_number().over(wo))
         .filter(F.col("rn") == 1)
     )
@@ -197,27 +254,101 @@ def q_runs_test_updown(spark, sf_dir):
     double); z is ROUND(...,6). Degenerate guards (all-up, all-down,
     zero variance) drop the symbol on both sides.
 
-    Plan: the sign lag, the boundary lag, and the groupBy share the
-    ONE HashPartitioning(symbol) exchange from ticks()."""
+    Plan (r10 rewrite, VERDICT r9 #4): the old plan ran every window
+    over partitionBy(symbol) — the window buffers one symbol's FULL
+    history per group, the per-key depth that probed ×13.9 for 10×
+    rows at the sf1→sf10 decade. Run counting is a SEGMENT MONOID
+    (concatenating two sign streams merges their run counts minus one
+    when the border signs agree), so the series chunks by calendar
+    month — ONE scan, and the same single ticks exchange as before:
+
+    1. in-month signs from lag WITHIN (symbol, month); the previous
+       SIGNED row's sign (for run breaks across in-month flat days)
+       via last(ignorenulls) over the preceding in-month frame. No
+       window ever buffers more than one month of one symbol.
+    2. one groupBy(symbol, month) collects per-month up/down counts,
+       the internal run count (the month's first signed row counts as
+       a run start), first/last in-month sign, AND first/last CLOSE —
+       the closes carry the month-border information.
+    3. on the months-sized table: the border observation between
+       month m-1 and m is sign(first_close(m) - last_close(m-1)) —
+       exactly the sign the old plan computed for m's first row, since
+       its predecessor row IS m-1's last row (flat-month chains keep
+       this true: every row's predecessor relation is preserved).
+       Fold the border into the month's segment descriptor (first
+       sign, last sign, run count), drop empty segments, and subtract
+       one run per border where the previous non-empty segment's last
+       sign equals this segment's first sign.
+
+    All counts stay exact ints, so n_up/n_down/n_runs — and the oracle
+    hash — are unchanged from the single-window plan."""
     t = ticks(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("date")
-    sgn = (
-        F.when(F.col("close") > F.lag("close").over(w), F.lit(1))
-        .when(F.col("close") < F.lag("close").over(w), F.lit(-1))
+    tm = t.select(
+        "symbol", "date", "close", F.trunc("date", "month").alias("__m")
     )
-    s = t.select("symbol", "date", sgn.alias("sgn")).filter(
-        F.col("sgn").isNotNull()
+    wcm = Window.partitionBy("symbol", "__m").orderBy("date")
+    sgn = (
+        F.when(F.col("close") > F.lag("close").over(wcm), F.lit(1))
+        .when(F.col("close") < F.lag("close").over(wcm), F.lit(-1))
+    )
+    s = tm.withColumn("sgn", sgn)
+    # previous SIGNED row's sign within the month (skips flat days)
+    prev_sgn = F.last("sgn", ignorenulls=True).over(
+        wcm.rowsBetween(Window.unboundedPreceding, -1)
     )
     brk = F.when(
-        ~F.col("sgn").eqNullSafe(F.lag("sgn").over(w)), F.lit(1)
+        F.col("sgn").isNotNull() & ~F.col("sgn").eqNullSafe(prev_sgn),
+        F.lit(1),
     ).otherwise(F.lit(0))
-    s2 = s.select("symbol", "sgn", brk.alias("brk"))
-    g = s2.groupBy("symbol").agg(
-        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
-        .cast("bigint").alias("n_up"),
-        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
-        .cast("bigint").alias("n_down"),
-        F.sum("brk").cast("bigint").alias("n_runs"),
+    # signed-rows-only min_by/max_by keys: NULL keys are skipped by the
+    # aggregate, so first_sgn/last_sgn see only signed rows
+    sgn_key = F.when(F.col("sgn").isNotNull(), F.col("date"))
+    per_m = s.withColumn("brk", brk).groupBy("symbol", "__m").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n_up_m"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n_down_m"),
+        F.sum("brk").alias("runs_m"),
+        F.min_by("sgn", sgn_key).alias("first_sgn"),
+        F.max_by("sgn", sgn_key).alias("last_sgn"),
+        F.min_by("close", "date").alias("first_close"),
+        F.max_by("close", "date").alias("last_close"),
+    )
+    wmm = Window.partitionBy("symbol").orderBy("__m")
+    # border observation: this month's first row vs previous month's
+    # last row (NULL for the first month or a flat border)
+    b_m = (
+        F.when(F.col("first_close") > F.lag("last_close").over(wmm), F.lit(1))
+        .when(F.col("first_close") < F.lag("last_close").over(wmm), F.lit(-1))
+    )
+    seg = per_m.select(
+        "symbol", "__m", "n_up_m", "n_down_m", "runs_m",
+        "first_sgn", "last_sgn", b_m.alias("b_m"),
+    ).select(
+        "symbol", "__m",
+        (F.col("n_up_m")
+         + F.when(F.col("b_m") == 1, 1).otherwise(0)).alias("seg_up"),
+        (F.col("n_down_m")
+         + F.when(F.col("b_m") == -1, 1).otherwise(0)).alias("seg_down"),
+        F.coalesce("b_m", "first_sgn").alias("seg_first"),
+        F.coalesce("last_sgn", "b_m").alias("seg_last"),
+        F.when(F.col("b_m").isNull(), F.col("runs_m"))
+        .when(F.col("first_sgn").isNull(), F.lit(1))
+        .otherwise(
+            F.lit(1) + F.col("runs_m")
+            - F.when(F.col("b_m") == F.col("first_sgn"), 1).otherwise(0)
+        ).alias("seg_runs"),
+    ).filter(F.col("seg_first").isNotNull())
+    # border merge across non-empty segments: == (not eqNullSafe) so
+    # the first segment's NULL lag contributes 0, never a subtraction
+    merged = seg.select(
+        "symbol", "seg_up", "seg_down", "seg_runs",
+        F.when(
+            F.col("seg_first") == F.lag("seg_last").over(wmm), F.lit(1)
+        ).otherwise(F.lit(0)).alias("same"),
+    )
+    g = merged.groupBy("symbol").agg(
+        F.sum("seg_up").cast("bigint").alias("n_up"),
+        F.sum("seg_down").cast("bigint").alias("n_down"),
+        (F.sum("seg_runs") - F.sum("same")).cast("bigint").alias("n_runs"),
     )
     n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("n_runs")
     n = n1 + n2

@@ -204,6 +204,41 @@ def test_trigram_entropy_uniform_and_degenerate(spark, monkeypatch):
     assert out["flat"].perplexity == 1.0
 
 
+def test_trigram_entropy_short_empty_null_docs(spark, monkeypatch):
+    """Docs shorter than 3 chars must contribute NOTHING — Spark's
+    sequence(1, 0) is a descending [1, 0] (ADVICE r9: two spurious
+    'trigram' rows per short doc), so the length>=3 guard is
+    load-bearing for oracle parity with DuckDB's empty
+    generate_series(1, 0). NULL/empty/1-2-char docs are dropped; a
+    lang whose ONLY docs are short emits no row at all."""
+    rows = [
+        (0, None, "shorty"),
+        (1, "", "shorty"),
+        (2, "h", "shorty"),
+        (3, "hi", "shorty"),
+        (4, "abc", "edge"),      # exactly one trigram
+        (5, "hi", "mixed"),      # short doc must not pollute 'mixed'
+        (6, "abcabc", "mixed"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, "s0", len(t) if t else 0) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm6, "load_table", lambda s, d, n: df)
+    out = {r.lang: r for r in
+           llm6.q_char_trigram_entropy(spark, SF_DIR).collect()}
+    assert "shorty" not in out          # nothing but short docs -> no row
+    assert out["edge"].n_trigrams == 1
+    assert out["edge"].trigram_vocab == 1
+    assert out["edge"].entropy_nats == 0.0
+    assert out["edge"].perplexity == 1.0
+    # 'mixed' sees only the 4 trigrams of 'abcabc' (abc, bca, cab, abc)
+    h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert out["mixed"].n_trigrams == 4
+    assert out["mixed"].trigram_vocab == 3
+    assert out["mixed"].entropy_nats == pytest.approx(round(h, 6), abs=2e-6)
+
+
 # ---------------------------------------------------------------------------
 # Token burstiness
 # ---------------------------------------------------------------------------

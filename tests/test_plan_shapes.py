@@ -800,20 +800,34 @@ def test_embedding_drift_pair_join_off_corpus(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_weighted_median_broadcast_dims_one_exchange(spark, qs):
-    """Both dims broadcast; the cumulative window, the total window and
-    the selection share ONE nation exchange."""
+def test_weighted_median_bucket_probe_no_fact_row_shuffle(spark, qs):
+    """r10 bucket-then-probe plan (VERDICT r9 #4): the only fact-wide
+    exchange is the partially-aggregated (nation, bucket) groupBy —
+    raw fact ROWS are never shuffled or window-sorted whole-nation.
+    Two fact subtrees (bucket sums + target-bucket probe), dims and
+    the 25-row target table all broadcast, no sort-merge join."""
     plan = plan_of(qs["weighted_median_price_by_nation"](spark, SF_DIR))
-    assert count_nodes(plan, "Scan parquet") == 3
-    assert count_nodes(plan, "Exchange") == 1
-    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert count_nodes(plan, "Scan parquet") == 6
+    # groupBy(nation,__b) + bucket-table window + candidate window
+    assert count_nodes(plan, "Exchange") == 3
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 5
     assert count_nodes(plan, "SortMergeJoin") == 0
 
 
-def test_runs_test_one_exchange(spark, qs):
+def test_runs_test_month_chunked_two_exchanges(spark, qs):
+    """r10 month-chunked segment-monoid plan (VERDICT r9 #4): every
+    window buffers at most one (symbol, month) group — no whole-symbol
+    window buffers. Two fact subtrees (sign stream + month-boundary
+    closes), each with its single ticks exchange; the boundary table
+    joins back by broadcast; all downstream windows/groupBys reuse the
+    symbol hash partitioning."""
     plan = plan_of(qs["runs_test_updown"](spark, SF_DIR))
-    assert count_nodes(plan, "Scan parquet") == 1
-    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Scan parquet") == 2
+    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    # window specs: boundary lag over months, in-month close lag,
+    # in-month sign-break lag, per-symbol border merge
+    assert count_nodes(plan, "Window") == 4
 
 
 def test_trigram_entropy_single_pass_window_totals(spark, qs):

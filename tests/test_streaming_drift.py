@@ -163,3 +163,72 @@ def test_drift_monitor_survives_restart_storm(spark, tmp_path):
         F.sum("n").alias("s")
     ).collect()[0].s
     assert live == len(LIKE_REF.split())
+
+
+# planted IN-SUPPORT skew: every token is in the frozen support, so the
+# restricted-KL channel (not the OOV channel) must do the flagging
+IN_SKEW = "the the the the the the the the the the the the"
+
+
+def test_multi_source_planted_drift_restart_storm(spark, tmp_path):
+    """VERDICT r9 #8: cross-source SELECTIVITY under a restart storm —
+    three sources stream three batches each, exactly one (s2) drifts
+    with in-support skew; after every batch the last checkpoint commit
+    is crashed and the batch replayed. The frozen-support KL must flag
+    s2 and ONLY s2 in every per-batch metrics row, across replays, with
+    no duplicate or diverging metric rows."""
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    freeze_reference(spark, _docs(spark, [(REF_TEXT, "s1")]), d["state"])
+
+    ref = _counts(REF_TEXT)
+    seen = {}
+    for b in range(3):
+        _docs(
+            spark,
+            [(LIKE_REF, "s1"), (IN_SKEW, "s2"), (LIKE_REF, "s3")],
+            start_id=100 * b,
+        ).coalesce(1).write.mode("append").parquet(d["landing"])
+        _run(spark, d)
+        once = sorted(
+            (r.batch_id, r.source, r.kl_vs_reference, bool(r.drifted))
+            for r in drift_metrics(spark, d["state"]).collect()
+        )
+        # crash AFTER the work, BEFORE the commit: full batch replay
+        _crash_last_commit(d["ckpt"])
+        _run(spark, d)
+        again = sorted(
+            (r.batch_id, r.source, r.kl_vs_reference, bool(r.drifted))
+            for r in drift_metrics(spark, d["state"]).collect()
+        )
+        assert again == once, f"replay diverged at batch {b}"
+        seen = {
+            (r.batch_id, r.source): r
+            for r in drift_metrics(spark, d["state"]).collect()
+        }
+
+    # 3 batches x 3 sources, no duplicates
+    assert len(seen) == 9
+    for (bid, src), r in seen.items():
+        if src == "s2":
+            assert bool(r.drifted) is True, (bid, src)
+            # in-support skew: the OOV channel must NOT be what fired
+            assert r.oov_share == 0.0
+        else:
+            assert bool(r.drifted) is False, (bid, src)
+    # KL parity with the Python reference on the CUMULATIVE counts at
+    # every batch (NOT constant across batches even though proportions
+    # are: add-one smoothing is deliberately not scale-invariant — more
+    # evidence shrinks the smoothing mass, so a skewed source's KL
+    # RISES as its skew accumulates)
+    batch_ids = sorted({b for b, _ in seen})
+    for src, text in (("s1", LIKE_REF), ("s2", IN_SKEW), ("s3", LIKE_REF)):
+        for k, bid in enumerate(batch_ids, start=1):
+            live = _counts(*([text] * k))
+            want = _kl_reference(
+                {t: n for t, n in live.items() if t in ref}, ref
+            )
+            assert seen[(bid, src)].kl_vs_reference == want, (src, bid)
+    # and the skewed source's KL is monotonically sharpening
+    s2_kls = [seen[(b, "s2")].kl_vs_reference for b in batch_ids]
+    assert s2_kls == sorted(s2_kls)

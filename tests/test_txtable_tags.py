@@ -107,3 +107,32 @@ def test_restore_via_tag_lookup(spark, tmp_path):
     assert {r.k for r in t.read(spark).collect()} == {1}
     # the tag still resolves after restore (history is append-only)
     assert {r.k for r in t.read(spark, tag="good").collect()} == {1}
+
+
+def test_vacuum_keep_last_zero_preserves_tag_map(spark, tmp_path):
+    """ADVICE r9: vacuum(keep_last=0) on a tagged table must retain the
+    LATEST manifest too — the tag map rides the latest manifest, so
+    dropping it would make tags() resolve against a pre-tag manifest:
+    the tag silently vanishes, the pinned snapshot loses protection on
+    the next vacuum, and latest_snapshot() regresses (snapshot-id
+    reuse)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.create_tag("pin")            # tag map now lives in snapshot 1
+    t.overwrite(_df(spark, [(2, 2.0)]))
+    t.append(_df(spark, [(3, 3.0)]))
+    head = t.latest_snapshot()
+    t.vacuum(keep_last=0)
+    # tag survives, pinned data survives, HEAD does not regress
+    assert t.tags() == {"pin": 0}
+    assert {r.k for r in t.read(spark, tag="pin").collect()} == {1}
+    assert t.latest_snapshot() == head
+    assert {r.k for r in t.read(spark).collect()} == {2, 3}
+    # second vacuum must be stable (the r9 failure mode was a vanishing
+    # tag that unprotected the pin on the NEXT vacuum)
+    t.vacuum(keep_last=0)
+    assert t.tags() == {"pin": 0}
+    assert {r.k for r in t.read(spark, tag="pin").collect()} == {1}
+    # new commits get FRESH snapshot ids
+    t.append(_df(spark, [(4, 4.0)]))
+    assert t.latest_snapshot() > head

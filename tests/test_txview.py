@@ -172,3 +172,36 @@ def test_scd2_duplicate_rows_pair_kth_open_with_kth_close(spark, tmp_path):
         for r in scd2.collect()
     )
     assert rows == [(0, 1), (0, 99)]
+
+
+def test_reserved_alias_collisions_rejected(spark, tmp_path):
+    """ADVICE r9: the reserved-alias namespace must be VALIDATED, not
+    trusted — a sum column literally named '_rowcount' reproduces the
+    same AMBIGUOUS_REFERENCE the '_d_n' rename fixed, and group columns
+    named 'n_rows' / 'sum_<c>' / '_d_*' / '_change' were similarly
+    unguarded."""
+    src = TxTable(str(tmp_path / "src"))
+    view = TxTable(str(tmp_path / "view"))
+    src.append(mk(spark, [(1, "a", 10)]))
+
+    bad = [
+        (["grp"], ["_rowcount"]),      # delta alias _d__rowcount collides
+        (["n_rows"], ["v"]),           # group col shadows the count col
+        (["sum_v"], ["v"]),            # group col shadows the sum col
+        (["_d_x"], ["v"]),             # group col in the delta namespace
+        (["_change"], ["v"]),          # group col shadows the feed meta
+        (["grp"], ["_d_v"]),           # sum col in the delta namespace
+        (["grp"], ["_change"]),        # sum col shadows the feed meta
+        (["grp"], ["v", "v"]),         # duplicate
+        (["grp", "v"], ["v"]),         # group/sum overlap
+    ]
+    for g, s in bad:
+        with pytest.raises(ValueError):
+            refresh_view(spark, src, view, g, s)
+        with pytest.raises(ValueError):
+            recompute_view(spark, src, g, s)
+
+    # the happy path still works after all the rejections (no state
+    # was corrupted by a failed validation)
+    assert refresh_view(spark, src, view, GROUPS, SUMS) == 0
+    assert_view_matches(spark, src, view)
