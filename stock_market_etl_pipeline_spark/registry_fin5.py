@@ -251,6 +251,82 @@ def q_momentum_decile_backtest(spark, sf_dir):
 # Theil-Sen robust trend — median of pairwise slopes
 # ---------------------------------------------------------------------------
 
+# Depth trigger for the pair-enumeration strategy (VERDICT r9 #3): at or
+# below this many days per symbol, each symbol's pairwise-slope median is
+# computed by a vectorized numpy kernel inside ONE applyInPandas pass
+# (pair matrix ≤ n²/2 doubles ≈ 36 MB transient per group at the bound);
+# above it, the streaming JVM sort-merge self-join takes over with a
+# finer histogram width so per-bucket occupancy (quadratic in depth)
+# stays re-bounded. Both strategies are exact.
+_TS_ARRAY_MAX_DAYS = 3000
+_TS_WIDTH_FINE = 0.01
+
+
+def _theil_sen_numpy(t):
+    """Per-symbol Theil-Sen via a vectorized numpy kernel — one of the
+    repo's DOCUMENTED Python slots (with the multimodal codecs and the
+    stateful-streaming processors; everything else is zero-Python-UDF).
+
+    Why Python here and nowhere else: the per-key work is a BOUNDED
+    QUADRATIC kernel (n ≤ _TS_ARRAY_MAX_DAYS days → ≤ ~4.5M pairs), and
+    JVM row machinery prices every pair at ~300k rows/s/core whether it
+    comes from a sort-merge self-join or an interpreted higher-order
+    function (measured at sf1, 1.42B pairs: SMJ two-phase 273 s,
+    array-explode HOF 199 s — HOFs are not whole-stage-codegen'd).
+    numpy's broadcast subtraction + np.partition does the same pairs at
+    ~100M/s/core: measured 11.1 s at sf1, 72.1 s at sf10 (was 207 s
+    and 2274 s respectively — 31x at sf10, and x6.5 for 10x symbols, so
+    still linear in symbols).
+    Arrow round-trips int64/float64 bit-exactly, the slope is the same
+    single IEEE division of exactly-representable ints, and the median
+    is order-statistic selection — so the result (and the oracle hash)
+    is identical to the JVM path, which the deep-path certificate test
+    asserts (tests/test_ext5.py).
+
+    Grouping: one Arrow batch per symbol (≤ a few thousand rows in,
+    ONE row out); the shuffle is the same symbol exchange the JVM plan
+    needs anyway. Skew: the kernel's cost is bounded by the depth
+    trigger, not by data volume."""
+    import pandas as pd
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "symbol": pd.Series([], dtype="int64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "theil_sen_slope": pd.Series([], dtype="float64"),
+                }
+            )
+        d = pdf["d"].to_numpy(dtype=np.float64)
+        cc = pdf["cc"].to_numpy(dtype=np.float64)  # cents ≪ 2^53: exact
+        o = np.argsort(d)
+        d, cc = d[o], cc[o]
+        i, j = np.triu_indices(n, 1)
+        slopes = (cc[j] - cc[i]) / ((d[j] - d[i]) * 100.0)
+        m = slopes.size
+        klo = (m + 1) // 2  # 1-based lower-median rank, as in the oracle
+        lo = np.partition(slopes, klo - 1)[klo - 1]
+        if m % 2:
+            med = float(lo)
+        else:
+            hi = np.partition(slopes, klo)[klo]  # khi-1 == m//2 == klo
+            med = (float(lo) + float(hi)) / 2.0
+        return pd.DataFrame(
+            {
+                "symbol": [int(pdf["symbol"].iloc[0])],
+                "n_pairs": [int(m)],
+                "theil_sen_slope": [med],
+            }
+        )
+
+    return t.groupBy("symbol").applyInPandas(
+        kern, "symbol long, n_pairs bigint, theil_sen_slope double"
+    )
+
 
 @register(
     "theil_sen_trend",
@@ -301,22 +377,54 @@ def q_theil_sen_trend(spark, sf_dir):
     total work is linear in symbols: one symbol-keyed sort-merge
     self-join, one symbol exchange for the rank. The same
     group-size-bounded argument as the LSH bucket cap, with the oracle
-    stating the identical quadratic directly. Measured (r9): 207 s at
-    sf1 (10k symbols), 2274 s at sf10 (100k symbols), single-rep on a
-    contended host — ×11 for 10× keys, i.e. linear in symbols as
-    argued. If instead the TIME axis grew 100× (100× DAYS per symbol),
-    the map-side histogram phase stays aggregate-only but per-bucket
-    occupancy grows ×10⁴ (pairs are quadratic in days), so the phase-2
-    refinement of ≤2 buckets/symbol would enumerate ~10⁴× more pairs:
-    the widen knob is a FINER bucket width (e.g. 0.01 $/day), which
-    re-bounds per-bucket pair counts at the cost of a larger — still
-    aggregable — histogram; the two-phase structure itself is what
-    keeps the long-history axis tractable."""
+    stating the identical quadratic directly.
+
+    Pair ENUMERATION auto-switches on history depth (VERDICT r9 #3 —
+    the widen knob promoted from docstring prose to code, mirroring
+    the enrich quartiles="exact"|"approx" pattern; both branches stay
+    EXACT, only the physical strategy moves):
+
+    - shallow (max days/symbol ≤ _TS_ARRAY_MAX_DAYS): the vectorized
+      numpy kernel (_theil_sen_numpy — a DOCUMENTED Python slot, see
+      its docstring for the measured 20-30x case) computes each
+      symbol's slope matrix + order-statistic selection in one
+      applyInPandas pass over the same symbol exchange.
+    - deep (max days/symbol > _TS_ARRAY_MAX_DAYS, where the transient
+      per-group pair matrix would exceed ~36 MB): the memory-safe
+      symbol-keyed sort-merge self-join streams pairs into the
+      two-phase bucket histogram, and the bucket width drops to
+      _TS_WIDTH_FINE (0.01 $/day) so per-bucket occupancy — which
+      grows quadratically with depth — stays re-bounded; the
+      histogram stays aggregate-only.
+
+    Prior fixed-width measurements (r9, SMJ path at width 1): 207 s at
+    sf1, 2274 s at sf10, linear in symbols."""
     t = ticks(spark, sf_dir).select(
         "symbol",
         F.datediff(F.col("date"), F.lit("1970-01-01")).alias("d"),
         F.round(F.col("close") * 100, 0).cast("bigint").alias("cc"),
     )
+
+    # pair count is CLOSED-FORM from per-symbol day counts (days are
+    # distinct within a symbol): m = n(n-1)/2 — no count window over
+    # the pair stream, and the median target ranks are known up front.
+    mdf = t.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n")).select(
+        "symbol", "__n",
+        F.expr("__n * (__n - 1) div 2").alias("m"),
+    ).select(
+        "symbol", "__n", "m",
+        F.expr("(m + 1) div 2").alias("klo"),
+        F.expr("m div 2 + 1").alias("khi"),
+    ).localCheckpoint(eager=True)
+
+    # depth trigger: one row off the checkpointed per-symbol counts
+    max_days = (
+        mdf.agg(F.max("__n").alias("mx")).collect()[0].mx or 0
+    )
+    deep = max_days > _TS_ARRAY_MAX_DAYS
+    if not deep:
+        return _theil_sen_numpy(t)
+    width = _TS_WIDTH_FINE
 
     def pair_slopes():
         a = t.select(
@@ -328,13 +436,14 @@ def q_theil_sen_trend(spark, sf_dir):
             F.col("cc").alias("cb"),
         )
         # try_divide, not /: Catalyst pools this projection into the
-        # phase-2 multi-join condition, where it can be EVALUATED on a
-        # da == db diagonal row before the da < db residual filters it
-        # — ANSI / throws there; try_divide yields NULL and the row is
-        # dropped by the residual as intended (slope values on
-        # surviving rows are identical).
+        # phase-2 multi-join condition, where it can be EVALUATED on
+        # a da == db diagonal row before the da < db residual
+        # filters it — ANSI / throws there; try_divide yields NULL
+        # and the row is dropped by the residual as intended (slope
+        # values on surviving rows are identical).
         return a.join(
-            b, (F.col("sym") == F.col("symb")) & (F.col("da") < F.col("db"))
+            b,
+            (F.col("sym") == F.col("symb")) & (F.col("da") < F.col("db")),
         ).select(
             F.col("sym").alias("symbol"),
             F.try_divide(
@@ -343,29 +452,16 @@ def q_theil_sen_trend(spark, sf_dir):
             ).alias("slope"),
         )
 
-    # pair count is CLOSED-FORM from per-symbol day counts (days are
-    # distinct within a symbol): m = n(n-1)/2 — no count window over
-    # the pair stream, and the median target ranks are known up front.
-    mdf = t.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n")).select(
-        "symbol",
-        F.expr("__n * (__n - 1) div 2").alias("m"),
-    ).select(
-        "symbol", "m",
-        F.expr("(m + 1) div 2").alias("klo"),
-        F.expr("m div 2 + 1").alias("khi"),
-    ).localCheckpoint(eager=True)
-
     # Phase 1 — bucket histogram: the pair stream collapses map-side
-    # into (symbol, floor(slope)) counts, so NOTHING the size of the
-    # pair set is ever shuffled or sorted (the first cut sorted all
-    # n²/2 slopes under a row_number window: 36 s at sf0.1). Bucket
-    # width 1 $/day: measured 15-47M distinct buckets at finer widths
-    # (slopes are heavy-tailed) versus ≤ a few thousand pairs per
-    # integer bucket — the refinement stays tiny while the histogram
-    # stays aggregable. A pathological all-equal-slope symbol would
-    # put every pair in one bucket and phase 2 degrades to the sort it
-    # replaced — cost bound, not correctness bound.
-    qb = F.floor(F.col("slope")).cast("long")
+    # into (symbol, floor(slope / width)) counts, so NOTHING the size
+    # of the pair set is ever shuffled or sorted (the first cut sorted
+    # all n²/2 slopes under a row_number window: 36 s at sf0.1).
+    # Width 1 $/day on shallow histories: measured 15-47M distinct
+    # buckets at finer widths (slopes are heavy-tailed) versus ≤ a few
+    # thousand pairs per integer bucket. A pathological all-equal-slope
+    # symbol would put every pair in one bucket and phase 2 degrades to
+    # the sort it replaced — cost bound, not correctness bound.
+    qb = F.floor(F.col("slope") / F.lit(width)).cast("long")
     hist = pair_slopes().groupBy(
         "symbol", qb.alias("qb")
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -399,7 +495,10 @@ def q_theil_sen_trend(spark, sf_dir):
     refined = pair_slopes().join(
         F.broadcast(tgt),
         (F.col("symbol") == F.col("__tsym"))
-        & (F.floor(F.col("slope")).cast("long") == F.col("__tqb")),
+        & (
+            F.floor(F.col("slope") / F.lit(width)).cast("long")
+            == F.col("__tqb")
+        ),
     ).select("symbol", "slope", "cum_start")
     wb = Window.partitionBy("symbol", "cum_start").orderBy("slope")
     picked = refined.select(

@@ -300,6 +300,74 @@ def test_theil_sen_robust_to_outlier(spark):
     assert abs(dirty - clean) * 100.0 < spread / 10
 
 
+def test_theil_sen_deep_path_certificate(spark, monkeypatch):
+    """VERDICT r9 #3 certificate: the size-triggered strategy switch
+    (array enumeration vs fine-width SMJ) is EXACT on both branches.
+    Force the deep branch by lowering the trigger below the series
+    depth and assert both branches return byte-identical slopes, each
+    equal to the brute-force numpy median of pairwise slopes."""
+    import datetime as _dt
+
+    import stock_market_etl_pipeline_spark.registry_fin5 as fin5
+
+    # two symbols, 80 deterministic days each — deep vs the patched
+    # trigger (50), shallow vs the default (3000)
+    rows = []
+    for sym in (1, 2):
+        c = 1000.0 + 7 * sym
+        for i in range(80):
+            c = c + ((i * 37 + sym * 11) % 13 - 6) * 0.25
+            day = _dt.date(2024, 1, 1) + _dt.timedelta(days=i * 3 % 250)
+            rows.append((sym, day, c))
+    # de-dup (sym, day) collisions from the stride (days must be unique)
+    seen, uniq = set(), []
+    for sym, day, c in rows:
+        if (sym, day) not in seen:
+            seen.add((sym, day))
+            uniq.append((sym, day, round(c, 2)))
+    df = spark.createDataFrame(
+        [(s, d, c, c, c, c, 100) for s, d, c in uniq],
+        "symbol long, date date, open double, high double, low double, "
+        "close double, volume bigint",
+    )
+    monkeypatch.setattr(fin5, "ticks", lambda s, d: df)
+
+    def brute(sym):
+        pts = sorted(
+            (
+                (d - _dt.date(1970, 1, 1)).days,
+                int(round(c * 100)),
+            )
+            for s, d, c in uniq
+            if s == sym
+        )
+        slopes = sorted(
+            (cb - ca) / ((db - da) * 100.0)
+            for i, (da, ca) in enumerate(pts)
+            for db, cb in pts[i + 1:]
+        )
+        m = len(slopes)
+        return (
+            slopes[(m - 1) // 2]
+            if m % 2
+            else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+        )
+
+    shallow = {
+        r.symbol: (r.n_pairs, r.theil_sen_slope)
+        for r in fin5.q_theil_sen_trend(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(fin5, "_TS_ARRAY_MAX_DAYS", 50)
+    deep = {
+        r.symbol: (r.n_pairs, r.theil_sen_slope)
+        for r in fin5.q_theil_sen_trend(spark, SF_DIR).collect()
+    }
+    assert shallow == deep  # strategy switch is value-invisible
+    for sym in (1, 2):
+        n, slope = shallow[sym]
+        assert slope == brute(sym)  # exact, not approx
+
+
 # ---------------------------------------------------------------------------
 # daily_event_ewma
 # ---------------------------------------------------------------------------

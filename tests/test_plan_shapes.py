@@ -691,13 +691,28 @@ def test_session_overlap_no_pair_materialization(spark, qs):
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
 
 
-def test_theil_sen_two_phase_no_pair_sort(spark, qs):
-    """Phase 1 must aggregate the pair stream straight into the bucket
-    histogram — a Sort feeding a Window over the raw pair join (the
-    36-second first cut) shows up as a Window whose input is the
+def test_theil_sen_shallow_numpy_kernel_plan(spark, qs):
+    """Shallow histories route to the vectorized numpy kernel (the
+    documented Python slot): one symbol exchange into
+    FlatMapGroupsInPandas, no pair join, no window over pair rows."""
+    plan = plan_of(qs["theil_sen_trend"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "Window") == 0
+
+
+def test_theil_sen_deep_two_phase_no_pair_sort(spark, monkeypatch):
+    """Deep histories fall back to the streaming two-phase bucket
+    histogram: phase 1 must aggregate the pair stream straight into
+    the histogram — a Sort feeding a Window over the raw pair join
+    (the 36-second first cut) shows up as a Window whose input is the
     SortMergeJoin; in the two-phase plan every Window runs over an
     aggregate output."""
-    plan = plan_of(qs["theil_sen_trend"](spark, SF_DIR))
+    import stock_market_etl_pipeline_spark.registry_fin5 as fin5
+
+    monkeypatch.setattr(fin5, "_TS_ARRAY_MAX_DAYS", 0)
+    plan = plan_of(fin5.q_theil_sen_trend(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" not in plan
     # the histogram aggregate exists
     assert count_nodes(plan, "HashAggregate") >= 2
     # windows in this plan are over bucket rollups, which arrive via
