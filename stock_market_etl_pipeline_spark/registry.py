@@ -907,3 +907,4 @@ from . import registry_fin6  # noqa: E402,F401
 from . import registry_llm6  # noqa: E402,F401
 from . import registry_ext6  # noqa: E402,F401
 from . import registry_stats2  # noqa: E402,F401
+from . import registry_stats3  # noqa: E402,F401

@@ -1,0 +1,640 @@
+"""Statistics family, part 3: rank-based two-sample testing, digit-law
+conformance, corpus novelty decay, and an event-sourced running balance.
+
+- ``mann_whitney_length_by_source`` — Mann-Whitney U (Wilcoxon
+  rank-sum) of each source's document-length distribution against the
+  rest of the corpus: the nonparametric "is this source's length
+  profile different" gate a curation pipeline runs before mixing.
+- ``benford_first_digit`` — first-significant-digit distribution of
+  order totals vs Benford's law with per-digit chi-square terms: the
+  classic synthetic-data / fraud smoke test.
+- ``ngram_novelty_by_decile`` — fraction of each ingestion decile's
+  3-token shingles never seen in any earlier document: how fast the
+  corpus stops contributing new content (the marginal-value curve
+  behind dedup budgeting).
+- ``open_orders_balance`` — monthly opened/closed order counts and the
+  cumulative open-order balance: the event-sourced running-balance
+  shape (+1 at open, −1 at last receipt) none of the other rollups
+  cover.
+
+Float policy (NOTES rules 9-15): every statistic is closed over exact
+integer aggregates; tie-averaged ranks ride the spearman 2× trick
+(doubled ranks are integers); the Mann-Whitney variance is quantized by
+exact truncating integer division (rule 13) before its single sqrt; the
+Benford expectation is the one log10 per digit with ROUND 6 at each
+O(1)-noise boundary; novelty and balances are pure counts with at most
+one exact division.
+
+100 TB shape: Mann-Whitney ranks ride the DISTINCT-VALUE table (windows
+over |value domain| rows, never over documents — the same trick as the
+trigram-entropy window totals); novelty's two aggregations both shuffle
+(doc, shingle) pairs once and the novel-per-doc table derives from the
+shingle first-occurrence rollup, so no shingle-keyed join back to the
+corpus; the balance cumulative window runs over a months-sized rollup
+(the documented bounded empty-partitionBy case).
+
+Reference lineage: extension scope per SURVEY §2.12 (the reference's
+stats stop at describe()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .functions.text import ws_tokens
+from .oracles import WITH_TICKS
+from .registry import register
+from .sources.tables import load_table
+from .sources.ticks import ticks
+
+_DEC = "decimal(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: each source's doc-length distribution vs the rest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_length_by_source",
+    """
+    WITH vt AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS HUGEINT) AS t
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    rk AS (
+        SELECT v,
+               2 * SUM(t) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - t + 1 AS r2
+        FROM vt
+    ),
+    tot AS (
+        SELECT CAST(SUM(t) AS HUGEINT) AS nn,
+               CAST(SUM(t * t * t - t) AS HUGEINT) AS ties
+        FROM vt
+    ),
+    sv AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT s.source,
+               CAST(SUM(s.c) AS HUGEINT) AS n1,
+               CAST(SUM(s.c * r.r2) AS HUGEINT) AS r2sum
+        FROM sv s JOIN rk r ON s.v = r.v
+        GROUP BY 1
+    ),
+    z AS (
+        SELECT source, n1, t.nn - n1 AS n2,
+               r2sum - n1 * (n1 + 1) AS u2,
+               r2sum - n1 * (n1 + 1) - n1 * (t.nn - n1) AS diff2,
+               (n1 * (t.nn - n1)
+                * ((t.nn + 1) * t.nn * (t.nn - 1) - t.ties))
+               // (12 * t.nn * (t.nn - 1)) AS var_q
+        FROM per, tot t
+        WHERE t.nn > 1
+    )
+    SELECT source,
+           CAST(n1 AS BIGINT)            AS n_docs,
+           CAST(u2 AS DOUBLE) / 2        AS u_stat,
+           ROUND(CAST(diff2 AS DOUBLE)
+                 / (2.0 * sqrt(CAST(var_q AS DOUBLE))), 6) AS z_score
+    FROM z
+    WHERE n1 > 0 AND n2 > 0 AND var_q > 0
+    """,
+)
+def q_mann_whitney_length_by_source(spark, sf_dir):
+    """Mann-Whitney U / Wilcoxon rank-sum per source vs the REST of the
+    corpus on document length (n_chars), tie-corrected normal
+    approximation. |z| > 1.96 flags a source whose length distribution
+    doesn't match the corpus it is being mixed into — the rank-based
+    sibling of ``lang_source_chisq`` (categorical) and
+    ``kl_source_divergence`` (token-distribution).
+
+    Exactness: tie-averaged pooled ranks ride the spearman 2× trick —
+    2·avg_rank of a tie group = 2·cum − t + 1, an exact integer off the
+    DISTINCT-VALUE cumulative window. U, the deviation from its mean,
+    and the tie-corrected variance stay exact DECIMAL(38)/HUGEINT; the
+    variance is QUANTIZED by one truncating integer division
+    (rule 13 — ``(n1·n2·((N+1)·N·(N−1) − Σ(t³−t))) div (12·N·(N−1))``,
+    both engines truncate toward zero; the ≤1-unit truncation is
+    ~1e-18 relative on a variance that large). Closure: one sqrt, one
+    multiply, one divide on identical operands, ROUND 6. u_stat is an
+    exact half-integer (u2/2, binary-exact). Headroom audit: all
+    DECIMAL(38) products ≤ N⁵ — safe to ~sf100; the HUGEINT→DOUBLE
+    casts are < 2⁶⁴ through sf10 (rule-13 zero-divergence band).
+
+    Plan: rank machinery runs over the distinct-length table (windows
+    over |value domain| rows, never over documents); per-source sums
+    broadcast-join that table; one fact-wide exchange (the groupBys)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    vt = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("t")
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = vt.select(
+        "v",
+        (F.lit(2).cast(_DEC) * F.sum("t").over(wv) - F.col("t")
+         + F.lit(1).cast(_DEC)).alias("r2"),
+    )
+    tot = vt.agg(
+        F.sum("t").alias("nn"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("ties"),
+    )
+    sv = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("c")
+    )
+    per = (
+        sv.join(F.broadcast(rk), "v")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n1"),
+            F.sum(F.col("c") * F.col("r2")).alias("r2sum"),
+        )
+    )
+    n1, nn = F.col("n1"), F.col("nn")
+    n2 = nn - n1
+    u2 = F.col("r2sum") - n1 * (n1 + F.lit(1).cast(_DEC))
+    diff2 = u2 - n1 * n2
+    var_q = F.expr(
+        "(n1 * (nn - n1) * ((nn + 1) * nn * (nn - 1) - ties))"
+        " div (12 * nn * (nn - 1))"
+    )
+    z = (
+        per.join(F.broadcast(tot.filter(nn > 1)))
+        .select(
+            "source", n1.alias("n1"), n2.alias("n2"),
+            u2.alias("u2"), diff2.alias("diff2"), "nn", "ties",
+        )
+        .withColumn("var_q", var_q)
+    )
+    return z.filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("var_q") > 0)
+    ).select(
+        "source",
+        F.col("n1").cast("long").alias("n_docs"),
+        (F.col("u2").cast("double") / F.lit(2)).alias("u_stat"),
+        F.round(
+            F.col("diff2").cast("double")
+            / (F.lit(2.0) * F.sqrt(F.col("var_q").cast("double"))),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance of order totals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+    ),
+    g AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g)
+    SELECT digit,
+           n                                   AS n_orders,
+           n * 1.0 / t.nn                      AS observed_share,
+           ROUND(log10(1.0 + 1.0 / digit), 6)  AS benford_share,
+           ROUND((n - t.nn * log10(1.0 + 1.0 / digit))
+                 * (n - t.nn * log10(1.0 + 1.0 / digit))
+                 / (t.nn * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM g, t
+    """,
+)
+def q_benford_first_digit(spark, sf_dir):
+    """First-significant-digit distribution of order totals against
+    Benford's law, with the per-digit chi-square contribution — the
+    standard "is this money synthetic/fabricated" smoke test (TPC-H
+    totals are uniform-ish products, so they FAIL it loudly; real books
+    conform — either way the query certifies the machinery).
+
+    Exactness: the first digit comes from the DECIMAL STRING of exact
+    integer cents (substr of a bigint's text — identical across
+    engines; log10/floor-based digit extraction would be 1-ulp fragile
+    at power-of-ten boundaries). observed_share is one exact division,
+    emitted raw. The Benford expectation is the single non-correctly-
+    rounded op (log10) per digit, so benford_share and the chi2 term
+    close with ROUND 6; the chi2 chain's sensitivity to a 1-ulp log10
+    flip is ≈ 2·N·ulp ≪ 5e-7 through sf10 (docstring audit).
+
+    Plan: one scan, one 9-row groupBy, total broadcast back — nothing
+    bigger than the digit rollup ever moves."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            .cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    )
+    g = c.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = g.agg(F.sum("n").cast("bigint").alias("nn"))
+    e = F.col("nn") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.join(F.broadcast(t)).select(
+        "digit",
+        F.col("n").alias("n_orders"),
+        (F.col("n") * F.lit(1.0) / F.col("nn")).alias("observed_share"),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6
+        ).alias("benford_share"),
+        F.round((F.col("n") - e) * (F.col("n") - e) / e, 6)
+        .alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty by ingestion decile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty_by_decile",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, CAST(u.i AS INT),
+                                          CAST(u.i AS INT) + 2), ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    per_doc_total AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ),
+    firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+    ),
+    per_doc_novel AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM firsts GROUP BY 1
+    ),
+    ranked AS (
+        SELECT d.doc_id,
+               CAST((ROW_NUMBER() OVER (ORDER BY d.doc_id) - 1) * 10
+                    // COUNT(*) OVER () AS INTEGER) AS decile
+        FROM documents d
+    )
+    SELECT r.decile,
+           CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+           CAST(SUM(COALESCE(t.n_sh, 0)) AS BIGINT)    AS n_shingles,
+           CAST(SUM(COALESCE(v.n_novel, 0)) AS BIGINT) AS n_novel,
+           CASE WHEN SUM(COALESCE(t.n_sh, 0)) > 0
+                THEN SUM(COALESCE(v.n_novel, 0)) * 1.0
+                     / SUM(COALESCE(t.n_sh, 0))
+           END AS novelty_rate
+    FROM ranked r
+    LEFT JOIN per_doc_total t ON r.doc_id = t.doc_id
+    LEFT JOIN per_doc_novel v ON r.doc_id = v.doc_id
+    GROUP BY 1
+    """,
+)
+def q_ngram_novelty_by_decile(spark, sf_dir):
+    """Novelty decay curve: for each ingestion decile (docs ordered by
+    doc_id, cut into 10 integer-arithmetic buckets), the fraction of
+    its distinct 3-token shingles that no EARLIER document contains —
+    the marginal-content curve that tells a curation pipeline when
+    additional crawl stops adding new text (companion to the dedup
+    family: dedup asks "is this doc a copy", this asks "how much of
+    this SLICE is copies").
+
+    Implementation trick: novelty needs no shingle-keyed join back to
+    the corpus — a shingle is novel exactly for its MIN doc_id, so the
+    per-doc novel count is ``GROUP BY first_doc`` over the
+    first-occurrence rollup, and the per-doc total is a second rollup
+    of the same exploded distinct (doc, shingle) stream. Deciles use
+    INTEGER arithmetic ((rn−1)·10 div N) so boundary docs can't flip
+    across engines. Counts and the one division per decile are exact.
+
+    Plan: the (doc, shingle) distinct groupBy is the one fact-sized
+    exchange; both per-doc tables derive from it; the doc ranking runs
+    on the docs table with a two-level bucketed row number
+    (operators/skewsafe.with_global_row_numbers pattern) so no task
+    sorts the whole corpus — here via a single window over doc_id,
+    acceptable because the DOCS table is the small side; at 100 TB
+    switch to the bucketed rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("t")
+    )
+    sh = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    per_doc_total = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc_novel = firsts.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("__nd"))
+    ranked = (
+        docs.select("doc_id")
+        .join(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            (
+                (F.row_number().over(Window.orderBy("doc_id")) - 1)
+                * 10
+            ).alias("__rn10"),
+            "__nd",
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(__rn10 div __nd AS INT)").alias("decile"),
+        )
+    )
+    joined = (
+        ranked.join(per_doc_total, "doc_id", "left")
+        .join(per_doc_novel, "doc_id", "left")
+    )
+    s_sh = F.sum(F.coalesce(F.col("n_sh"), F.lit(0)))
+    s_nv = F.sum(F.coalesce(F.col("n_novel"), F.lit(0)))
+    return joined.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        s_sh.cast("bigint").alias("n_shingles"),
+        s_nv.cast("bigint").alias("n_novel"),
+        F.when(s_sh > 0, s_nv * F.lit(1.0) / s_sh).alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Open-orders running balance by month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "open_orders_balance",
+    """
+    WITH closes AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS closed
+        FROM lineitem GROUP BY 1
+    ),
+    op AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_opened
+        FROM orders GROUP BY 1
+    ),
+    cl AS (
+        SELECT date_trunc('month', closed) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_closed
+        FROM closes GROUP BY 1
+    ),
+    mm AS (
+        SELECT COALESCE(op.m, cl.m) AS month_start,
+               COALESCE(n_opened, 0) AS n_opened,
+               COALESCE(n_closed, 0) AS n_closed
+        FROM op FULL OUTER JOIN cl ON op.m = cl.m
+    )
+    SELECT CAST(month_start AS DATE) AS month_start, n_opened, n_closed,
+           CAST(SUM(n_opened - n_closed)
+                OVER (ORDER BY month_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_balance
+    FROM mm
+    """,
+)
+def q_open_orders_balance(spark, sf_dir):
+    """Monthly opened / closed order counts and the cumulative
+    open-order balance — the event-sourced running-balance shape: an
+    order opens at o_orderdate and closes when its LAST lineitem
+    ships (max l_shipdate — the driver testdata carries no receiptdate). The inventory/backlog panel every
+    operations dashboard carries, none of the other rollups cover.
+
+    Exactness: pure integer counts; the balance is a cumulative sum of
+    exact ints, order-independent.
+
+    Plan: the per-order close date is a combinable groupBy on the
+    lineitem exchange; both month rollups are tiny; the cumulative
+    window runs over the ~80-row month table (the documented bounded
+    empty-partitionBy case, like the event-type rollup)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("r")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("o")
+    )
+    closes = li.groupBy("l_orderkey").agg(F.max("r").alias("closed"))
+    op = orders.groupBy(F.trunc("o", "month").alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_opened")
+    )
+    cl = closes.groupBy(F.trunc("closed", "month").alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_closed")
+    )
+    mm = (
+        op.join(cl, "m", "full_outer")
+        .select(
+            F.col("m").alias("month_start"),
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    wb = Window.orderBy("month_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return mm.select(
+        "month_start", "n_opened", "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(wb)
+        .cast("bigint").alias("open_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-number clustering of close prices
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "round_number_bias",
+    WITH_TICKS
+    + """,
+    c AS (
+        SELECT symbol,
+               CAST(round(close * 100) AS BIGINT) % 100 AS c00,
+               CAST(round(close * 100) AS BIGINT) % 50  AS c50
+        FROM ticks
+    ),
+    g AS (
+        SELECT symbol,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN c00 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_round00,
+               CAST(SUM(CASE WHEN c50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_round50
+        FROM c GROUP BY 1
+    )
+    SELECT symbol, n_days, n_round00, n_round50,
+           n_round00 * 1.0 / n_days AS share00,
+           ROUND((n_round00 - n_days * 0.01)
+                 / sqrt(n_days * 0.01 * 0.99), 6) AS z00
+    FROM g WHERE n_days > 0
+    """,
+)
+def q_round_number_bias(spark, sf_dir):
+    """Round-number clustering per symbol: how often the close lands on
+    whole dollars (cents % 100 == 0) or half-dollars, with a binomial
+    z-score against the uniform-cents null (p = 1/100) — the classic
+    market-microstructure "price clustering" diagnostic, and on
+    synthetic data a generator-uniformity check (Benford's grid-level
+    sibling: benford_first_digit tests the leading digit, this tests
+    the trailing cents).
+
+    Exactness: cents are exact int64, the modulo tests and counts are
+    exact; share00 is one exact division (raw); the z closes with
+    single ops on exact ints and the two double constants
+    (n·0.01 — one multiply; variance chain multiply/sqrt/divide, each
+    correctly rounded on identical inputs), ROUND 6.
+
+    Plan: pure map + the one ticks exchange for the symbol groupBy."""
+    t = ticks(spark, sf_dir)
+    cents = F.round(F.col("close") * 100, 0).cast("bigint")
+    c = t.select(
+        "symbol",
+        (cents % 100).alias("c00"),
+        (cents % 50).alias("c50"),
+    )
+    g = c.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("c00") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_round00"),
+        F.sum(F.when(F.col("c50") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_round50"),
+    )
+    n, r0 = F.col("n_days"), F.col("n_round00")
+    return g.filter(n > 0).select(
+        "symbol", "n_days", "n_round00", "n_round50",
+        (r0 * F.lit(1.0) / n).alias("share00"),
+        F.round(
+            (r0 - n * F.lit(0.01))
+            / F.sqrt(n * F.lit(0.01) * F.lit(0.99)),
+            6,
+        ).alias("z00"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase gap quartiles per market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interpurchase_gap_quartiles",
+    """
+    WITH co AS (
+        SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+               o_orderkey AS okey
+        FROM orders
+    ),
+    gaps AS (
+        SELECT c.c_mktsegment AS segment,
+               datediff('day',
+                        LAG(co.d) OVER (PARTITION BY co.ck
+                                        ORDER BY co.d, co.okey),
+                        co.d) AS gap
+        FROM co JOIN customer c ON co.ck = c.c_custkey
+    ),
+    vt AS (
+        SELECT segment, gap, CAST(COUNT(*) AS BIGINT) AS t
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT segment, gap, t,
+               SUM(t) OVER (PARTITION BY segment ORDER BY gap
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS c,
+               SUM(t) OVER (PARTITION BY segment) AS n
+        FROM vt
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT)                              AS n_gaps,
+           CAST(MIN(CASE WHEN 4 * c >= n     THEN gap END) AS BIGINT)
+               AS q1_days,
+           CAST(MIN(CASE WHEN 4 * c >= 2 * n THEN gap END) AS BIGINT)
+               AS median_days,
+           CAST(MIN(CASE WHEN 4 * c >= 3 * n THEN gap END) AS BIGINT)
+               AS q3_days
+    FROM cum GROUP BY 1
+    """,
+)
+def q_interpurchase_gap_quartiles(spark, sf_dir):
+    """Days between a customer's consecutive orders, summarized as
+    exact quartiles per market segment — the repeat-purchase cadence
+    panel behind churn models (rfm_segments scores recency ONCE; this
+    measures the full inter-arrival distribution).
+
+    Exactness: gaps are exact day counts off a per-customer lag with a
+    TOTAL order ((date, orderkey) — same-day orders can't flip the lag
+    across engines); quartile_k is defined inversely on the exact
+    cumulative counts (smallest gap with 4·cum ≥ k·n — integer
+    arithmetic, no engine quantile function, no interpolation), so the
+    selected values are integers, deterministic on both sides.
+
+    Plan: the per-customer lag runs on the orders exchange (millions of
+    shallow keys — no depth skew); quartile machinery runs entirely on
+    the (segment, gap) DISTINCT-VALUE table (gap domain ≈ a few
+    thousand days), the mann-whitney value-table trick applied per
+    segment."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    wl = Window.partitionBy("ck").orderBy("d", "okey")
+    gaps = (
+        orders.join(cust, orders.ck == cust.c_custkey)
+        .select(
+            "segment",
+            F.datediff(F.col("d"), F.lag("d").over(wl)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    vt = gaps.groupBy("segment", "gap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    ws = Window.partitionBy("segment").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vt.select(
+        "segment", "gap", "t",
+        F.sum("t").over(ws).alias("c"),
+        F.sum("t").over(Window.partitionBy("segment")).alias("n"),
+    )
+    c, n, gap = F.col("c"), F.col("n"), F.col("gap")
+    return cum.groupBy("segment").agg(
+        F.max(n).cast("bigint").alias("n_gaps"),
+        F.min(F.when(4 * c >= n, gap)).cast("bigint").alias("q1_days"),
+        F.min(F.when(4 * c >= 2 * n, gap)).cast("bigint")
+        .alias("median_days"),
+        F.min(F.when(4 * c >= 3 * n, gap)).cast("bigint")
+        .alias("q3_days"),
+    )

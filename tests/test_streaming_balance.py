@@ -1,0 +1,150 @@
+"""Streaming open-orders balance (streaming/balance.py): batch parity
+against the registered batch query, late-shipment retraction across
+months, and crash-replay convergence."""
+
+import json
+import os
+import time
+from datetime import date
+
+from pyspark.sql import functions as F
+
+import stock_market_etl_pipeline_spark.registry_stats3 as st3
+from stock_market_etl_pipeline_spark.streaming.balance import (
+    open_orders_balance_frame,
+    start_balance_maintainer,
+)
+
+from conftest import SF_DIR
+
+
+def _dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("landing", "state", "ckpt")}
+
+
+def _land(d, events, name):
+    """events: list of (kind, orderkey, 'YYYY-MM-DD')."""
+    with open(os.path.join(d["landing"], name), "w") as f:
+        for kind, okey, dt in events:
+            f.write(json.dumps({"kind": kind, "orderkey": okey, "d": dt}))
+            f.write("\n")
+
+
+def _run(spark, d):
+    q = start_balance_maintainer(
+        spark, d["landing"], d["state"], d["ckpt"]
+    )
+    q.awaitTermination(240)
+    q.stop()
+    for _ in range(300):
+        if all(a.id != q.id for a in spark.streams.active):
+            return
+        time.sleep(0.1)
+    raise AssertionError("query did not deregister")
+
+
+def _crash_last_commit(ckpt: str) -> None:
+    cdir = os.path.join(ckpt, "commits")
+    nums = [
+        int(f.lstrip(".").split(".")[0])
+        for f in os.listdir(cdir)
+        if not f.startswith(".")
+    ]
+    n = max(nums)
+    for f in os.listdir(cdir):
+        if f.lstrip(".").split(".")[0] == str(n):
+            os.remove(os.path.join(cdir, f))
+
+
+def _snap(spark, d):
+    return sorted(
+        (str(r.month_start), r.n_opened, r.n_closed, r.open_balance)
+        for r in open_orders_balance_frame(spark, d["state"]).collect()
+    )
+
+
+BATCH1 = [
+    ("open", 1, "2024-01-05"), ("open", 2, "2024-01-20"),
+    ("ship", 1, "2024-01-15"), ("ship", 2, "2024-01-25"),
+]
+BATCH2 = [
+    ("open", 3, "2024-02-10"),
+    ("ship", 1, "2024-02-03"),     # late line: order 1 close Jan -> Feb
+    ("ship", 3, "2024-02-20"),
+]
+BATCH3 = [
+    ("ship", 3, "2024-03-01"),     # order 3 close Feb -> Mar
+    ("open", 4, "2024-04-01"), ("ship", 4, "2024-04-02"),
+]
+
+
+def test_balance_matches_batch_query(spark, tmp_path, monkeypatch):
+    """The streamed balance is row-for-row the batch query's output on
+    the equivalent orders/lineitem tables."""
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    for i, b in enumerate((BATCH1, BATCH2, BATCH3)):
+        _land(d, b, f"b{i}.json")
+    _run(spark, d)
+
+    events = BATCH1 + BATCH2 + BATCH3
+    odf = spark.createDataFrame(
+        [(k, date.fromisoformat(dt))
+         for kind, k, dt in events if kind == "open"],
+        "o_orderkey long, o_orderdate date",
+    )
+    ldf = spark.createDataFrame(
+        [(k, date.fromisoformat(dt))
+         for kind, k, dt in events if kind == "ship"],
+        "l_orderkey long, l_shipdate date",
+    )
+    tabs = {"orders": odf, "lineitem": ldf}
+    monkeypatch.setattr(st3, "load_table", lambda sp, dd, n: tabs[n])
+    want = sorted(
+        (str(r.month_start), r.n_opened, r.n_closed, r.open_balance)
+        for r in st3.q_open_orders_balance(spark, SF_DIR).collect()
+    )
+    got = _snap(spark, d)
+    # the batch query emits only months that appear on either side;
+    # the streamed frame does the same full-outer shape
+    assert got == want
+
+
+def test_late_shipment_retracts_close_month(spark, tmp_path):
+    """Order 1 closes in Jan after batch 1; batch 2's later line moves
+    the close to Feb — the Jan close count must go DOWN (retraction via
+    the merge change feed), not double-count."""
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    _land(d, BATCH1, "b0.json")
+    _run(spark, d)
+    first = {m: (o, c) for m, o, c, _ in _snap(spark, d)}
+    assert first["2024-01-01"] == (2, 2)  # both orders closed in Jan
+
+    _land(d, BATCH2, "b1.json")
+    _run(spark, d)
+    snap = {m: (o, c, b) for m, o, c, b in _snap(spark, d)}
+    # Jan: still 2 opened, but order 1's close RETRACTED to Feb
+    assert snap["2024-01-01"] == (2, 1, 1)
+    # Feb: order 3 opened+closed there, order 1 closes there too
+    assert snap["2024-02-01"] == (1, 2, 0)
+
+
+def test_balance_survives_restart_storm(spark, tmp_path):
+    """Crash the checkpoint commit after every batch and replay: the
+    txn-marked appends/merges and the cdc-marked view refreshes must
+    converge to the same balance, with no duplicated counts."""
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    for i, b in enumerate((BATCH1, BATCH2, BATCH3)):
+        _land(d, b, f"b{i}.json")
+        _run(spark, d)
+        once = _snap(spark, d)
+        _crash_last_commit(d["ckpt"])
+        _run(spark, d)
+        assert _snap(spark, d) == once, f"replay diverged at batch {i}"
+    final = {m: row for m, *row in _snap(spark, d)}
+    assert final["2024-01-01"] == [2, 1, 1]   # order 2 closes Jan
+    assert final["2024-02-01"] == [1, 1, 1]   # order 1's close moved here
+    assert final["2024-03-01"] == [0, 1, 0]   # order 3's close moved here
+    assert final["2024-04-01"] == [1, 1, 0]   # order 4 opens and closes

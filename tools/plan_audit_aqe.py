@@ -62,7 +62,11 @@ def audit_rows(spark, sf_dir: str) -> list[tuple[str, ...]]:
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         p = final_plan(spark, df)
-        assert "isFinalPlan=true" in p, f"{name}: plan did not finalize"
+        # plans without exchanges/subqueries are not wrapped by AQE at
+        # all (no AdaptiveSparkPlan node) — nothing to finalize
+        assert "AdaptiveSparkPlan" not in p or "isFinalPlan=true" in p, (
+            f"{name}: adaptive plan did not finalize"
+        )
         scans = node_count(p, "Scan parquet") + node_count(p, "Range")
         shuffles = node_count(p, "Exchange")
         aqe_reads = node_count(p, "AQEShuffleRead")
@@ -89,8 +93,14 @@ def section_md(rows: list[tuple[str, ...]], sf_dir: str) -> str:
         "Counts from the FINALIZED AdaptiveSparkPlan after running each",
         "headline query (tools/plan_audit_aqe.py). `aqe_reads` = ",
         "AQEShuffleRead nodes (coalesce/skew-split applied at runtime).",
-        "Compare `shuffles`/`joins` against the static sf0.001 table",
-        "above: a mismatch means AQE re-planned at scale.",
+        "Reading note: the finalized plan prints each materialized",
+        "ShuffleQueryStage's Exchange subtree where it is DEFINED and",
+        "again where it is CONSUMED, so `shuffles` ≈ 2× the static",
+        "count (and window/stage nodes repeat likewise) is the",
+        "no-replan signature — the load-bearing comparisons are the",
+        "JOIN strategies (a SortMergeJoin where the static plan had",
+        "BroadcastHashJoin = a runtime demotion) and `aqe_reads` > 0",
+        "(evidence AQE actually acted at this scale).",
         "",
         "| query | scans | shuffles | aqe_reads | joins | windows |",
         "|---|---|---|---|---|---|",
