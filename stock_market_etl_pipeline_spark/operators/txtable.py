@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -504,6 +505,26 @@ class TxTable:
 
     # -- snapshot tags (Iceberg-style named refs) -----------------------
 
+    def snapshot_asof(self, ts: float) -> int:
+        """Resolve Delta/Iceberg's TIMESTAMP AS OF: the newest snapshot
+        whose commit wall-clock (``committed_at``, stamped by _commit)
+        is ≤ ``ts`` (epoch seconds). Pre-r10 manifests without the
+        field are treated as arbitrarily old (always eligible), so time
+        travel over a table with legacy history still resolves. Raises
+        SnapshotUnavailable when the table is empty or every stamped
+        commit is newer than ``ts``. Resolution reads manifests only —
+        KB-scale metadata, no data files."""
+        best = None
+        for s in self.snapshots():
+            at = self._manifest(s).get("committed_at")
+            if at is None or at <= ts:
+                best = s if best is None else max(best, s)
+        if best is None:
+            raise SnapshotUnavailable(
+                f"no snapshot committed at or before {ts!r}"
+            )
+        return best
+
     def tags(self) -> dict[str, int]:
         """Named snapshot refs from the LATEST manifest (tags ride the
         manifest like constraints, so one metadata read resolves them)."""
@@ -714,6 +735,10 @@ class TxTable:
             "stats": carried,
             "constraints": constraints,
             "tags": tags,
+            # commit wall-clock for TIMESTAMP AS OF resolution
+            # (snapshot_asof / read(asof=...)); monotonicity is NOT
+            # assumed by readers — resolution scans the log
+            "committed_at": time.time(),
         }
         path = os.path.join(self.log_dir, f"{manifest['snapshot']:010d}.json")
         tmp = path + f".tmp.{uuid.uuid4().hex}"
@@ -991,14 +1016,21 @@ class TxTable:
         spark: SparkSession,
         snapshot: int | None = None,
         tag: str | None = None,
+        asof: float | None = None,
     ) -> DataFrame:
         """Resolve a manifest and read EXACTLY its file list — snapshot
         isolation by construction: concurrent commits change the log, not
         the files this reader was handed. ``tag`` resolves a named ref
-        (create_tag) to its pinned snapshot."""
+        (create_tag) to its pinned snapshot; ``asof`` (epoch seconds)
+        resolves TIMESTAMP AS OF via snapshot_asof. The three selectors
+        are mutually exclusive."""
+        if sum(x is not None for x in (snapshot, tag, asof)) > 1:
+            raise ValueError(
+                "pass one of snapshot/tag/asof, not both or all"
+            )
+        if asof is not None:
+            snapshot = self.snapshot_asof(asof)
         if tag is not None:
-            if snapshot is not None:
-                raise ValueError("pass snapshot or tag, not both")
             refs = self.tags()
             if tag not in refs:
                 raise SnapshotUnavailable(f"no such tag: {tag!r}")

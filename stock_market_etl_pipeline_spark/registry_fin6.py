@@ -329,3 +329,78 @@ def q_amihud_illiquidity(spark, sf_dir):
         F.round(F.avg("impact_e12"), 6).alias("amihud_e12"),
         F.max("impact_e12").alias("max_impact_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chaikin Accumulation/Distribution line — quantized CLV cumulative
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chaikin_ad_line",
+    WITH_TICKS
+    + """,
+    c0 AS (
+        SELECT symbol, date, volume,
+               CAST(round(high  * 100) AS BIGINT) AS hc,
+               CAST(round(low   * 100) AS BIGINT) AS lc,
+               CAST(round(close * 100) AS BIGINT) AS cc
+        FROM ticks
+    ),
+    f AS (
+        SELECT symbol, date,
+               CASE WHEN hc > lc
+                    THEN ((2 * cc - hc - lc) * 1000000 // (hc - lc))
+                         * volume
+                    ELSE 0 END AS flow_q
+        FROM c0
+    )
+    SELECT symbol, date,
+           CAST(SUM(flow_q) OVER (PARTITION BY symbol ORDER BY date
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+               / 1000000.0 AS ad_line
+    FROM f
+    """,
+)
+def q_chaikin_ad_line(spark, sf_dir):
+    """Chaikin Accumulation/Distribution line: cumulative Close
+    Location Value × volume — where in the day's range the close
+    landed, signed and volume-weighted, accumulated over the symbol's
+    history. The classic volume-flow confirmation panel beside obv
+    (which only uses the close DIRECTION; CLV uses position in range).
+
+    Exactness: a float CLV cumulative would be a rule-11 trap twice
+    over (FMA contraction on clv·volume, and DuckDB's segment-tree
+    window summation adds in a DIFFERENT ORDER than sequential — float
+    cumulative windows are not portable at all). So CLV is QUANTIZED
+    first: clv_q = (2·cc − hc − lc)·10⁶ div (hc − lc) — exact
+    truncating integer division, identical on both engines (rule 13,
+    negatives included), flat-range days contribute 0 by convention on
+    both sides. flow_q = clv_q · volume stays int64 (≤ ~1e11/day), the
+    cumulative sum of exact ints is order-free (≤ ~2.5e14 over a
+    calendar, < 2⁵³), and the single closing division by 10⁶ is
+    correctly rounded — emitted raw.
+
+    Plan: one ticks exchange; the cumulative window reuses it."""
+    t = ticks(spark, sf_dir)
+    hc = F.round(F.col("high") * 100, 0).cast("bigint")
+    lc = F.round(F.col("low") * 100, 0).cast("bigint")
+    cc = F.round(F.col("close") * 100, 0).cast("bigint")
+    c0 = t.select(
+        "symbol", "date", "volume",
+        hc.alias("hc"), lc.alias("lc"), cc.alias("cc"),
+    )
+    flow = F.when(
+        F.col("hc") > F.col("lc"),
+        F.expr("((2 * cc - hc - lc) * 1000000) div (hc - lc)")
+        * F.col("volume"),
+    ).otherwise(F.lit(0))
+    f = c0.select("symbol", "date", flow.alias("flow_q"))
+    wc = _W().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return f.select(
+        "symbol", "date",
+        (
+            F.sum("flow_q").over(wc).cast("bigint") / F.lit(1000000.0)
+        ).alias("ad_line"),
+    )

@@ -638,3 +638,328 @@ def q_interpurchase_gap_quartiles(spark, sf_dir):
         F.min(F.when(4 * c >= 3 * n, gap)).cast("bigint")
         .alias("q3_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b: volume vs absolute daily move, per symbol
+# ---------------------------------------------------------------------------
+
+
+def _kendall_numpy(d):
+    """Per-symbol Kendall tau-b via the vectorized numpy kernel — the
+    SAME documented Python slot (and the same size trigger) as
+    registry_fin5._theil_sen_numpy: the per-key work is a bounded
+    quadratic (all O(n²) sign comparisons of one symbol's day pairs),
+    which JVM row machinery prices at ~300k pair-rows/s/core however it
+    is expressed, and numpy broadcasting at ~100M/s/core. All counts
+    are exact ints; the closure (one int→double conversion each side,
+    one sqrt, one divide) matches the SQL oracle's ops bit-for-bit
+    ((n0−n1)·(n0−n2) stays far below 2⁵³ at any realistic day count —
+    2.4e10 at the 3000-day trigger bound)."""
+    import pandas as pd
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "symbol": pd.Series([], dtype="int64"),
+                "n_days": pd.Series([], dtype="int64"),
+                "n_concordant": pd.Series([], dtype="int64"),
+                "n_discordant": pd.Series([], dtype="int64"),
+                "tau_b": pd.Series([], dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        v = pdf["volume"].to_numpy(dtype=np.int64)
+        m = pdf["mv"].to_numpy(dtype=np.int64)
+        i, j = np.triu_indices(n, 1)
+        s = np.sign(v[i] - v[j]) * np.sign(m[i] - m[j])
+        c = int((s > 0).sum())
+        dd = int((s < 0).sum())
+        n0 = n * (n - 1) // 2
+        _, tv = np.unique(v, return_counts=True)
+        _, tm = np.unique(m, return_counts=True)
+        n1 = int((tv * (tv - 1) // 2).sum())
+        n2 = int((tm * (tm - 1) // 2).sum())
+        if n0 == n1 or n0 == n2:
+            return empty  # a constant side: tau undefined
+        import math
+
+        tau = (c - dd) / math.sqrt(float((n0 - n1) * (n0 - n2)))
+        return pd.DataFrame(
+            {
+                "symbol": [int(pdf["symbol"].iloc[0])],
+                "n_days": [int(n)],
+                "n_concordant": [c],
+                "n_discordant": [dd],
+                "tau_b": [tau],
+            }
+        )
+
+    return d.groupBy("symbol").applyInPandas(
+        kern,
+        "symbol long, n_days bigint, n_concordant bigint,"
+        " n_discordant bigint, tau_b double",
+    )
+
+
+@register(
+    "kendall_tau_volume_move",
+    WITH_TICKS
+    + """,
+    d AS (
+        SELECT symbol, date, volume,
+               abs(CAST(round(close * 100) AS BIGINT)
+                   - LAG(CAST(round(close * 100) AS BIGINT))
+                         OVER (PARTITION BY symbol ORDER BY date)) AS mv
+        FROM ticks
+    ),
+    f AS (SELECT symbol, date, volume, mv FROM d WHERE mv IS NOT NULL),
+    cd AS (
+        SELECT a.symbol,
+               CAST(SUM(CASE WHEN (a.volume - b.volume)
+                                * (a.mv - b.mv) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN (a.volume - b.volume)
+                                * (a.mv - b.mv) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dis
+        FROM f a JOIN f b ON a.symbol = b.symbol AND a.date < b.date
+        GROUP BY 1
+    ),
+    nn AS (
+        SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1)
+                   // 2 AS n0
+        FROM f GROUP BY 1
+    ),
+    tv AS (
+        SELECT symbol,
+               CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+        FROM (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS t
+              FROM f GROUP BY symbol, volume)
+        GROUP BY 1
+    ),
+    tm AS (
+        SELECT symbol,
+               CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+        FROM (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS t
+              FROM f GROUP BY symbol, mv)
+        GROUP BY 1
+    )
+    SELECT cd.symbol,
+           nn.n                         AS n_days,
+           cd.c                         AS n_concordant,
+           cd.dis                       AS n_discordant,
+           (cd.c - cd.dis)
+           / sqrt(CAST((nn.n0 - tv.n1) * (nn.n0 - tm.n2) AS DOUBLE))
+                                        AS tau_b
+    FROM cd
+    JOIN nn ON cd.symbol = nn.symbol
+    JOIN tv ON cd.symbol = tv.symbol
+    JOIN tm ON cd.symbol = tm.symbol
+    WHERE nn.n0 > tv.n1 AND nn.n0 > tm.n2
+    """,
+)
+def q_kendall_tau_volume_move(spark, sf_dir):
+    """Kendall tau-b between volume and the absolute daily move, per
+    symbol — completing the correlation family (Pearson =
+    volume_move_correlation, Spearman = spearman_volume_move): tau is
+    the pair-concordance probability, the most outlier-robust and the
+    one with a direct betting interpretation ("pick two days at random;
+    how often is the higher-volume day also the bigger-move day").
+
+    Exactness: concordant/discordant counts, the pair total n0 and the
+    tie corrections n1/n2 are exact ints; tau closes with one
+    int→double conversion per operand (both < 2⁵³ at any realistic
+    depth), one sqrt and one divide — identical single IEEE ops on both
+    engines, emitted raw. Constant-side symbols (n0 == n1 or n0 == n2)
+    drop on both sides.
+
+    Plan: shallow histories (≤ registry_fin5._TS_ARRAY_MAX_DAYS days)
+    use the vectorized numpy kernel (the documented Python slot — see
+    _kendall_numpy and SCALING.md's r10 ladder); deeper ones fall back
+    to the streaming symbol-keyed pair join that the oracle states
+    directly. The tie/total terms always come from combinable groupBys,
+    never pair enumeration."""
+    from .registry_fin5 import _TS_ARRAY_MAX_DAYS
+
+    t = ticks(spark, sf_dir)
+    cexp = F.round(F.col("close") * 100, 0).cast("bigint")
+    d = t.select(
+        "symbol", "date", "volume",
+        F.abs(
+            cexp - F.lag(cexp).over(
+                Window.partitionBy("symbol").orderBy("date")
+            )
+        ).alias("mv"),
+    ).filter(F.col("mv").isNotNull())
+
+    mx = (
+        d.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx")).collect()[0].mx or 0
+    )
+    if mx <= _TS_ARRAY_MAX_DAYS:
+        return _kendall_numpy(d)
+
+    # deep fallback: streaming pair join for C/D; ties and totals from
+    # combinable groupBys (never the pair stream)
+    a = d.select(
+        F.col("symbol").alias("sym"), F.col("date").alias("da"),
+        F.col("volume").alias("va"), F.col("mv").alias("ma"),
+    )
+    b = d.select(
+        F.col("symbol").alias("symb"), F.col("date").alias("db"),
+        F.col("volume").alias("vb"), F.col("mv").alias("mb"),
+    )
+    prod = (F.col("va") - F.col("vb")) * (F.col("ma") - F.col("mb"))
+    cd = (
+        a.join(b, (F.col("sym") == F.col("symb")) & (F.col("da") < F.col("db")))
+        .groupBy(F.col("sym").alias("symbol"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint")
+            .alias("dis"),
+        )
+    )
+    nn = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        "symbol", "n", F.expr("n * (n - 1) div 2").alias("n0")
+    )
+    tv = (
+        d.groupBy("symbol", "volume")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("symbol")
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n1"))
+    )
+    tm = (
+        d.groupBy("symbol", "mv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("symbol")
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("bigint").alias("n2"))
+    )
+    j = cd.join(nn, "symbol").join(tv, "symbol").join(tm, "symbol")
+    return j.filter(
+        (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2"))
+    ).select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        F.col("c").alias("n_concordant"),
+        F.col("dis").alias("n_discordant"),
+        (
+            (F.col("c") - F.col("dis"))
+            / F.sqrt(
+                ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2")))
+                .cast("double")
+            )
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI of top-vocabulary token pairs (document co-occurrence)
+# ---------------------------------------------------------------------------
+
+_PMI_TOP = 100     # head vocabulary size (pairs bounded at top²/2)
+_PMI_MIN_DOCS = 5  # support floor: pairs below this are noise
+
+
+@register(
+    "token_pmi_pairs",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    dt AS (
+        SELECT DISTINCT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+    top AS (SELECT tok, c FROM df ORDER BY c DESC, tok LIMIT {_PMI_TOP}),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    ft AS (
+        SELECT d.doc_id, d.tok, t.c FROM dt d JOIN top t ON d.tok = t.tok
+    ),
+    pairs AS (
+        SELECT a.tok AS token_a, b.tok AS token_b,
+               MAX(a.c) AS ca, MAX(b.c) AS cb,
+               CAST(COUNT(*) AS BIGINT) AS cab
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+    )
+    SELECT token_a, token_b, cab AS n_docs_both,
+           ROUND(ln(CAST(nd.n * cab AS DOUBLE) / (ca * cb)), 6) AS pmi
+    FROM pairs, nd
+    WHERE cab >= {_PMI_MIN_DOCS}
+    """,
+)
+def q_token_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information of head-vocabulary token pairs at
+    the DOCUMENT level: PMI = ln(N·c_ab / (c_a·c_b)) over document
+    frequencies — positive for collocations ("new york"-style pairs
+    that travel together), ~0 for independent topics, negative for
+    complementary-distribution pairs. The corpus-structure diagnostic
+    behind topic leakage and template detection, restricted to the
+    top-{_PMI_TOP} tokens so the pair space is BOUNDED (≤ top²/2
+    candidates, ≤ top²/2 · N doc-pair rows) instead of vocab-quadratic.
+
+    Exactness: document frequencies and co-occurrence counts are exact
+    ints off distinct (doc, token) pairs; the head vocabulary is a
+    deterministic top-k (df DESC, token ASC — total order); PMI's
+    operands N·c_ab and c_a·c_b stay far below 2⁵³ (≤ N² = 6.25e12 at
+    sf10), so the one division is on exactly-converted ints and the
+    one ln closes with ROUND 6.
+
+    Plan: distinct (doc, token) is the fact-sized exchange; the head
+    vocabulary is a TakeOrderedAndProject broadcast back; the pair
+    self-join is bounded per doc by the head size (same
+    cap-the-candidates discipline as the LSH bucket caps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("t")
+    )
+    dt = toks.select(
+        "doc_id", F.explode("t").alias("tok")
+    ).distinct()
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = df.orderBy(F.col("c").desc(), "tok").limit(_PMI_TOP)
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ft = dt.join(F.broadcast(top), "tok").select("doc_id", "tok", "c")
+    fa = ft.select(
+        F.col("doc_id").alias("da"), F.col("tok").alias("token_a"),
+        F.col("c").alias("ca"),
+    )
+    fb = ft.select(
+        F.col("doc_id").alias("db"), F.col("tok").alias("token_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        fa.join(
+            fb,
+            (F.col("da") == F.col("db"))
+            & (F.col("token_a") < F.col("token_b")),
+        )
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.max("ca").alias("ca"), F.max("cb").alias("cb"),
+            F.count(F.lit(1)).cast("bigint").alias("cab"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cab") >= _PMI_MIN_DOCS)
+        .join(F.broadcast(nd))
+        .select(
+            "token_a", "token_b",
+            F.col("cab").alias("n_docs_both"),
+            F.round(
+                F.log(
+                    (F.col("n") * F.col("cab")).cast("double")
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

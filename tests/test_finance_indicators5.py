@@ -228,3 +228,41 @@ def test_amihud_single_bar_yields_empty_stats(spark, monkeypatch):
     assert r.n_days == 0
     assert r.amihud_e12 is None
     assert r.max_impact_e12 is None
+
+
+# ---------------------------------------------------------------------------
+# Chaikin A/D line
+# ---------------------------------------------------------------------------
+
+
+def test_chaikin_ad_matches_reference(spark, monkeypatch):
+    bars = [
+        (10.0, 11.0, 9.0, 10.8, 100),   # closes near high: accumulation
+        (10.8, 11.5, 10.5, 10.6, 200),  # mid-range
+        (10.6, 10.6, 10.6, 10.6, 300),  # flat range: contributes 0
+        (10.6, 12.0, 10.0, 10.1, 150),  # closes near low: distribution
+    ]
+    df = _ohlcv(spark, bars)
+    monkeypatch.setattr(fin6, "ticks", lambda sp, d: df)
+    rows = sorted(
+        fin6.q_chaikin_ad_line(spark, SF_DIR).collect(),
+        key=lambda r: r.date,
+    )
+    # sequential reference with the SAME quantization (truncating
+    # integer division toward zero at 1e6 scale)
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    acc = 0
+    want = []
+    for o, h, lo, c, v in bars:
+        hc, lc, cc = round(h * 100), round(lo * 100), round(c * 100)
+        if hc > lc:
+            acc += trunc_div((2 * cc - hc - lc) * 1_000_000, hc - lc) * v
+        want.append(acc / 1_000_000.0)
+    got = [r.ad_line for r in rows]
+    assert got == want
+    assert got[0] > 0            # accumulation day
+    assert got[2] == got[1]      # flat-range day adds nothing
+    assert got[3] < got[2]       # distribution day pulls it down

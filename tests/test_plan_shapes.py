@@ -829,19 +829,21 @@ def test_weighted_median_bucket_probe_no_fact_row_shuffle(spark, qs):
     assert count_nodes(plan, "SortMergeJoin") == 0
 
 
-def test_runs_test_month_chunked_two_exchanges(spark, qs):
+def test_runs_test_month_chunked_single_scan(spark, qs):
     """r10 month-chunked segment-monoid plan (VERDICT r9 #4): every
     window buffers at most one (symbol, month) group — no whole-symbol
-    window buffers. Two fact subtrees (sign stream + month-boundary
-    closes), each with its single ticks exchange; the boundary table
-    joins back by broadcast; all downstream windows/groupBys reuse the
-    symbol hash partitioning."""
+    window buffers — and the month-border information (first/last
+    closes) rides the SAME per-month groupBy as the run counts, so the
+    whole query is ONE scan and ONE ticks exchange with no join at
+    all: in-month windows → per-month aggregate → month-table windows
+    → per-symbol merge, every stage reusing the symbol partitioning."""
     plan = plan_of(qs["runs_test_updown"](spark, SF_DIR))
-    assert count_nodes(plan, "Scan parquet") == 2
-    assert count_nodes(plan, "Exchange") == 2
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 1
     assert count_nodes(plan, "SortMergeJoin") == 0
-    # window specs: boundary lag over months, in-month close lag,
-    # in-month sign-break lag, per-symbol border merge
+    assert len(re.findall(r"Join", plan)) == 0
+    # window specs: in-month close lag + in-month prev-signed-sign,
+    # month-border close lag, per-symbol border merge
     assert count_nodes(plan, "Window") == 4
 
 

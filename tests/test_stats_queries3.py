@@ -281,3 +281,121 @@ def test_interpurchase_same_day_orders_gap_zero(spark, monkeypatch):
     r = st3.q_interpurchase_gap_quartiles(spark, SF_DIR).collect()[0]
     assert r.n_gaps == 2
     assert (r.q1_days, r.median_days, r.q3_days) == (0, 0, 4)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+def _kendall_reference(pairs):
+    """pairs: [(volume, mv)] in date order — tau-b, C, D."""
+    n = len(pairs)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = (pairs[i][0] - pairs[j][0]) * (pairs[i][1] - pairs[j][1])
+            if p > 0:
+                c += 1
+            elif p < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+    n1 = n2 = 0
+    for k in range(2):
+        vals = [p[k] for p in pairs]
+        tsum = sum(
+            vals.count(v) * (vals.count(v) - 1) // 2 for v in set(vals)
+        )
+        if k == 0:
+            n1 = tsum
+        else:
+            n2 = tsum
+    return c, d, (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+
+
+def _ticks_df(spark, rows):
+    """rows: (symbol, date, close, volume)."""
+    return spark.createDataFrame(
+        [(s, dt, c, c, c, c, v) for s, dt, c, v in rows],
+        "symbol long, date date, open double, high double, low double, "
+        "close double, volume bigint",
+    )
+
+
+def test_kendall_matches_reference_both_strategies(spark, monkeypatch):
+    rows = []
+    closes = [10.0, 10.5, 10.2, 11.0, 10.8, 10.8, 12.0, 11.5]
+    vols = [100, 300, 150, 400, 120, 120, 500, 200]
+    for i, (c, v) in enumerate(zip(closes, vols)):
+        rows.append((1, date(2024, 1, 1 + i), c, v))
+    df = _ticks_df(spark, rows)
+    monkeypatch.setattr(st3, "ticks", lambda sp, d: df)
+
+    # reference over (volume, |move|) pairs, move in cents
+    mv = [
+        (vols[i], abs(round(closes[i] * 100) - round(closes[i - 1] * 100)))
+        for i in range(1, len(closes))
+    ]
+    c_ref, d_ref, tau_ref = _kendall_reference(mv)
+
+    out = st3.q_kendall_tau_volume_move(spark, SF_DIR).collect()[0]
+    assert (out.n_concordant, out.n_discordant) == (c_ref, d_ref)
+    assert out.n_days == len(mv)
+    assert out.tau_b == tau_ref  # exact, not approx
+
+    # force the deep (pair-join) strategy: byte-identical result
+    import stock_market_etl_pipeline_spark.registry_fin5 as fin5
+
+    monkeypatch.setattr(fin5, "_TS_ARRAY_MAX_DAYS", 0)
+    deep = st3.q_kendall_tau_volume_move(spark, SF_DIR).collect()[0]
+    assert (
+        deep.n_concordant, deep.n_discordant, deep.tau_b
+    ) == (out.n_concordant, out.n_discordant, out.tau_b)
+
+
+def test_kendall_constant_side_drops(spark, monkeypatch):
+    rows = [(1, date(2024, 1, 1 + i), 10.0 + i, 100) for i in range(6)]
+    df = _ticks_df(spark, rows)  # constant volume: tau undefined
+    monkeypatch.setattr(st3, "ticks", lambda sp, d: df)
+    assert st3.q_kendall_tau_volume_move(spark, SF_DIR).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Token PMI
+# ---------------------------------------------------------------------------
+
+
+def test_token_pmi_matches_reference(spark, monkeypatch):
+    # 'a b' co-occur in every doc (PMI ~ 0 vs their own high df);
+    # 'x y' co-occur in exactly their 5 shared docs (strong collocation)
+    texts = []
+    for i in range(10):
+        texts.append("a b filler%d" % i)
+    for i in range(5):
+        texts.append("a b x y")
+    df = spark.createDataFrame(
+        [(i, t, "xx", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(st3, "load_table", lambda sp, d, n: df)
+    out = {
+        (r.token_a, r.token_b): r
+        for r in st3.q_token_pmi_pairs(spark, SF_DIR).collect()
+    }
+    n = len(texts)
+    # support floor 5: fillers (df 1) never appear
+    assert all(
+        ta in ("a", "b", "x", "y") and tb in ("a", "b", "x", "y")
+        for ta, tb in out
+    )
+    ab = out[("a", "b")]
+    assert ab.n_docs_both == 15
+    assert ab.pmi == pytest.approx(
+        round(math.log(n * 15 / (15 * 15)), 6), abs=2e-6
+    )
+    xy = out[("x", "y")]
+    assert xy.n_docs_both == 5
+    assert xy.pmi == pytest.approx(
+        round(math.log(n * 5 / (5 * 5)), 6), abs=2e-6
+    )
+    assert xy.pmi > ab.pmi  # the true collocation scores higher

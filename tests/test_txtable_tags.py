@@ -136,3 +136,49 @@ def test_vacuum_keep_last_zero_preserves_tag_map(spark, tmp_path):
     # new commits get FRESH snapshot ids
     t.append(_df(spark, [(4, 4.0)]))
     assert t.latest_snapshot() > head
+
+
+def test_timestamp_asof_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: read(asof=ts) resolves the newest snapshot
+    committed at or before ts, off the manifest-stamped wall clock."""
+    import time as _time
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.append(_df(spark, [(2, 2.0)]))
+    t.overwrite(_df(spark, [(9, 9.0)]))
+    # recover each commit's stamped time from its own manifest
+    stamps = {s: t._manifest(s)["committed_at"] for s in t.snapshots()}
+    assert stamps[0] <= stamps[1] <= stamps[2]
+    assert t.snapshot_asof(stamps[0]) == 0
+    assert t.snapshot_asof((stamps[0] + stamps[1]) / 2) in (0,)
+    assert t.snapshot_asof(stamps[1]) == 1
+    assert t.snapshot_asof(_time.time() + 60) == 2
+    assert {r.k for r in t.read(spark, asof=stamps[1]).collect()} == {1, 2}
+    assert {r.k for r in t.read(spark, asof=stamps[2]).collect()} == {9}
+    with pytest.raises(SnapshotUnavailable, match="at or before"):
+        t.snapshot_asof(stamps[0] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, snapshot=0, asof=stamps[0])
+
+
+def test_timestamp_asof_legacy_manifests_always_eligible(spark, tmp_path):
+    """Manifests written before the committed_at field (simulated by
+    stripping it) are treated as arbitrarily old, so time travel over a
+    table with legacy history still resolves."""
+    import json as _json
+    import os as _os
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.append(_df(spark, [(2, 2.0)]))
+    p0 = _os.path.join(t.log_dir, "0000000000.json")
+    m = _json.load(open(p0))
+    ts1 = t._manifest(1)["committed_at"]
+    del m["committed_at"]
+    _os.unlink(p0)
+    with open(p0, "w") as f:
+        _json.dump(m, f)
+    # a ts before snapshot 1's stamp resolves to the legacy snapshot 0
+    assert t.snapshot_asof(ts1 - 1e6) == 0
+    assert t.snapshot_asof(ts1) == 1
