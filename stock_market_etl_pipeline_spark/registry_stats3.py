@@ -324,12 +324,13 @@ def q_ngram_novelty_by_decile(spark, sf_dir):
     across engines. Counts and the one division per decile are exact.
 
     Plan: the (doc, shingle) distinct groupBy is the one fact-sized
-    exchange; both per-doc tables derive from it; the doc ranking runs
-    on the docs table with a two-level bucketed row number
-    (operators/skewsafe.with_global_row_numbers pattern) so no task
-    sorts the whole corpus — here via a single window over doc_id,
-    acceptable because the DOCS table is the small side; at 100 TB
-    switch to the bucketed rank."""
+    exchange; both per-doc tables derive from it; the doc ranking uses
+    the two-level bucketed row number (the
+    operators/skewsafe.with_global_row_numbers pattern): per-bucket
+    counts → prefix offsets over the TINY bucket table → local
+    row_number within each doc_id bucket — no task ever sorts or holds
+    the whole corpus, and the only empty-partitionBy window runs over
+    the bounded bucket rollup."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", ws_tokens(F.lower(F.trim(F.col("text")))).alias("t")
@@ -354,15 +355,32 @@ def q_ngram_novelty_by_decile(spark, sf_dir):
     per_doc_novel = firsts.groupBy(
         F.col("first_doc").alias("doc_id")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
-    n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("__nd"))
+    # two-level bucketed global rank: per-bucket counts, prefix offsets
+    # over the tiny bucket table, local row_number within each bucket —
+    # the empty-partitionBy window touches only the bucket rollup
+    ids = docs.select(
+        "doc_id", F.floor(F.col("doc_id") / F.lit(8192)).alias("__bk")
+    )
+    bc = ids.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
+    wbk = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = bc.select(
+        "__bk",
+        (F.sum("__c").over(wbk) - F.col("__c")).alias("__off"),
+        F.sum("__c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__nd"),
+    )
+    wloc = Window.partitionBy("__bk").orderBy("doc_id")
     ranked = (
-        docs.select("doc_id")
-        .join(F.broadcast(n_total))
+        ids.join(F.broadcast(off), "__bk")
         .select(
             "doc_id",
             (
-                (F.row_number().over(Window.orderBy("doc_id")) - 1)
-                * 10
+                (F.col("__off") + F.row_number().over(wloc) - 1) * 10
             ).alias("__rn10"),
             "__nd",
         )
