@@ -459,3 +459,131 @@ def test_aroon_matches_reference(spark, bars):
         fin2.ticks = orig
     ref = ref_aroon(highs, lows)
     assert [(r.aroon_up, r.aroon_down) for r in out] == ref
+
+
+# ---------------------------------------------------------------------------
+# r10 rewrites: segment-monoid runs test and bucket-probe weighted median
+# must equal brute force on arbitrary series (flat days, flat months,
+# singleton months, cross-month boundaries)
+# ---------------------------------------------------------------------------
+
+
+def _runs_reference_closes(closes):
+    """Wald-Wolfowitz counts over a close series (flat days dropped)."""
+    signs = []
+    for a, b in zip(closes, closes[1:]):
+        if b > a:
+            signs.append(1)
+        elif b < a:
+            signs.append(-1)
+    n1, n2 = signs.count(1), signs.count(-1)
+    runs, prev = 0, None
+    for s in signs:
+        if s != prev:
+            runs += 1
+        prev = s
+    return n1, n2, runs
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        # tiny value domain forces flat runs; spread-out day strides
+        # force month borders between arbitrary sign states
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # close in {10..13}
+            st.integers(min_value=1, max_value=40),   # day gap to next
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_runs_test_monoid_matches_brute_force(spark, steps):
+    import datetime as dt
+
+    import stock_market_etl_pipeline_spark.registry_stats2 as st2
+
+    day = dt.date(2023, 1, 15)
+    rows, closes = [], []
+    for lvl, gap in steps:
+        c = 10.0 + lvl
+        rows.append((1, day, c, c, c, c, 100))
+        closes.append(c)
+        day = day + dt.timedelta(days=gap)
+    df = spark.createDataFrame(
+        rows,
+        "symbol long, date date, open double, high double, low double, "
+        "close double, volume bigint",
+    )
+    orig = st2.ticks
+    try:
+        st2.ticks = lambda sp, d: df
+        out = st2.q_runs_test_updown(spark, "unused").collect()
+    finally:
+        st2.ticks = orig
+    n1, n2, runs = _runs_reference_closes(closes)
+    n = n1 + n2
+    emits = (
+        n1 > 0 and n2 > 0 and n > 1
+        and (2.0 * n1 * n2) * (2.0 * n1 * n2 - n) > 0
+    )
+    if not emits:
+        assert out == []
+    else:
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_up, r.n_down, r.n_runs) == (n1, n2, runs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),      # suppkey -> nation
+            st.floats(min_value=0.5, max_value=350.0,   # price: spans
+                      allow_nan=False),                  # several buckets
+            st.integers(min_value=1, max_value=9),       # weight
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_weighted_median_bucket_probe_matches_brute_force(spark, li):
+    import stock_market_etl_pipeline_spark.registry_stats2 as st2
+
+    li = [(k, round(p, 2), w) for k, p, w in li]
+    tabs = {
+        "lineitem": spark.createDataFrame(
+            li, "l_suppkey long, l_extendedprice double, l_quantity long"
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, 10), (2, 20)], "s_suppkey long, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(10, "A"), (20, "B")], "n_nationkey long, n_name string"
+        ),
+    }
+    orig = st2.load_table
+    try:
+        st2.load_table = lambda sp, d, n: tabs[n]
+        out = {
+            r.nation: (r.weighted_median_price, r.total_quantity)
+            for r in st2.q_weighted_median_price_by_nation(
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        st2.load_table = orig
+
+    for key, nation in ((1, "A"), (2, "B")):
+        rows = sorted((p, w) for k, p, w in li if k == key)
+        if not rows:
+            assert nation not in out
+            continue
+        tot = sum(w for _, w in rows)
+        cum = 0
+        for p, w in rows:
+            cum += w
+            if 2 * cum >= tot:
+                assert out[nation] == (p, tot), nation
+                break
