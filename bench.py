@@ -166,6 +166,38 @@ def main() -> None:
         if CALIBRATION_CLEAN_SEC
         else None
     )
+    # per-phase factors: contention confined to one phase (observed on
+    # this host: a 3x pre_uncached spike while mid/post read clean)
+    # inflates that phase's numbers but leaves the overall median ~1 —
+    # the phase factors make the artifact self-explaining either way.
+    lf_phases = [
+        round(min(reps) / CALIBRATION_CLEAN_SEC, 3)
+        for reps in (cal_pre, cal_mid, cal_post)
+    ] if CALIBRATION_CLEAN_SEC else None
+
+    # Per-rep series (pass-interleaved) go to a SIDECAR file, not the
+    # stdout line: the driver's BENCH_r{N}.json keeps only the LAST
+    # 2000 chars of output and its parsed field has been None since r7
+    # because the inline "raw" block pushed the line past that window —
+    # which is precisely why every bench reading since needed manual
+    # adjudication. The printed line must stay well under 2000 chars so
+    # the driver can parse it whole again.
+    raw_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_raw_last_run.json"
+    )
+    with open(raw_path, "w") as f:
+        json.dump(
+            {
+                "uncached": raw_uncached,
+                "cached": raw_cached,
+                "calibration_sec": {
+                    "pre_uncached": cal_pre,
+                    "pre_cached": cal_mid,
+                    "post": cal_post,
+                },
+            },
+            f,
+        )
 
     print(
         json.dumps(
@@ -183,16 +215,14 @@ def main() -> None:
                 # as host-contaminated (normalize or re-run — do NOT
                 # read it as a code regression).
                 "calibration_sec": {
-                    "pre_uncached": cal_pre,
-                    "pre_cached": cal_mid,
-                    "post": cal_post,
                     "median": cal_median,
                     "clean_host_sec": CALIBRATION_CLEAN_SEC,
                     "load_factor": load_factor,
+                    # min-rep factor per phase [pre_uncached,
+                    # pre_cached, post]: the phase a spike hit
+                    "lf_phases": lf_phases,
                 },
-                # per-rep series (pass-interleaved) so the recorded number
-                # can be audited against host-load transients
-                "raw": {"uncached": raw_uncached, "cached": raw_cached},
+                "raw_file": "bench_raw_last_run.json",
             }
         )
     )
