@@ -981,3 +981,176 @@ def q_token_pmi_pairs(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yoy_revenue_growth",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS yr,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev_c4
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, yr,
+           rev_c4 / 10000.0 AS revenue,
+           CASE WHEN LAG(yr)     OVER w = yr - 1
+                 AND LAG(rev_c4) OVER w > 0
+                THEN (rev_c4 - LAG(rev_c4) OVER w) * 100.0
+                     / LAG(rev_c4) OVER w
+           END AS yoy_growth_pct
+    FROM rev
+    WINDOW w AS (PARTITION BY nation ORDER BY yr)
+    """,
+)
+def q_yoy_revenue_growth(spark, sf_dir):
+    """Year-over-year discounted-revenue growth per supplier nation —
+    the growth-rate shape (LAG over a yearly rollup) that
+    market_share_by_year (levels) and customer_segment_migration
+    (rank movements) don't cover. NULL growth for a nation's first
+    year and across gap years (the lag must be exactly yr − 1).
+
+    Exactness: revenue accumulates as exact scaled-integer cents×100
+    (the registry.revenue_sum_dec rule — no float sum at volume); the
+    level closes with one exact division, and the growth is
+    (delta · 100.0) / prev — a subtract on exact ints, one multiply,
+    one divide, all single correctly-rounded IEEE ops on identical
+    operands: emitted raw. int64 headroom to ~sf10 on the yearly
+    grain (≈5e17 < 2⁶³ — tighter than the all-time sums because the
+    year split divides the mass by ~7).
+
+    Plan: orders joins on the lineitem exchange (shuffle join — both
+    fact-sized), dims broadcast; the YoY lag runs over the tiny
+    (nation, year) rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * (
+                F.lit(100)
+                - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+            )
+        ).alias("rc4"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.to_date("o_orderdate")).alias("yr")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("nation", "yr")
+        .agg(F.sum("rc4").cast("bigint").alias("rev_c4"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev_yr, prev_rev = F.lag("yr").over(w), F.lag("rev_c4").over(w)
+    return rev.select(
+        "nation", "yr",
+        (F.col("rev_c4") / F.lit(10000.0)).alias("revenue"),
+        F.when(
+            (prev_yr == F.col("yr") - 1) & (prev_rev > 0),
+            (F.col("rev_c4") - prev_rev) * F.lit(100.0) / prev_rev,
+        ).alias("yoy_growth_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary overlap (Jaccard) between source pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_jaccard",
+    r"""
+    WITH toks AS (
+        SELECT source, u.tok
+        FROM (SELECT source,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents), UNNEST(t) AS u(tok)
+    ),
+    sv AS (SELECT DISTINCT source, tok FROM toks),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM sv GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           sa.v AS vocab_a, sb.v AS vocab_b,
+           i.n_shared * 1.0 / (sa.v + sb.v - i.n_shared) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.source_a = sa.source
+    JOIN sz sb ON i.source_b = sb.source
+    """,
+)
+def q_source_vocab_jaccard(spark, sf_dir):
+    """Jaccard overlap of the token VOCABULARIES of every source pair —
+    the set-similarity view of source relatedness (kl_source_divergence
+    compares frequency SHAPES over a shared head; this asks how much of
+    the vocabularies exist in both at all — near-duplicate feeds score
+    high here even when their frequency profiles diverge).
+
+    Exactness: vocabulary sizes and intersections are exact ints off
+    distinct (source, token) pairs; Jaccard is one division via
+    inclusion-exclusion, emitted raw.
+
+    Plan: the distinct (source, token) groupBy is the fact-sized
+    exchange; the pair join runs token-keyed over the DISTINCT table
+    (each token contributes |sources-containing-it|² pair rows, bounded
+    by the source count — a dozen, not a corpus axis), then a 2-dim
+    rollup. Per-source sizes broadcast back onto the pair rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = (
+        docs.select(
+            "source",
+            F.explode(
+                ws_tokens(F.lower(F.trim(F.col("text"))))
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sz = sv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = sv.select(F.col("source").alias("source_a"), "tok")
+    b = sv.select(F.col("source").alias("source_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "vocab_a", "vocab_b",
+            (
+                F.col("n_shared") * F.lit(1.0)
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -399,3 +399,75 @@ def test_token_pmi_matches_reference(spark, monkeypatch):
         round(math.log(n * 5 / (5 * 5)), 6), abs=2e-6
     )
     assert xy.pmi > ab.pmi  # the true collocation scores higher
+
+
+# ---------------------------------------------------------------------------
+# YoY revenue growth
+# ---------------------------------------------------------------------------
+
+
+def test_yoy_growth_matches_reference_and_gap_years(spark, monkeypatch):
+    # nation A: 1994 rev 100.00, 1995 rev 150.00 (+50%), 1997 rev 120
+    # (gap year: growth NULL); one supplier, one line per order
+    li = [
+        (1, 1, 100.0, 0.0),
+        (2, 1, 150.0, 0.0),
+        (3, 1, 120.0, 0.0),
+    ]
+    orders = [
+        (1, date(1994, 6, 1)),
+        (2, date(1995, 6, 1)),
+        (3, date(1997, 6, 1)),
+    ]
+    tabs = {
+        "lineitem": spark.createDataFrame(
+            li,
+            "l_orderkey long, l_suppkey long, l_extendedprice double, "
+            "l_discount double",
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_orderdate date"
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, 10)], "s_suppkey long, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(10, "A")], "n_nationkey long, n_name string"
+        ),
+    }
+    monkeypatch.setattr(st3, "load_table", lambda sp, d, n: tabs[n])
+    out = {r.yr: r for r in
+           st3.q_yoy_revenue_growth(spark, SF_DIR).collect()}
+    assert out[1994].revenue == 100.0
+    assert out[1994].yoy_growth_pct is None          # first year
+    assert out[1995].yoy_growth_pct == 50.0
+    assert out[1997].yoy_growth_pct is None          # gap year
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_source_vocab_jaccard_matches_reference(spark, monkeypatch):
+    texts = [
+        (0, "a b c d", "s1"),
+        (1, "c d e", "s2"),
+        (2, "x y", "s3"),
+        (3, "a a c", "s2"),   # dup tokens collapse into the vocab set
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "xx", s, len(t)) for i, t, s in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(st3, "load_table", lambda sp, d, n: df)
+    out = {
+        (r.source_a, r.source_b): r
+        for r in st3.q_source_vocab_jaccard(spark, SF_DIR).collect()
+    }
+    # s1={a,b,c,d}, s2={a,c,d,e}, s3={x,y}
+    r = out[("s1", "s2")]
+    assert (r.vocab_a, r.vocab_b, r.n_shared) == (4, 4, 3)
+    assert r.jaccard == 3 / 5
+    # disjoint pairs emit no row (inner join on shared tokens)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
