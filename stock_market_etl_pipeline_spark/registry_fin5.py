@@ -261,6 +261,37 @@ def q_momentum_decile_backtest(spark, sf_dir):
 _TS_ARRAY_MAX_DAYS = 3000
 _TS_WIDTH_FINE = 0.01
 
+# Depth-probe memo, keyed by sf_dir (ADVICE r10): the shallow/deep
+# branch choice needs max(days per symbol), which is one tiny count
+# aggregate — but running it as a collect() INSIDE the query builder
+# made every plan-only consumer (plan_audit, plan-shape tests) execute
+# a scan+aggregate per DataFrame construction. The per-symbol depth of
+# a given sf_dir is fixed for the life of the process, so probe once
+# and memoize; SPARK_GRAFT_TS_FORCE={shallow,deep} skips the probe
+# entirely (used by plan tests to pin a branch action-free).
+_DEPTH_MEMO: dict = {}
+
+
+def _max_symbol_depth(spark, sf_dir) -> int:
+    import os
+
+    forced = os.environ.get("SPARK_GRAFT_TS_FORCE", "")
+    if forced == "shallow":
+        return 0
+    if forced == "deep":
+        return _TS_ARRAY_MAX_DAYS + 1
+    if sf_dir not in _DEPTH_MEMO:
+        t = ticks(spark, sf_dir)
+        _DEPTH_MEMO[sf_dir] = (
+            t.groupBy("symbol")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("mx"))
+            .collect()[0]
+            .mx
+            or 0
+        )
+    return _DEPTH_MEMO[sf_dir]
+
 
 def _theil_sen_numpy(t):
     """Per-symbol Theil-Sen via a vectorized numpy kernel — one of the
@@ -305,16 +336,36 @@ def _theil_sen_numpy(t):
         cc = pdf["cc"].to_numpy(dtype=np.float64)  # cents ≪ 2^53: exact
         o = np.argsort(d)
         d, cc = d[o], cc[o]
-        i, j = np.triu_indices(n, 1)
-        slopes = (cc[j] - cc[i]) / ((d[j] - d[i]) * 100.0)
-        m = slopes.size
+        # Row-anchored pair enumeration (ADVICE r10): np.triu_indices
+        # materialized two m-length int64 index arrays plus cc[i]/cc[j]
+        # gather temporaries — ~5x the slopes array, ~180 MB real peak
+        # at the 3000-day trigger, multiplied by concurrent tasks.
+        # Filling ONE preallocated slopes array anchor-row-by-row keeps
+        # peak at the m-double slopes array (~36 MB at the trigger,
+        # the bound the trigger was designed around) plus O(n) temps.
+        # Same divisions of the same exact operands → bit-identical
+        # slopes; the median is order-insensitive, so enumeration
+        # order is immaterial.
+        m = n * (n - 1) // 2
+        slopes = np.empty(m, dtype=np.float64)
+        pos = 0
+        for a in range(n - 1):
+            cnt = n - a - 1
+            np.divide(
+                cc[a + 1:] - cc[a],
+                (d[a + 1:] - d[a]) * 100.0,
+                out=slopes[pos:pos + cnt],
+            )
+            pos += cnt
         klo = (m + 1) // 2  # 1-based lower-median rank, as in the oracle
-        lo = np.partition(slopes, klo - 1)[klo - 1]
+        slopes.partition(klo - 1)  # in-place: no partitioned copy
+        lo = slopes[klo - 1]
         if m % 2:
             med = float(lo)
         else:
-            hi = np.partition(slopes, klo)[klo]  # khi-1 == m//2 == klo
-            med = (float(lo) + float(hi)) / 2.0
+            # post-partition, indices ≥ klo hold values ≥ lo; the upper
+            # median (rank klo+1, 0-based sorted index klo) is their min
+            med = (float(lo) + float(slopes[klo:].min())) / 2.0
         return pd.DataFrame(
             {
                 "symbol": [int(pdf["symbol"].iloc[0])],
@@ -405,9 +456,18 @@ def q_theil_sen_trend(spark, sf_dir):
         F.round(F.col("close") * 100, 0).cast("bigint").alias("cc"),
     )
 
+    # depth trigger: memoized per sf_dir (and env-forcible) so repeated
+    # plan construction is action-free — see _max_symbol_depth
+    deep = _max_symbol_depth(spark, sf_dir) > _TS_ARRAY_MAX_DAYS
+    if not deep:
+        return _theil_sen_numpy(t)
+    width = _TS_WIDTH_FINE
+
     # pair count is CLOSED-FORM from per-symbol day counts (days are
     # distinct within a symbol): m = n(n-1)/2 — no count window over
     # the pair stream, and the median target ranks are known up front.
+    # localCheckpoint only on the deep branch, where both phases reuse
+    # the tiny per-symbol rank table.
     mdf = t.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n")).select(
         "symbol", "__n",
         F.expr("__n * (__n - 1) div 2").alias("m"),
@@ -416,15 +476,6 @@ def q_theil_sen_trend(spark, sf_dir):
         F.expr("(m + 1) div 2").alias("klo"),
         F.expr("m div 2 + 1").alias("khi"),
     ).localCheckpoint(eager=True)
-
-    # depth trigger: one row off the checkpointed per-symbol counts
-    max_days = (
-        mdf.agg(F.max("__n").alias("mx")).collect()[0].mx or 0
-    )
-    deep = max_days > _TS_ARRAY_MAX_DAYS
-    if not deep:
-        return _theil_sen_numpy(t)
-    width = _TS_WIDTH_FINE
 
     def pair_slopes():
         a = t.select(

@@ -118,12 +118,17 @@ def q_mann_whitney_length_by_source(spark, sf_dir):
     DISTINCT-VALUE cumulative window. U, the deviation from its mean,
     and the tie-corrected variance stay exact DECIMAL(38)/HUGEINT; the
     variance is QUANTIZED by one truncating integer division
-    (rule 13 — ``(n1·n2·((N+1)·N·(N−1) − Σ(t³−t))) div (12·N·(N−1))``,
+    (rule 13 — ``(n1·n2·((N+1)·N·(N−1) − Σ(t³−t))) // (12·N·(N−1))``,
     both engines truncate toward zero; the ≤1-unit truncation is
-    ~1e-18 relative on a variance that large). Closure: one sqrt, one
+    ~1e-18 relative on a variance that large). The Spark side computes
+    it as the sub-mod decimal floor division ``(num − num%den)/den``
+    rather than `div`, because IntegralDivide binds a BIGINT result
+    (2⁶³ ANSI-throw ceiling) even on DECIMAL(38,0) operands while
+    DuckDB ``//`` stays HUGEINT (ADVICE r10). Closure: one sqrt, one
     multiply, one divide on identical operands, ROUND 6. u_stat is an
     exact half-integer (u2/2, binary-exact). Headroom audit: all
-    DECIMAL(38) products ≤ N⁵ — safe to ~sf100; the HUGEINT→DOUBLE
+    DECIMAL(38) products ≤ N⁵ — safe to ~sf100 on both sides now that
+    the quotient stays decimal; the HUGEINT→DOUBLE
     casts are < 2⁶⁴ through sf10 (rule-13 zero-divergence band).
 
     Plan: rank machinery runs over the distinct-length table (windows
@@ -163,17 +168,31 @@ def q_mann_whitney_length_by_source(spark, sf_dir):
     n2 = nn - n1
     u2 = F.col("r2sum") - n1 * (n1 + F.lit(1).cast(_DEC))
     diff2 = u2 - n1 * n2
-    var_q = F.expr(
-        "(n1 * (nn - n1) * ((nn + 1) * nn * (nn - 1) - ties))"
-        " div (12 * nn * (nn - 1))"
-    )
+    # Truncating division kept in DECIMAL (ADVICE r10): Spark `div` is
+    # IntegralDivide → BIGINT even on DECIMAL(38,0) operands, capping
+    # the quotient at 2⁶³ (ANSI throw beyond) while DuckDB `//` stays
+    # HUGEINT. (num − num % den)/den is exactly divisible, so the
+    # decimal division is an exact integer (no 6dp rounding in play)
+    # and the DECIMAL(38) headroom audit above holds as written. All
+    # operands are positive, so truncate == floor on both engines.
     z = (
         per.join(F.broadcast(tot.filter(nn > 1)))
         .select(
             "source", n1.alias("n1"), n2.alias("n2"),
             u2.alias("u2"), diff2.alias("diff2"), "nn", "ties",
         )
-        .withColumn("var_q", var_q)
+        .withColumn(
+            "vq_num",
+            F.expr("n1 * (nn - n1) * ((nn + 1) * nn * (nn - 1) - ties)"),
+        )
+        .withColumn("vq_den", F.expr("12 * nn * (nn - 1)"))
+        .withColumn(
+            "var_q",
+            F.expr(
+                "CAST((vq_num - vq_num % vq_den) / vq_den"
+                " AS DECIMAL(38,0))"
+            ),
+        )
     )
     return z.filter(
         (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("var_q") > 0)
@@ -693,10 +712,18 @@ def _kendall_numpy(d):
             return empty
         v = pdf["volume"].to_numpy(dtype=np.int64)
         m = pdf["mv"].to_numpy(dtype=np.int64)
-        i, j = np.triu_indices(n, 1)
-        s = np.sign(v[i] - v[j]) * np.sign(m[i] - m[j])
-        c = int((s > 0).sum())
-        dd = int((s < 0).sum())
+        # Row-anchored pair scan (ADVICE r10, same fix as
+        # registry_fin5._theil_sen_numpy): triu_indices materialized two
+        # m-length int64 index arrays plus four gather temporaries;
+        # accumulating concordant/discordant counts per anchor row keeps
+        # peak memory at O(n) per task instead of O(n²). Identical
+        # integer sign comparisons → identical counts.
+        c = 0
+        dd = 0
+        for a in range(n - 1):
+            s = np.sign(v[a] - v[a + 1:]) * np.sign(m[a] - m[a + 1:])
+            c += int((s > 0).sum())
+            dd += int((s < 0).sum())
         n0 = n * (n - 1) // 2
         _, tv = np.unique(v, return_counts=True)
         _, tm = np.unique(m, return_counts=True)
@@ -802,7 +829,7 @@ def q_kendall_tau_volume_move(spark, sf_dir):
     to the streaming symbol-keyed pair join that the oracle states
     directly. The tie/total terms always come from combinable groupBys,
     never pair enumeration."""
-    from .registry_fin5 import _TS_ARRAY_MAX_DAYS
+    from .registry_fin5 import _TS_ARRAY_MAX_DAYS, _max_symbol_depth
 
     t = ticks(spark, sf_dir)
     cexp = F.round(F.col("close") * 100, 0).cast("bigint")
@@ -815,11 +842,11 @@ def q_kendall_tau_volume_move(spark, sf_dir):
         ).alias("mv"),
     ).filter(F.col("mv").isNotNull())
 
-    mx = (
-        d.groupBy("symbol").agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.max("__n").alias("mx")).collect()[0].mx or 0
-    )
-    if mx <= _TS_ARRAY_MAX_DAYS:
+    # depth trigger: the shared memoized ticks-depth probe (ADVICE r10
+    # — no action per DataFrame construction). It counts raw days per
+    # symbol, one more than this query's lag-filtered rows per symbol;
+    # the off-by-one is immaterial against a 3000-day trigger.
+    if _max_symbol_depth(spark, sf_dir) <= _TS_ARRAY_MAX_DAYS:
         return _kendall_numpy(d)
 
     # deep fallback: streaming pair join for C/D; ties and totals from

@@ -1,6 +1,7 @@
 """Streaming open-orders balance: an event-sourced running balance
-maintained exactly-once over TWO event kinds with different update
-semantics — append-only opens and MOVABLE closes.
+maintained exactly-once over THREE event kinds with different update
+semantics — append-only opens, MOVABLE closes, and DELETE-shaped
+cancellations (the insert/update/delete triangle of a change feed).
 
 The batch query (registry_stats3.open_orders_balance) computes the
 monthly opened/closed counts and the cumulative open balance from the
@@ -70,9 +71,11 @@ def start_balance_maintainer(
     checkpoint: str,
     max_files_per_trigger: int = 1,
 ):
-    """Consume a JSON event stream (``kind`` = 'open' | 'ship',
-    ``orderkey``, ``d`` = the event date) until drained (availableNow)
-    maintaining the four state tables. Returns the streaming query."""
+    """Consume a JSON event stream (``kind`` = 'open' | 'ship' |
+    'cancel', ``orderkey``, ``d`` = the event date; a cancel removes
+    the order's open — and its close if one was recorded) until drained
+    (availableNow), maintaining the four state tables. Returns the
+    streaming query."""
     t = _tables(state_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -93,7 +96,25 @@ def start_balance_maintainer(
         )
         if not sh.isEmpty():
             if t["closes"].latest_snapshot() is not None:
-                cur = t["closes"].read(spark).select(
+                # Key-bounded read-modify-write (ADVICE r10): the
+                # greatest() comparison only needs the stored rows for
+                # THIS batch's orderkeys, so read them via the
+                # bloom+stats point lookup (read_keys) instead of
+                # scanning the whole closes table — per-batch cost is
+                # then churn-bounded, as the module docstring claims.
+                # The key list is one micro-batch's distinct orderkeys
+                # (bounded by the trigger size); past the probe cap the
+                # full read + broadcast-key join is the documented
+                # fallback, same rows either way.
+                ship_keys = [r.orderkey for r in sh.select("orderkey")
+                             .collect()]
+                if len(ship_keys) <= TxTable.BLOOM_MAX_PROBE_KEYS:
+                    cur_src = t["closes"].read_keys(
+                        spark, "orderkey", ship_keys
+                    )
+                else:
+                    cur_src = t["closes"].read(spark)
+                cur = cur_src.select(
                     "orderkey", F.col("closed").alias("__cur")
                 )
                 merged = sh.join(cur, "orderkey", "left")
@@ -121,6 +142,34 @@ def start_balance_maintainer(
             if not upd.isEmpty():
                 t["closes"].merge(
                     spark, upd, ["orderkey"], txn_id=f"close-{batch_id}"
+                )
+
+        # DELETE-shaped event (VERDICT r10 #5): a cancellation retracts
+        # the OPEN itself — the third change-feed shape after append
+        # (open) and update (movable close). merge(when_matched=
+        # 'delete') tombstones the order's row in BOTH tables (the
+        # close too, if a ship already recorded one); the change feed
+        # then shows delete(old row) with no insert, so the views
+        # decrement the open/close months with no special-casing.
+        # Replays are txn-marked no-ops like every other commit here.
+        # Ordering contract (same as open-before-ship): the cancel must
+        # not precede its order's open across batches — within a batch
+        # the open is appended above before the delete runs.
+        cx = (
+            b.filter(F.col("kind") == "cancel")
+            .select("orderkey")
+            .distinct()
+        )
+        if not cx.isEmpty():
+            if t["opens"].latest_snapshot() is not None:
+                t["opens"].merge(
+                    spark, cx, ["orderkey"], when_matched="delete",
+                    txn_id=f"cancel-open-{batch_id}",
+                )
+            if t["closes"].latest_snapshot() is not None:
+                t["closes"].merge(
+                    spark, cx, ["orderkey"], when_matched="delete",
+                    txn_id=f"cancel-close-{batch_id}",
                 )
 
         if t["opens"].latest_snapshot() is not None:

@@ -148,3 +148,65 @@ def test_balance_survives_restart_storm(spark, tmp_path):
     assert final["2024-02-01"] == [1, 1, 1]   # order 1's close moved here
     assert final["2024-03-01"] == [0, 1, 0]   # order 3's close moved here
     assert final["2024-04-01"] == [1, 1, 0]   # order 4 opens and closes
+
+
+BATCH_CANCEL = [("cancel", 2, "2024-02-15")]
+
+
+def test_cancellation_retracts_open(spark, tmp_path, monkeypatch):
+    """DELETE-shaped event (VERDICT r10 #5): cancelling order 2 after
+    batch 1 retracts BOTH its Jan open and its Jan close (−1 each via
+    the merge-delete change feed), stays converged through a
+    crash-replay storm, and the surviving frame equals the batch query
+    over the facts with the cancelled order removed. A same-batch
+    open+cancel pair nets to nothing (the emptied month drops from the
+    view, as it never enters the batch facts)."""
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    _land(d, BATCH1, "b0.json")
+    _run(spark, d)
+    first = {m: (o, c) for m, o, c, _ in _snap(spark, d)}
+    assert first["2024-01-01"] == (2, 2)
+
+    _land(d, BATCH_CANCEL, "b1.json")
+    _run(spark, d)
+    once = _snap(spark, d)
+    snap = {m: (o, c, bl) for m, o, c, bl in once}
+    assert snap["2024-01-01"] == (1, 1, 0)
+
+    # crash-replay storm on the cancellation batch: the merge-deletes
+    # are txn-marked, the view refresh is cdc-marked — replay converges
+    _crash_last_commit(d["ckpt"])
+    _run(spark, d)
+    assert _snap(spark, d) == once, "cancel replay diverged"
+
+    # same-batch open+cancel: order 9 opens and cancels in March — the
+    # month must NOT appear (the emptied group is deleted from the view)
+    _land(
+        d,
+        [("open", 9, "2024-03-03"), ("cancel", 9, "2024-03-04")],
+        "b2.json",
+    )
+    _run(spark, d)
+    months = {m for m, *_ in _snap(spark, d)}
+    assert "2024-03-01" not in months
+
+    # batch parity on the surviving facts (order 2 and 9 cancelled)
+    events = [e for e in BATCH1 if e[1] != 2]
+    odf = spark.createDataFrame(
+        [(k, date.fromisoformat(dt))
+         for kind, k, dt in events if kind == "open"],
+        "o_orderkey long, o_orderdate date",
+    )
+    ldf = spark.createDataFrame(
+        [(k, date.fromisoformat(dt))
+         for kind, k, dt in events if kind == "ship"],
+        "l_orderkey long, l_shipdate date",
+    )
+    tabs = {"orders": odf, "lineitem": ldf}
+    monkeypatch.setattr(st3, "load_table", lambda sp, dd, n: tabs[n])
+    want = sorted(
+        (str(r.month_start), r.n_opened, r.n_closed, r.open_balance)
+        for r in st3.q_open_orders_balance(spark, SF_DIR).collect()
+    )
+    assert _snap(spark, d) == want
