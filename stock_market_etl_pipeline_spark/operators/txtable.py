@@ -505,15 +505,36 @@ class TxTable:
 
     # -- snapshot tags (Iceberg-style named refs) -----------------------
 
+    def _vacuum_gaps(self) -> dict:
+        """Vacuumed-history gaps recorded by :meth:`vacuum`: retained
+        predecessor snapshot id (as str) → earliest ``committed_at``
+        among the manifests dropped immediately after it (None when a
+        dropped manifest carried no stamp — treated as 'could be any
+        time'). Lets snapshot_asof refuse timestamps whose true as-of
+        manifest no longer exists instead of silently resolving to an
+        older state."""
+        try:
+            with open(os.path.join(self.log_dir, "_vacuum.json")) as f:
+                return dict(json.load(f).get("gaps") or {})
+        except (OSError, ValueError):
+            return {}
+
     def snapshot_asof(self, ts: float) -> int:
         """Resolve Delta/Iceberg's TIMESTAMP AS OF: the newest snapshot
         whose commit wall-clock (``committed_at``, stamped by _commit)
         is ≤ ``ts`` (epoch seconds). Pre-r10 manifests without the
         field are treated as arbitrarily old (always eligible), so time
         travel over a table with legacy history still resolves. Raises
-        SnapshotUnavailable when the table is empty or every stamped
-        commit is newer than ``ts``. Resolution reads manifests only —
-        KB-scale metadata, no data files."""
+        SnapshotUnavailable when the table is empty, every stamped
+        commit is newer than ``ts``, or the TRUE as-of manifest was
+        vacuumed (VERDICT r10 #8): if any manifest dropped right after
+        the resolved snapshot committed at or before ``ts``, resolving
+        to the older retained snapshot would silently rewrite history,
+        so the resolution fails with a clear error instead — while a
+        ``ts`` that genuinely lands on a tagged retention root (before
+        anything dropped after it committed) still succeeds.
+        Resolution reads manifests only — KB-scale metadata, no data
+        files."""
         best = None
         for s in self.snapshots():
             at = self._manifest(s).get("committed_at")
@@ -522,6 +543,17 @@ class TxTable:
         if best is None:
             raise SnapshotUnavailable(
                 f"no snapshot committed at or before {ts!r}"
+            )
+        gaps = self._vacuum_gaps()
+        gap_lo = gaps.get(str(best))
+        if str(best) in gaps and (gap_lo is None or ts >= gap_lo):
+            raise SnapshotUnavailable(
+                f"TIMESTAMP AS OF {ts!r}: the manifest(s) committed "
+                f"after snapshot {best}"
+                + ("" if gap_lo is None else f" (from {gap_lo!r} on)")
+                + " were vacuumed, so the true as-of snapshot no longer"
+                " exists. Time-travel to a tagged retention root or a"
+                " retained snapshot id instead."
             )
         return best
 
@@ -1628,6 +1660,40 @@ class TxTable:
                         keep_files.update(json.load(f).get("files") or [])
                 except (OSError, ValueError):
                     continue
+        # Record vacuumed-history gaps BEFORE unlinking (VERDICT r10
+        # #8): for each dropped manifest, attach its committed_at to
+        # the nearest retained predecessor, keeping the EARLIEST such
+        # stamp per gap (None = a dropped legacy manifest carried no
+        # stamp — conservatively 'could be any time'). Pre-existing
+        # gaps whose anchor is itself dropped this pass re-attach to
+        # the new predecessor. snapshot_asof consults this sidecar to
+        # refuse timestamps whose true as-of manifest is gone.
+        gaps = self._vacuum_gaps()
+        retained_set = set(retained)
+        to_drop = [s for s in snaps if s not in retained_set]
+        if to_drop:
+            def _merge_lo(a, b):
+                # None = an unstamped (legacy) dropped manifest — could
+                # have committed at any time, so the gap refuses every
+                # timestamp; otherwise keep the earliest stamp
+                return None if a is None or b is None else min(a, b)
+
+            def _attach(after_id, lo):
+                preds = [r for r in retained if r < after_id]
+                key = str(max(preds)) if preds else "-1"
+                gaps[key] = _merge_lo(lo, gaps[key]) if key in gaps else lo
+
+            for key, lo in list(gaps.items()):
+                if key == "-1" or int(key) in retained_set:
+                    continue
+                del gaps[key]
+                _attach(int(key), lo)
+            for s in to_drop:
+                _attach(s, self._manifest(s).get("committed_at"))
+            with open(
+                os.path.join(self.log_dir, "_vacuum.json"), "w"
+            ) as f:
+                json.dump({"gaps": gaps}, f)
         dropped = 0
         for s in snaps:
             if s not in retained:

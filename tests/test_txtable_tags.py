@@ -182,3 +182,81 @@ def test_timestamp_asof_legacy_manifests_always_eligible(spark, tmp_path):
     # a ts before snapshot 1's stamp resolves to the legacy snapshot 0
     assert t.snapshot_asof(ts1 - 1e6) == 0
     assert t.snapshot_asof(ts1) == 1
+
+
+def test_timestamp_asof_vacuum_interplay(spark, tmp_path):
+    """TIMESTAMP AS OF × vacuum (VERDICT r10 #8): a timestamp whose
+    true as-of manifest was vacuumed fails with a clear error instead
+    of silently resolving to an older retained snapshot; a timestamp
+    landing on a tagged retention root — before anything dropped after
+    it committed — still succeeds."""
+    import time as _time
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))     # snapshot 0 (tagged)
+    t.append(_df(spark, [(2, 2.0)]))     # snapshot 1 (will be vacuumed)
+    t.append(_df(spark, [(3, 3.0)]))     # snapshot 2 (will be vacuumed)
+    t.append(_df(spark, [(4, 4.0)]))     # snapshot 3 (latest, retained)
+    stamps = {s: t._manifest(s)["committed_at"] for s in t.snapshots()}
+    t.create_tag("pin", snapshot=0)      # snapshot 4: the tag commit
+    stamp_tag = t._manifest(t.latest_snapshot())["committed_at"]
+
+    dropped, _ = t.vacuum(keep_last=1)
+    assert dropped > 0
+    assert 1 not in t.snapshots() and 2 not in t.snapshots()
+
+    # ts inside the vacuumed range: the true as-of snapshot (1 or 2)
+    # is gone — clear refusal, not a silent resolve-to-0
+    with pytest.raises(SnapshotUnavailable, match="vacuumed"):
+        t.snapshot_asof(stamps[1])
+    with pytest.raises(SnapshotUnavailable, match="vacuumed"):
+        t.snapshot_asof((stamps[2] + stamps[3]) / 2)
+
+    # ts exactly on / just after the tagged root but BEFORE the first
+    # vacuumed commit: resolution is unambiguous and succeeds
+    ok_ts = (stamps[0] + stamps[1]) / 2
+    assert t.snapshot_asof(stamps[0]) == 0
+    assert t.snapshot_asof(ok_ts) == 0
+    assert {r.k for r in t.read(spark, asof=ok_ts).collect()} == {1}
+
+    # keep_last=1 retained only {0 (tag), 4 (latest)}: snapshot 3 was
+    # dropped too, so ITS stamp is also refused — only timestamps at or
+    # after the retained latest commit resolve forward again
+    with pytest.raises(SnapshotUnavailable, match="vacuumed"):
+        t.snapshot_asof(stamps[3])
+    assert t.snapshot_asof(_time.time() + 60) == 4
+
+    # before everything: unchanged error
+    with pytest.raises(SnapshotUnavailable, match="at or before"):
+        t.snapshot_asof(stamps[0] - 10)
+
+    # tag read still serviceable after vacuum (retention root)
+    assert {r.k for r in t.read(spark, tag="pin").collect()} == {1}
+    assert stamp_tag >= stamps[3]
+
+
+def test_asof_vacuum_gap_survives_second_vacuum(spark, tmp_path):
+    """Gap bookkeeping composes across vacuums: when a later vacuum
+    drops the anchor snapshot itself, its gap re-attaches to the new
+    nearest retained predecessor (conservatively keeping the earliest
+    dropped stamp)."""
+    t = TxTable(str(tmp_path / "t"))
+    for k in range(5):                   # snapshots 0..4
+        t.append(_df(spark, [(k, float(k))]))
+    stamps = {s: t._manifest(s)["committed_at"] for s in t.snapshots()}
+    t.create_tag("root", snapshot=0)     # snapshot 5 (metadata commit)
+
+    # first vacuum keeps {0 (tag), 3, 4, 5}: drops 1, 2 → gap after 0
+    t.vacuum(keep_last=3)
+    assert t.snapshots()[:2] == [0, 3]
+    with pytest.raises(SnapshotUnavailable, match="vacuumed"):
+        t.snapshot_asof(stamps[1])
+
+    # second vacuum keeps {0 (tag), 5}: drops 3, 4 → gaps merge on 0
+    t.vacuum(keep_last=1)
+    assert 3 not in t.snapshots() and 4 not in t.snapshots()
+    for s in (1, 2, 3, 4):
+        with pytest.raises(SnapshotUnavailable, match="vacuumed"):
+            t.snapshot_asof(stamps[s])
+    # a ts before the first-ever dropped commit still resolves to 0
+    assert t.snapshot_asof((stamps[0] + stamps[1]) / 2) == 0
