@@ -908,3 +908,24 @@ from . import registry_llm6  # noqa: E402,F401
 from . import registry_ext6  # noqa: E402,F401
 from . import registry_stats2  # noqa: E402,F401
 from . import registry_stats3  # noqa: E402,F401
+from . import registry_twin  # noqa: E402,F401
+
+# Rows-only registry entry → its hash-green driver-oracled exact/anchor
+# twin (VERDICT r10 #4: the pairing, long documented per-query in
+# docstrings and certified in pytest, made driver-visible in one place).
+# Frozen by tests/test_registry.py: every rows-only query appears here,
+# and every twin is a registered, ORACLED query.
+TWINS = {
+    "approx_stats": "describe_stats",
+    "ann_ivf_topk": "ann_ivf_full_probe",
+    "ann_pq_topk": "embedding_cosine_topk",
+    "ann_ivf_pq_topk": "embedding_cosine_topk",
+    "enriched_volume_approx_quartiles": "enriched_features",
+    "part_pagerank": "part_pagerank_int",
+    "semantic_dedup": "embedding_near_pairs",
+    "sketch_distinct_rollup_merge": "distinct_custkeys_by_priority",
+    "sketch_price_quantiles": "priority_price_percentiles",
+    "sketch_rolling_active_users": "rolling_active_users",
+    "sketch_token_counts": "token_frequencies",
+    "theta_customer_set_algebra": "customer_priority_set_algebra",
+}

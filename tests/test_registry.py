@@ -44,33 +44,40 @@ def test_suppliers_above_nation_avg_nonvacuous(spark):
 
 ROWS_ONLY_TWINS = {
     # rows-only query -> its oracled exact twin (the correctness anchor);
+    # canonical copy exported as registry.TWINS (VERDICT r10 #4 made the
+    # pairing driver-visible and upgraded two twins: sketch_price_
+    # quantiles now pairs with the exact same-probe-points percentiles,
+    # part_pagerank with the integer-quantized PageRank itself);
     # per-family error-bound certificates live in test_sketches.py /
     # test_llm_ops.py / test_enrich.py
     "approx_stats": "describe_stats",
     "ann_ivf_topk": "ann_ivf_full_probe",
     "sketch_distinct_rollup_merge": "distinct_custkeys_by_priority",
-    "sketch_price_quantiles": "distinct_custkeys_by_priority",
+    "sketch_price_quantiles": "priority_price_percentiles",
     "theta_customer_set_algebra": "customer_priority_set_algebra",
-    "ann_pq_topk": "ann_ivf_full_probe",
-    "ann_ivf_pq_topk": "ann_ivf_full_probe",
-    "enriched_volume_approx_quartiles": "enriched_categories",
+    "ann_pq_topk": "embedding_cosine_topk",
+    "ann_ivf_pq_topk": "embedding_cosine_topk",
+    "enriched_volume_approx_quartiles": "enriched_features",
     "sketch_rolling_active_users": "rolling_active_users",
     "sketch_token_counts": "token_frequencies",
-    "part_pagerank": "part_cooccurrence",
+    "part_pagerank": "part_pagerank_int",
     "semantic_dedup": "embedding_near_pairs",
 }
 
 
 def test_every_rows_only_query_has_an_oracled_exact_twin():
     """A rows-only registration without a hash-green exact twin would be
-    unverifiable; freeze the pairing so adding one forces a twin."""
+    unverifiable; freeze the pairing so adding one forces a twin, and
+    pin the exported registry.TWINS to this frozen copy."""
     qs, osql = registry.queries(), registry.oracle_sql()
     rows_only = set(qs) - set(osql)
     assert rows_only == set(ROWS_ONLY_TWINS), (
         "update ROWS_ONLY_TWINS with the new rows-only query's twin"
     )
+    assert registry.TWINS == ROWS_ONLY_TWINS
     for twin in ROWS_ONLY_TWINS.values():
         assert twin in osql, f"twin {twin} must itself be oracled"
+        assert twin in qs, f"twin {twin} must be registered"
 
 
 def test_tpch2_shapes_nonvacuous(spark):
