@@ -46,13 +46,37 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        prop = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+            )
+        )
+        # pointer jumping (path compression): label ← label's label.
+        # Plain min-propagation converges in O(component diameter)
+        # rounds — a long near-dup CHAIN at sf1 blew the 15-round cap
+        # (r11 sweep). Composing the label map with itself each round
+        # halves every pointer chain, so convergence is O(log diameter)
+        # (~2^15 diameter headroom at max_iter=15). Labels only ever
+        # hold node ids (mins of node ids), so the inner self-join is
+        # total; the invariant 'label = a reachable node id ≤ node'
+        # is preserved by both steps, and the fixpoint is unchanged:
+        # the component minimum.
+        new_labels = (
+            prop.alias("a")
+            .join(
+                prop.select(
+                    F.col("node").alias("pnode"),
+                    F.col("label").alias("plabel"),
+                ),
+                F.col("a.label") == F.col("pnode"),
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(F.col("a.label"), F.col("plabel")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

@@ -336,6 +336,26 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(chain, max_iter=1)
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 200-node chain (diameter 199) must converge within the DEFAULT
+    15-round cap — pointer jumping gives O(log diameter) convergence
+    (the r11 sf1 sweep found a real near-dup chain blowing the cap under
+    plain min-propagation)."""
+    from stock_market_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(chain).collect()
+    }
+    assert set(got) == set(range(1, 201))
+    assert set(got.values()) == {1}
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     from stock_market_etl_pipeline_spark.operators.similarity import (
         cosine_topk,
