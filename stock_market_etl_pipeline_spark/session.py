@@ -45,6 +45,18 @@ def get_spark(app_name: str = "stock-market-etl-pipeline-spark",
         # At 100 TB the scan parallelism is governed by this; 128 MiB splits
         # keep per-task memory bounded and saturate a wide cluster.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Whole-stage-codegen class cache (default 100 entries): a
+        # session that cycles through many distinct plans — the bench's
+        # 17 interleaved headliners, a 299-query registry, any real
+        # multi-tenant engine — evicts and RECOMPILES every generated
+        # class on each revisit. Measured r11 (the sessionize_events
+        # drift adjudication): the interleaved bench recompiled every
+        # query every pass, inflating per-query minima ~30-60% since
+        # the r7 protocol change (sessionize 0.74 s -> 0.44 s with the
+        # cache sized to the working set; 14-query subtotal -34%).
+        # Compiled classes are KB-scale, so 4096 entries is a few
+        # hundred MB at worst against the driver/executor heap.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     # Pre-coalesce shuffle width: sources/tables.py now sizes
