@@ -369,10 +369,16 @@ def q_segment_priority_cramers_v(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("seg")
     )
+    # ONE fact scan: every margin, total and the full grid derive from
+    # the r×c cells table (≤ 25 rows), cut from its lineage by a LAZY
+    # localCheckpoint (no job at construction; the first audit of this
+    # query showed 12 scans / 13 exchanges from re-deriving each margin
+    # back to the source join).
     cells = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("seg", "pri")
         .agg(F.count(F.lit(1)).cast(_DEC).alias("obs"))
+        .localCheckpoint(eager=False)
     )
     rows_ = cells.groupBy("seg").agg(F.sum("obs").alias("r"))
     cols_ = cells.groupBy("pri").agg(F.sum("obs").alias("c"))

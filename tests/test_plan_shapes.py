@@ -885,3 +885,34 @@ def test_conditional_entropy_off_checkpointed_pairs(spark, qs):
     zero parquet scans in the final plan."""
     plan = plan_of(qs["transition_conditional_entropy"](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 0
+
+
+def test_r11_single_exchange_family(spark, qs):
+    """The round-11 per-symbol statistics all promise ONE scan and ONE
+    data exchange (the symbol/(symbol,month) partitioning serves every
+    window and the final aggregate)."""
+    for name in (
+        "twap_monthly",
+        "ulcer_index",
+        "wilcoxon_signed_rank_close",
+        "roll_effective_spread",
+    ):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert count_nodes(plan, "Scan parquet") == 1, name
+        assert count_nodes(plan, "Exchange") == 1, name
+
+
+def test_updown_run_lengths_two_exchanges(spark, qs):
+    """Symbol exchange for lag+islands, then the (direction, run_len)
+    rollup exchange — and nothing else."""
+    plan = plan_of(qs["updown_run_lengths"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert count_nodes(plan, "Exchange") == 2
+
+
+def test_embedding_norm_stats_no_explode(spark, qs):
+    """The norm fold must stay a per-row array aggregate — a Generate
+    (explode) node would shuffle |dim|x the rows."""
+    plan = plan_of(qs["embedding_norm_stats"](spark, SF_DIR))
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "Generate" not in plan
