@@ -1596,12 +1596,26 @@ class TxTable:
 
     # -- maintenance ----------------------------------------------------
 
-    def vacuum(self, keep_last: int = 1) -> tuple[int, int]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        retain_hours: float | None = None,
+    ) -> tuple[int, int]:
         """Reclaim space: drop manifests older than the newest
         ``keep_last`` and delete data files no retained manifest
         references — which also sweeps crash orphans (staged files never
         claimed by any commit). Returns (manifests_dropped,
-        files_deleted). The retained history bounds time travel."""
+        files_deleted). The retained history bounds time travel.
+
+        ``retain_hours`` is Delta's ``VACUUM ... RETAIN n HOURS`` /
+        Iceberg's ``expire_snapshots(older_than=...)`` re-expressed on
+        the manifest log: ADDITIONALLY retain every snapshot whose
+        ``committed_at`` is within the window (legacy manifests without
+        the stamp are treated as arbitrarily old — eligible to drop, as
+        in snapshot_asof). keep_last and retain_hours compose as a
+        UNION of retention sets, so ``keep_last=1, retain_hours=168``
+        reads "always the latest, plus a week of TIMESTAMP AS OF
+        history". Tagged snapshots remain unconditional roots."""
         snaps = self.snapshots()
         if not snaps:
             # no commits: everything in data/ is an orphan — except
@@ -1630,6 +1644,16 @@ class TxTable:
                     shutil.rmtree(full)
             return 0, len(orphans)
         retained = snaps[-keep_last:] if keep_last > 0 else []
+        if retain_hours is not None:
+            cutoff = time.time() - retain_hours * 3600.0
+            retained = sorted(
+                set(retained)
+                | {
+                    s for s in snaps
+                    if (self._manifest(s).get("committed_at") or 0)
+                    >= cutoff
+                }
+            )
         # tagged snapshots are retention roots (Iceberg ref semantics):
         # their manifests and data files survive any keep_last
         tagged = {

@@ -260,3 +260,40 @@ def test_asof_vacuum_gap_survives_second_vacuum(spark, tmp_path):
             t.snapshot_asof(stamps[s])
     # a ts before the first-ever dropped commit still resolves to 0
     assert t.snapshot_asof((stamps[0] + stamps[1]) / 2) == 0
+
+
+def test_vacuum_retain_hours_window(spark, tmp_path):
+    """Age-based retention (Delta RETAIN n HOURS / Iceberg
+    expire_snapshots): snapshots committed inside the window survive a
+    keep_last=1 vacuum; rewinding their stamps outside the window makes
+    them reclaimable; asof still resolves everything retained."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t = TxTable(str(tmp_path / "t"))
+    for k in range(4):                      # snapshots 0..3, all "now"
+        t.append(_df(spark, [(k, float(k))]))
+    dropped, _ = t.vacuum(keep_last=1, retain_hours=1.0)
+    assert dropped == 0                     # everything is in-window
+    assert t.snapshots() == [0, 1, 2, 3]
+    # asof works across the whole retained window
+    stamps = {s: t._manifest(s)["committed_at"] for s in t.snapshots()}
+    assert t.snapshot_asof(stamps[1]) == 1
+
+    # age snapshots 0..1 out of the window by rewriting their stamps
+    for s in (0, 1):
+        p = _os.path.join(t.log_dir, f"{s:010d}.json")
+        m = _json.load(open(p))
+        m["committed_at"] = _time.time() - 7200
+        _os.unlink(p)
+        with open(p, "w") as f:
+            _json.dump(m, f)
+    dropped, _ = t.vacuum(keep_last=1, retain_hours=1.0)
+    assert dropped == 2
+    assert t.snapshots() == [2, 3]
+    assert {r.k for r in t.read(spark).collect()} == {0, 1, 2, 3}
+    # the expired history refuses asof resolution with the clear error
+    with pytest.raises(SnapshotUnavailable):
+        t.snapshot_asof(stamps[1])
+    assert t.snapshot_asof(stamps[3]) == 3
