@@ -49,6 +49,8 @@ from .sources.events import load_events
 from .sources.tables import load_table
 from .sources.ticks import ticks
 
+_DEC7 = "decimal(38,0)"
+
 # ---------------------------------------------------------------------------
 # Embedding norm² quartiles per label
 # ---------------------------------------------------------------------------
@@ -538,3 +540,306 @@ def q_updown_run_lengths(spark, sf_dir):
         .alias("direction"),
         "run_len",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+
+
+# ---------------------------------------------------------------------------
+# Coefficient of variation of order value per market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_value_cv_by_segment",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100) AS HUGEINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    a AS (
+        SELECT segment,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x)                    AS sx,
+               SUM(x * x)                AS sxx
+        FROM j GROUP BY 1
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(sx AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
+               AS mean_value,
+           ROUND(sqrt(CAST((n * sxx - sx * sx) // (n * (n - 1))
+                           AS DOUBLE)) / 100.0, 6) AS std_value,
+           ROUND(sqrt(CAST((n * sxx - sx * sx) // (n * (n - 1))
+                           AS DOUBLE))
+                 / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
+    FROM a WHERE n > 1
+    """,
+)
+def q_order_value_cv_by_segment(spark, sf_dir):
+    """Coefficient of variation (std/mean) of order value per market
+    segment — the scale-free dispersion that makes segments of very
+    different typical ticket size comparable (raw stddev is dominated
+    by the mean level).
+
+    Exactness: cents sums and sums of squares are exact
+    DECIMAL(38)/HUGEINT ints; the sample variance numerator
+    n·Σx² − (Σx)² is quantized by ONE truncating division by n(n−1) at
+    10⁹ scale (rule 13; products ≤ N·max² ·10⁹ — DECIMAL(38)-safe to
+    ~sf100); mean, std and cv close over single correctly-rounded ops
+    (divide, sqrt, divide) on identical operands — no FMA-contractable
+    multiply-add chain anywhere (rule 11's actual hazard), ROUND 6.
+
+    Plan: fact×broadcast(dim) join, one segment-grain aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast(_DEC7).alias("x"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    a = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast(_DEC7).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    # sub-mod decimal floor division (the mann_whitney lesson, ADVICE
+    # r10): Spark `div` binds a BIGINT quotient and the variance in
+    # cents-squared (~1e14 and scale-free) is fine, but the first draft
+    # scaled by 1e9 first and the 1e23 quotient wrapped int64. No extra
+    # scale is needed at all: truncating at whole cents-squared is
+    # 1e-15 relative on these magnitudes.
+    a = a.withColumn("vnum", F.expr("n * sxx - sx * sx")).withColumn(
+        "vden", F.expr("n * (n - 1)")
+    )
+    varq = F.expr(
+        "CAST((vnum - vnum % vden) / vden AS DECIMAL(38,0))"
+    ).cast("double")
+    mean_c = F.col("sx").cast("double") / F.col("n").cast("double")
+    return a.filter(F.col("n") > 1).select(
+        "segment",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(
+            F.col("sx").cast("double")
+            / (F.lit(100.0) * F.col("n").cast("double")),
+            6,
+        ).alias("mean_value"),
+        F.round(F.sqrt(varq) / F.lit(100.0), 6).alias("std_value"),
+        F.round(F.sqrt(varq) / mean_c, 6).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-quintile users' share of event value (Pareto concentration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_value_pareto",
+    """
+    WITH uv AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    rk AS (
+        SELECT v,
+               ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT)             AS n
+        FROM uv
+    )
+    SELECT CAST(MAX(n) AS BIGINT)                          AS n_users,
+           CAST(MAX(n) // 5 AS BIGINT)                     AS top_k,
+           CAST(SUM(CASE WHEN rn <= n // 5 THEN v END)
+                AS BIGINT)                                 AS top_value_cents,
+           CAST(SUM(v) AS BIGINT)                          AS total_value_cents,
+           ROUND(SUM(CASE WHEN rn <= n // 5 THEN v END)
+                 * 1.0 / SUM(v), 6)                        AS top_share
+    FROM rk
+    """,
+)
+def q_user_value_pareto(spark, sf_dir):
+    """Pareto concentration of event value: the share captured by the
+    top 20% of users (by their summed event value) — the "80/20" number
+    behind lorenz_revenue_deciles' full curve, on the events table.
+
+    Exactness: per-user values quantize to cents via FLOOR(v·100 + 0.5)
+    (identical on both engines; round() is not) and sum exactly; the
+    quintile cut k = ⌊n/5⌋ and the tie-break (value DESC, user_id) make
+    the top set deterministic; the share is ONE division of exact ints,
+    ROUND 6.
+
+    Plan: one user_id exchange builds per-user totals; the rank window
+    runs over the USER table (|users| rows — already an aggregate, the
+    documented bounded empty-partitionBy case; the two-level bucketed
+    rank is the >10⁹-users escape hatch)."""
+    ev = load_events(spark, sf_dir)
+    uv = ev.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+        ).cast("bigint").alias("v")
+    )
+    wr = Window.orderBy(F.col("v").desc(), "user_id")
+    rk = uv.select(
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    top = F.when(F.col("rn") <= F.expr("n div 5"), F.col("v"))
+    return rk.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.expr("CAST(max(n) div 5 AS BIGINT)").alias("top_k"),
+        F.sum(top).cast("bigint").alias("top_value_cents"),
+        F.sum("v").cast("bigint").alias("total_value_cents"),
+        F.round(
+            F.sum(top) * F.lit(1.0) / F.sum("v"), 6
+        ).alias("top_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Turn-of-month return effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "turn_of_month_returns",
+    WITH_TICKS
+    + """,
+    d AS (
+        SELECT symbol, date,
+               CAST(round(close * 100) AS BIGINT)
+               - LAG(CAST(round(close * 100) AS BIGINT))
+                     OVER (PARTITION BY symbol ORDER BY date) AS delta,
+               LEAST(
+                   CAST(date_part('day', date) AS BIGINT) - 1,
+                   CAST(date_part('day',
+                        last_day(date)) AS BIGINT)
+                   - CAST(date_part('day', date) AS BIGINT)
+               ) AS dist
+        FROM ticks
+    )
+    SELECT LEAST(dist, 10)                    AS boundary_dist,
+           CAST(COUNT(*) AS BIGINT)           AS n_moves,
+           ROUND(CAST(SUM(delta) AS BIGINT)
+                 / (100.0 * COUNT(*)), 6)     AS avg_move
+    FROM d WHERE delta IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_turn_of_month_returns(spark, sf_dir):
+    """Turn-of-month effect: average daily close change bucketed by the
+    trading day's distance from the NEAREST month boundary (0 = first
+    or last calendar day, capped at 10+) — the calendar-anomaly lens
+    beside dow_returns' weekday view.
+
+    Exactness: boundary distance is exact calendar arithmetic; the
+    average move is Σcents/(100·n) — ONE division of exact ints
+    (avg_cents discipline, rule 10), ROUND 6.
+
+    Plan: one symbol exchange for the lag; the bucket rollup is a
+    ≤11-group aggregate."""
+    t = ticks(spark, sf_dir)
+    cc = F.round(F.col("close") * 100, 0).cast("bigint")
+    w = Window.partitionBy("symbol").orderBy("date")
+    d = t.select(
+        "symbol", "date",
+        (cc - F.lag(cc).over(w)).alias("delta"),
+        F.least(
+            F.dayofmonth("date").cast("bigint") - 1,
+            F.dayofmonth(F.last_day("date")).cast("bigint")
+            - F.dayofmonth("date").cast("bigint"),
+        ).alias("dist"),
+    ).filter(F.col("delta").isNotNull())
+    return d.groupBy(
+        F.least(F.col("dist"), F.lit(10)).alias("boundary_dist")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.round(
+            F.sum("delta").cast("bigint")
+            / (F.lit(100.0) * F.count(F.lit(1))),
+            6,
+        ).alias("avg_move"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overnight vs intraday move decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "overnight_intraday_split",
+    WITH_TICKS
+    + """,
+    d AS (
+        SELECT symbol,
+               CAST(round(open * 100) AS BIGINT)
+               - LAG(CAST(round(close * 100) AS BIGINT))
+                     OVER (PARTITION BY symbol ORDER BY date)
+                   AS overnight,
+               CAST(round(close * 100) AS BIGINT)
+               - CAST(round(open * 100) AS BIGINT) AS intraday
+        FROM ticks
+    )
+    SELECT symbol,
+           CAST(COUNT(overnight) AS BIGINT)  AS n_overnights,
+           ROUND(CAST(SUM(overnight) AS BIGINT)
+                 / (100.0 * COUNT(overnight)), 6) AS avg_overnight,
+           ROUND(CAST(SUM(CASE WHEN overnight IS NOT NULL
+                               THEN intraday END) AS BIGINT)
+                 / (100.0 * COUNT(overnight)), 6) AS avg_intraday
+    FROM d GROUP BY 1
+    HAVING COUNT(overnight) > 0
+    """,
+)
+def q_overnight_intraday_split(spark, sf_dir):
+    """Decompose each day's total move into the OVERNIGHT gap
+    (open_t − close_{t−1}) and the INTRADAY move (close_t − open_t),
+    averaged per symbol — where does the drift actually accrue, while
+    the market is open or while it is closed? (The classic answer:
+    mostly overnight.) Both averages run over the SAME day set (days
+    with a previous close) so they sum to the average close-to-close
+    move.
+
+    Exactness: both components are exact cents ints; each average is
+    ONE division (avg_cents, rule 10), ROUND 6.
+
+    Plan: one symbol exchange serves the lag and the rollup."""
+    t = ticks(spark, sf_dir)
+    oc = F.round(F.col("open") * 100, 0).cast("bigint")
+    cc = F.round(F.col("close") * 100, 0).cast("bigint")
+    w = Window.partitionBy("symbol").orderBy("date")
+    d = t.select(
+        "symbol",
+        (oc - F.lag(cc).over(w)).alias("overnight"),
+        (cc - oc).alias("intraday"),
+    )
+    n_ov = F.count("overnight")
+    return (
+        d.groupBy("symbol")
+        .agg(
+            n_ov.cast("bigint").alias("n_overnights"),
+            F.round(
+                F.sum("overnight").cast("bigint") / (F.lit(100.0) * n_ov),
+                6,
+            ).alias("avg_overnight"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("overnight").isNotNull(), F.col("intraday")
+                    )
+                ).cast("bigint") / (F.lit(100.0) * n_ov),
+                6,
+            ).alias("avg_intraday"),
+        )
+        .filter(F.col("n_overnights") > 0)
+    )

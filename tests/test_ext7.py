@@ -148,3 +148,89 @@ def test_updown_run_lengths(spark, monkeypatch):
            for r in x7.q_updown_run_lengths(spark, SF_DIR).collect()}
     # nonzero deltas: +1 +1 -1 +1 +1 +1 -> runs: up(2), down(1), up(3)
     assert out == {("up", 2): 1, ("down", 1): 1, ("up", 3): 1}
+
+
+def test_order_value_cv_reference(spark, monkeypatch):
+    vals = {"A": [100.0, 200.0, 300.0], "B": [50.0, 50.0, 50.02]}
+    orders, custs, ck = [], [], 0
+    for seg, vs in vals.items():
+        for v in vs:
+            custs.append((ck, seg))
+            orders.append((ck, v))
+            ck += 1
+    odf = spark.createDataFrame(orders, "o_custkey long, o_totalprice double")
+    cdf = spark.createDataFrame(custs, "c_custkey long, c_mktsegment string")
+    tabs = {"orders": odf, "customer": cdf}
+    monkeypatch.setattr(x7, "load_table", lambda sp, d, n: tabs[n])
+    out = {r.segment: r for r in
+           x7.q_order_value_cv_by_segment(spark, SF_DIR).collect()}
+
+    for seg, vs in vals.items():
+        x = [round(v * 100) for v in vs]
+        n = len(x)
+        num = n * sum(v * v for v in x) - sum(x) ** 2
+        varq = num // (n * (n - 1))
+        mean_c = sum(x) / n
+        assert out[seg].n_orders == n
+        assert out[seg].mean_value == round(mean_c / 100.0, 6)
+        assert out[seg].std_value == round(math.sqrt(varq) / 100.0, 6)
+        assert out[seg].cv == round(math.sqrt(varq) / mean_c, 6)
+    # sanity: B's dispersion is tiny relative to A's
+    assert out["B"].cv < out["A"].cv
+
+
+def test_user_value_pareto_topk(spark, monkeypatch):
+    # 5 users -> top_k = 1; user 9 holds most of the value
+    rows, eid = [], 0
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    for uid, vals in [(9, [50.0, 30.0]), (1, [10.0]), (2, [5.0]),
+                      (3, [4.0]), (4, [1.0])]:
+        for v in vals:
+            rows.append((eid, uid, t, "a", v))
+            eid += 1
+    monkeypatch.setattr(x7, "load_events", lambda sp, d: _events(spark, rows))
+    out = x7.q_user_value_pareto(spark, SF_DIR).collect()[0]
+    assert (out.n_users, out.top_k) == (5, 1)
+    assert out.top_value_cents == 8000
+    assert out.total_value_cents == 10000
+    assert out.top_share == 0.8
+
+
+def test_turn_of_month_buckets(spark, monkeypatch):
+    rows = [
+        (1, date(2024, 1, 31), 10.0, 1),   # dist 0 (last day)
+        (1, date(2024, 2, 1), 10.5, 1),    # dist 0 (first day): +50c
+        (1, date(2024, 2, 15), 10.0, 1),   # dist 13 -> bucket 10: -50c
+        (1, date(2024, 2, 29), 11.0, 1),   # leap-year last day, dist 0: +100c
+    ]
+    monkeypatch.setattr(x7, "ticks", lambda sp, d: _ticks_df(spark, rows))
+    out = {r.boundary_dist: r for r in
+           x7.q_turn_of_month_returns(spark, SF_DIR).collect()}
+    assert out[0].n_moves == 2           # Feb 1 (+50) and Feb 29 (+100)
+    assert out[0].avg_move == 0.75
+    assert out[10].n_moves == 1 and out[10].avg_move == -0.5
+
+
+def test_overnight_intraday_split(spark, monkeypatch):
+    rows = [
+        # (symbol, date, open, high, low, close, volume)
+        (1, date(2024, 1, 1), 10.0, 10.6, 9.9, 10.5, 1),
+        (1, date(2024, 1, 2), 10.8, 11.1, 10.7, 11.0, 1),
+        (1, date(2024, 1, 3), 10.9, 11.3, 10.8, 11.2, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol long, date date, open double, high double, low double, "
+        "close double, volume bigint",
+    )
+    monkeypatch.setattr(x7, "ticks", lambda sp, d: df)
+    out = x7.q_overnight_intraday_split(spark, SF_DIR).collect()[0]
+    # overnights: 10.8-10.5=+30c, 10.9-11.0=-10c -> avg +10c = 0.1
+    # intradays on those days: 11.0-10.8=+20c, 11.2-10.9=+30c -> avg 25c
+    assert out.n_overnights == 2
+    assert out.avg_overnight == 0.1
+    assert out.avg_intraday == 0.25
+    # decomposition identity: overnight + intraday = close-to-close
+    assert round(out.avg_overnight + out.avg_intraday, 6) == round(
+        ((1100 - 1050) + (1120 - 1100)) / 200.0, 6
+    )
