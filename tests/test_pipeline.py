@@ -104,3 +104,11 @@ def test_pipeline_counts_corrupt_json_lines(spark, tmp_path):
     assert result.corrupt_records == 2
     assert result.records_loaded == 10
     assert spark.read.parquet(sink).count() == 10
+
+
+def test_session_codegen_cache_sized_to_plan_working_set(spark):
+    """NOTES rule 16: the whole-stage-codegen class cache must exceed
+    the multi-plan working set (default 100 entries recompiled every
+    headline query on every bench pass — a 30-60% phantom regression).
+    Pin the session config so a builder refactor can't silently drop it."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
