@@ -813,11 +813,15 @@ def q_mad_daily_moves(spark, sf_dir):
         F.sum("t").over(wc).alias("c"),
         F.sum("t").over(Window.partitionBy("symbol")).alias("n"),
     )
+    # the per-symbol median table feeds TWO consumers (the deviation
+    # pass's broadcast join and the final result join); a lazy
+    # localCheckpoint runs pass 1 once instead of twice (r11 sf10
+    # probe: x16.7 -> measured improvement below, see SCALING.md)
     med = cum.groupBy("symbol").agg(
         F.max("n").cast("bigint").alias("n"),
         F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("v")))
         .alias("med"),
-    )
+    ).localCheckpoint(eager=False)
     a = f.join(
         F.broadcast(med.select(F.col("symbol").alias("msym"), "med")),
         f.symbol == F.col("msym"),
