@@ -65,12 +65,25 @@ HEADLINE = [
 
 N_PASSES = 3
 
+# Self-cleaning retry (VERDICT r11 #1): a timed phase whose bracketing
+# calibration probes read above this factor is re-run ONCE and the
+# per-query min taken across both runs, so the printed artifact carries
+# the clean reading instead of needing post-hoc adjudication (the
+# driver's r7-r11 artifacts needed manual load-factor normalization in
+# 4 of 5 rounds). 1.15 sits above clean-host probe noise (observed
+# 0.80-1.05 across the r10/r11 sessions) and below every contaminated
+# reading we've had to adjudicate (1.175 r11 mid-phase, 1.3-1.8 r8/r9).
+LF_RETRY_THRESHOLD = 1.15
+
 # Clean-host value of the calibration probe (median of calibrate() on an
 # otherwise-idle host, local[32] — measured and documented in BASELINE.md).
 # Any bench artifact can be sanity-checked against its own calibration
-# rows: load_factor = median(observed probes) / CALIBRATION_CLEAN_SEC.
-# A load_factor materially above ~1.3 means the HOST was contended during
-# the run and the query timings over-read by roughly that factor — the
+# rows; load_factor is the worst EFFECTIVE per-phase probe factor
+# (min-rep of the worse bracketing probe, min across original+retry) —
+# the inflation bound on the reported mins. A load_factor materially
+# above ~1.15 means the HOST was contended through BOTH the original
+# phase and its retry, and the query timings over-read by roughly that
+# factor — the
 # r8/r9 phantom-regression mechanism (driver benched minutes after the
 # full-registry verify jobs; VERDICT r9 adjudicated 40.86 s driver vs
 # 23.0 s clean on byte-identical code).
@@ -142,38 +155,87 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
-    # JVM/codegen warmup on a query that touches lineitem + shuffles
-    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Full warm-up pass (VERDICT r11 #1a): run EVERY headline query once,
+    # untimed, before the first probe — whole-stage-codegen compilation,
+    # parquet footer reads, and Python-side plan construction all land
+    # here instead of inflating the first timed rep. (The old single-query
+    # warmup left 16 of 17 plans JIT-cold at rep 1; min-of-3 mostly hid
+    # it, but a retry pass shouldn't re-pay compilation either.)
+    for name in HEADLINE:
+        if name in qs:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    cal_pre = calibrate(spark)
+    def probe_factor(reps: list[float]) -> float:
+        # min-of-reps, matching the historical lf_phases semantics: the
+        # probe's floor is its free-CPU reading; per-query min over the
+        # interleaved passes already defends against sub-probe spikes.
+        return round(min(reps) / CALIBRATION_CLEAN_SEC, 3)
+
+    def merge_min(mins, raw, mins2, raw2):
+        for n in mins:
+            mins[n] = min(mins[n], mins2[n])
+            raw[n].extend(raw2[n])
+
+    from stock_market_etl_pipeline_spark.sources.ticks import ticks
+
+    probe_sets: dict[str, list[float]] = {}
+    probe_sets["pre_uncached"] = cal_pre = calibrate(spark)
     uncached, raw_uncached = run_loop(spark, qs, sf_dir, clear_cache=True)
-    cal_mid = calibrate(spark)
+    probe_sets["pre_cached"] = cal_mid = calibrate(spark)
 
     # materialize the shared series once (reference: load-then-query — see
     # module docstring); every ticks-derived query plan picks this up
-    from stock_market_etl_pipeline_spark.sources.ticks import ticks
-
     t = ticks(spark, sf_dir).cache()
     t.count()
     cached, raw_cached = run_loop(spark, qs, sf_dir)
-    t.unpersist()
-    cal_post = calibrate(spark)
+    probe_sets["post"] = cal_post = calibrate(spark)
 
-    cal_all = cal_pre + cal_mid + cal_post
-    cal_median = sorted(cal_all)[len(cal_all) // 2]
-    load_factor = (
-        round(cal_median / CALIBRATION_CLEAN_SEC, 3)
-        if CALIBRATION_CLEAN_SEC
-        else None
-    )
-    # per-phase factors: contention confined to one phase (observed on
-    # this host: a 3x pre_uncached spike while mid/post read clean)
-    # inflates that phase's numbers but leaves the overall median ~1 —
-    # the phase factors make the artifact self-explaining either way.
-    lf_phases = [
-        round(min(reps) / CALIBRATION_CLEAN_SEC, 3)
-        for reps in (cal_pre, cal_mid, cal_post)
-    ] if CALIBRATION_CLEAN_SEC else None
+    # Self-cleaning retry (VERDICT r11 #1b): each timed phase is
+    # bracketed by two probe sets; if either bracketing probe read hot,
+    # the phase's timings are suspect — re-run that phase ONCE and keep
+    # the per-query min across runs. The printed lf_phases are the
+    # EFFECTIVE per-timed-phase factors [uncached, cached] backing the
+    # reported mins (min across original+retry of the worse bracketing
+    # probe); "retried" names any phase that was re-run. All probe reps
+    # (original and retry) go to the sidecar for auditability.
+    lf_u = max(probe_factor(cal_pre), probe_factor(cal_mid))
+    lf_c = max(probe_factor(cal_mid), probe_factor(cal_post))
+    retried: list[str] = []
+    ticks_cached = True
+    if lf_u > LF_RETRY_THRESHOLD:
+        retried.append("uncached")
+        rp0 = calibrate(spark)
+        u2, ru2 = run_loop(spark, qs, sf_dir, clear_cache=True)
+        rp1 = calibrate(spark)
+        merge_min(uncached, raw_uncached, u2, ru2)
+        lf_u = min(lf_u, max(probe_factor(rp0), probe_factor(rp1)))
+        probe_sets["retry_uncached_pre"] = rp0
+        probe_sets["retry_uncached_post"] = rp1
+        ticks_cached = False  # run_loop's clearCache dropped the ticks cache
+    if lf_c > LF_RETRY_THRESHOLD:
+        retried.append("cached")
+        if not ticks_cached:
+            t = ticks(spark, sf_dir).cache()
+            t.count()
+            ticks_cached = True
+        rp0 = calibrate(spark)
+        c2, rc2 = run_loop(spark, qs, sf_dir)
+        rp1 = calibrate(spark)
+        merge_min(cached, raw_cached, c2, rc2)
+        lf_c = min(lf_c, max(probe_factor(rp0), probe_factor(rp1)))
+        probe_sets["retry_cached_pre"] = rp0
+        probe_sets["retry_cached_post"] = rp1
+    if ticks_cached:
+        t.unpersist()
+
+    lf_phases = [lf_u, lf_c]
+    # the worst effective phase factor IS the run's load factor: it is
+    # the inflation bound on the numbers actually reported (post-retry
+    # mins), unlike the old all-probe median which a contaminated-then-
+    # retried original run would drag upward after the clean re-run.
+    load_factor = max(lf_u, lf_c)
+    cal_all = sorted(v for reps in probe_sets.values() for v in reps)
+    cal_median = cal_all[len(cal_all) // 2]
 
     # Per-rep series (pass-interleaved) go to a SIDECAR file, not the
     # stdout line: the driver's BENCH_r{N}.json keeps only the LAST
@@ -190,11 +252,8 @@ def main() -> None:
             {
                 "uncached": raw_uncached,
                 "cached": raw_cached,
-                "calibration_sec": {
-                    "pre_uncached": cal_pre,
-                    "pre_cached": cal_mid,
-                    "post": cal_post,
-                },
+                "calibration_sec": probe_sets,
+                "retried": retried,
             },
             f,
         )
@@ -218,9 +277,12 @@ def main() -> None:
                     "median": cal_median,
                     "clean_host_sec": CALIBRATION_CLEAN_SEC,
                     "load_factor": load_factor,
-                    # min-rep factor per phase [pre_uncached,
-                    # pre_cached, post]: the phase a spike hit
+                    # EFFECTIVE factor per TIMED phase [uncached,
+                    # cached] backing the reported mins (post-retry);
+                    # load_factor = max of these. "retried" names any
+                    # phase re-run under the self-cleaning protocol.
                     "lf_phases": lf_phases,
+                    "retried": retried,
                 },
                 "raw_file": "bench_raw_last_run.json",
             }

@@ -512,12 +512,29 @@ class TxTable:
         dropped manifest carried no stamp — treated as 'could be any
         time'). Lets snapshot_asof refuse timestamps whose true as-of
         manifest no longer exists instead of silently resolving to an
-        older state."""
+        older state.
+
+        An ABSENT sidecar means "never vacuumed" → no gaps; an
+        UNPARSEABLE one is corruption and raises (ADVICE r11) — mapping
+        it to {} would silently re-enable the rewrite-history
+        resolution the gap check exists to prevent. vacuum() writes the
+        sidecar atomically (temp + os.replace), so a parse failure is
+        real damage, not a crash artifact."""
+        path = os.path.join(self.log_dir, "_vacuum.json")
         try:
-            with open(os.path.join(self.log_dir, "_vacuum.json")) as f:
-                return dict(json.load(f).get("gaps") or {})
-        except (OSError, ValueError):
+            with open(path) as f:
+                raw = f.read()
+        except FileNotFoundError:
             return {}
+        try:
+            return dict(json.loads(raw).get("gaps") or {})
+        except (ValueError, AttributeError) as e:
+            raise SnapshotUnavailable(
+                f"corrupt vacuum sidecar {path!r}: {e}. Time-travel "
+                "gap checks cannot be trusted; restore the sidecar "
+                "from a backup or delete it ONLY if the table's full "
+                "history is known to be intact."
+            ) from e
 
     def snapshot_asof(self, ts: float) -> int:
         """Resolve Delta/Iceberg's TIMESTAMP AS OF: the newest snapshot
@@ -1714,10 +1731,16 @@ class TxTable:
                 _attach(int(key), lo)
             for s in to_drop:
                 _attach(s, self._manifest(s).get("committed_at"))
-            with open(
-                os.path.join(self.log_dir, "_vacuum.json"), "w"
-            ) as f:
+            # Atomic sidecar write (ADVICE r11): a crash mid-write must
+            # not leave a truncated _vacuum.json — _vacuum_gaps treats
+            # a corrupt sidecar as an ERROR, and before that hardening
+            # a truncated file silently mapped to {} and re-enabled the
+            # exact rewrite-history resolution this gap check prevents.
+            path = os.path.join(self.log_dir, "_vacuum.json")
+            tmp = path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
                 json.dump({"gaps": gaps}, f)
+            os.replace(tmp, path)
         dropped = 0
         for s in snaps:
             if s not in retained:

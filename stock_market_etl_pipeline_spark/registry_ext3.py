@@ -1574,7 +1574,7 @@ def q_event_burst_days(spark, sf_dir):
     "peak_concurrency_by_day",
     """
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                      OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -1584,7 +1584,7 @@ def q_event_burst_days(spark, sf_dir):
     sess AS (
         SELECT user_id,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid,
                ts
@@ -1690,7 +1690,7 @@ def q_peak_concurrency_by_day(spark, sf_dir):
     sess = ev.withColumn("new_session", new_session).withColumn(
         "sid",
         F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("ts")
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

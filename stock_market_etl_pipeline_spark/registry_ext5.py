@@ -133,7 +133,7 @@ _HOUR_US = 3600 * 1_000_000
 
 _SESSIONS_CTE = """
     gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                      OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -142,7 +142,7 @@ _SESSIONS_CTE = """
     ),
     sess AS (
         SELECT user_id, SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, ts
         FROM gaps
     ),
@@ -216,7 +216,7 @@ def q_session_overlap_counts(spark, sf_dir):
             F.sum("new_session")
             .over(
                 Window.partitionBy("user_id")
-                .orderBy("ts")
+                .orderBy("ts", "event_id")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
             .cast("int"),
@@ -637,7 +637,7 @@ def q_session_type_cooccurrence(spark, sf_dir):
             "sid",
             F.sum("new_session").over(
                 Window.partitionBy("user_id")
-                .orderBy("ts")
+                .orderBy("ts", "event_id")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )

@@ -220,7 +220,7 @@ def q_twap_monthly(spark, sf_dir):
     "session_depth_curve",
     """
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
                          > 1800000000
                      OR LAG(ts) OVER w IS NULL
@@ -231,7 +231,7 @@ def q_twap_monthly(spark, sf_dir):
     sess AS (
         SELECT user_id,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM gaps
@@ -273,11 +273,14 @@ def q_session_depth_curve(spark, sf_dir):
     new_session = F.when(
         gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
+    # cumulative sum ordered by the SAME (ts, event_id) key as the lag
+    # window (ADVICE r11): ts-only ordering makes session assignment of
+    # ts-tied boundary rows nondeterministic across engines.
     sess = ev.withColumn("new_session", new_session).withColumn(
         "session_id",
         F.sum("new_session").over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

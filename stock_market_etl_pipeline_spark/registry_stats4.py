@@ -153,13 +153,23 @@ def q_kruskal_wallis_length_by_source(spark, sf_dir):
             F.sum(F.col("c") * F.col("r2")).alias("s2"),
         )
     )
+    # Both quotients use the sub-mod decimal floor division
+    # (num − num%den)/den instead of `div` (ADVICE r11; the
+    # mann_whitney lesson): Spark IntegralDivide binds a BIGINT result
+    # (2⁶³ ANSI-throw ceiling) even on DECIMAL(38,0) operands, and
+    # sq ≈ 12N·10⁹ crosses 2⁶³ near N ≈ 7·10⁸ — well inside the
+    # documented DECIMAL(38) numerator headroom — while DuckDB `//`
+    # stays HUGEINT. Both forms truncate toward zero (rule 13 probe,
+    # negatives included), so the engines still agree.
     q = (
         per.join(F.broadcast(tot))
         .agg(
             F.sum(
                 F.expr(
-                    "(3 * s2 * s2 * 1000000000)"
-                    " div (nj * nn * (nn + 1))"
+                    "CAST((3 * s2 * s2 * 1000000000"
+                    " - (3 * s2 * s2 * 1000000000)"
+                    " % (nj * nn * (nn + 1)))"
+                    " / (nj * nn * (nn + 1)) AS DECIMAL(38,0))"
                 )
             ).alias("sq"),
             F.count(F.lit(1)).cast("bigint").alias("k_groups"),
@@ -175,15 +185,22 @@ def q_kruskal_wallis_length_by_source(spark, sf_dir):
                 > F.col("ties")
             )
         )
+        .withColumn(
+            "hnum",
+            F.expr(
+                "(sq - 3 * (nn + 1) * 1000000000)"
+                " * (nn * nn * nn - nn)"
+            ),
+        )
+        .withColumn("hden", F.expr("nn * nn * nn - nn - ties"))
         .select(
             "k_groups",
             F.col("nn").cast("long").alias("n_total"),
             F.round(
                 F.expr(
-                    "CAST(((sq - 3 * (nn + 1) * 1000000000)"
-                    " * (nn * nn * nn - nn))"
-                    " div (nn * nn * nn - nn - ties) AS DOUBLE)"
-                )
+                    "CAST((hnum - hnum % hden) / hden"
+                    " AS DECIMAL(38,0))"
+                ).cast("double")
                 / F.lit(1_000_000_000.0),
                 6,
             ).alias("h_stat"),
@@ -518,7 +535,7 @@ def q_roll_effective_spread(spark, sf_dir):
     "intersession_gap_quartiles",
     """
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
                          > 1800000000
                      OR LAG(ts) OVER w IS NULL
@@ -529,7 +546,7 @@ def q_roll_effective_spread(spark, sf_dir):
     sess AS (
         SELECT user_id,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id,
                ts
@@ -593,11 +610,15 @@ def q_intersession_gap_quartiles(spark, sf_dir):
     new_session = F.when(
         gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
+    # running sum ordered by the SAME (ts, event_id) key as the lag
+    # window (ADVICE r11): ordering by ts alone leaves rows tied on ts
+    # at a session boundary with a nondeterministic session_id — a
+    # cross-engine parity hazard that can also emit gap_s <= 1800.
     sess = ev.withColumn("new_session", new_session).withColumn(
         "session_id",
         F.sum("new_session").over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

@@ -18,6 +18,12 @@ must go down and the new month's up. The composition:
    greatest(arriving max, stored) — and MERGEs only rows that actually
    changed. max is idempotent, so a crash-after-merge replay recomputes
    the same values and the txn marker makes the merge a no-op anyway.
+   Ships for CANCELLED orders are dropped before this merge via an
+   anti-join against the ``cancelled`` tombstone table (one key per
+   cancelled order, maintained before the ship path each batch) — a
+   late shipment arriving after its order's cancel would otherwise
+   resurrect a close row with no matching open and drive the balance
+   negative (ADVICE r11).
 3. two incremental views (operators/txview.refresh_view) — counts per
    open_month / close_month off each table's change feed. The merge
    that moves an order's close month surfaces in the feed as
@@ -59,6 +65,7 @@ def _tables(state_dir: str) -> dict[str, TxTable]:
     return {
         "opens": TxTable(f"{state_dir}/opens"),
         "closes": TxTable(f"{state_dir}/closes"),
+        "cancelled": TxTable(f"{state_dir}/cancelled"),
         "opens_view": TxTable(f"{state_dir}/opens_view"),
         "closes_view": TxTable(f"{state_dir}/closes_view"),
     }
@@ -89,11 +96,46 @@ def start_balance_maintainer(
         if not op.isEmpty():
             t["opens"].append(op, txn_id=f"open-{batch_id}")
 
+        # Tombstone set for cancelled orders, marked BEFORE the ship
+        # path runs (ADVICE r11): a late 'ship' arriving in the same or
+        # a LATER batch than its order's 'cancel' must NOT re-insert a
+        # close row — the open was deleted, so a resurrected close would
+        # drive open_balance negative. The tombstone table is one
+        # 8-byte key per cancelled order ever seen (churn-, not
+        # history-, sized); the ship path anti-joins against it via the
+        # same key-bounded bloom+stats point lookup as the closes
+        # read-modify-write. merge is upsert-idempotent and txn-marked,
+        # so crash-replays re-mark as no-ops. Ordering contract is now
+        # only open-before-cancel; ship-vs-cancel order is free.
+        cx = (
+            b.filter(F.col("kind") == "cancel")
+            .select("orderkey")
+            .distinct()
+        )
+        has_cancels = not cx.isEmpty()
+        if has_cancels:
+            t["cancelled"].merge(
+                spark, cx, ["orderkey"], txn_id=f"cancel-mark-{batch_id}"
+            )
+
         sh = (
             b.filter(F.col("kind") == "ship")
             .groupBy("orderkey")
             .agg(F.max("d").alias("ship_d"))
         )
+        if not sh.isEmpty() and t["cancelled"].latest_snapshot() is not None:
+            probe_keys = [
+                r.orderkey for r in sh.select("orderkey").collect()
+            ]
+            if len(probe_keys) <= TxTable.BLOOM_MAX_PROBE_KEYS:
+                tomb = t["cancelled"].read_keys(
+                    spark, "orderkey", probe_keys
+                )
+            else:
+                tomb = t["cancelled"].read(spark)
+            sh = sh.join(
+                tomb.select("orderkey"), "orderkey", "left_anti"
+            )
         if not sh.isEmpty():
             if t["closes"].latest_snapshot() is not None:
                 # Key-bounded read-modify-write (ADVICE r10): the
@@ -152,15 +194,11 @@ def start_balance_maintainer(
         # then shows delete(old row) with no insert, so the views
         # decrement the open/close months with no special-casing.
         # Replays are txn-marked no-ops like every other commit here.
-        # Ordering contract (same as open-before-ship): the cancel must
-        # not precede its order's open across batches — within a batch
-        # the open is appended above before the delete runs.
-        cx = (
-            b.filter(F.col("kind") == "cancel")
-            .select("orderkey")
-            .distinct()
-        )
-        if not cx.isEmpty():
+        # Ordering contract: the cancel must not precede its order's
+        # open across batches — within a batch the open is appended
+        # above before the delete runs. Ship-after-cancel is handled
+        # (dropped via the tombstone anti-join above), not a violation.
+        if has_cancels:
             if t["opens"].latest_snapshot() is not None:
                 t["opens"].merge(
                     spark, cx, ["orderkey"], when_matched="delete",

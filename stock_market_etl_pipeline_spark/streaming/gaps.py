@@ -25,7 +25,13 @@ Ordering contract: events may arrive in any order WITHIN a batch (the
 kernel sorts), but a user's batches must not interleave backwards
 across the 30-minute horizon (the same open-before-ship discipline as
 streaming/balance.py); with an out-of-order feed, front it with the
-watermarked dedup ingest.
+watermarked dedup ingest (``start_event_feed_ingest`` below — composed
+end-to-end in tests/test_streaming_gaps.py): each drain consolidates
+the disordered landing zone into ONE deduplicated staged drop, so the
+monitor's batch boundaries never interleave backwards and re-delivered
+duplicates can't re-open closed sessions (a duplicate of an already-
+consumed event would otherwise merge BEHIND the stored session end and
+re-emit a spurious gap).
 
 At 100 TB: state is 8 bytes/user; per-batch work is the batch itself
 plus a churn-bounded view refresh; nothing rescans history.
@@ -132,6 +138,59 @@ def start_gap_monitor(
         completed_gaps(stream)
         .writeStream.foreachBatch(sink)
         .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_event_feed_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    staging_dir: str,
+    checkpoint: str,
+    watermark_delay: str = "1 day",
+):
+    """Fronting stage for an out-of-order / duplicated event feed — the
+    module docstring's prescription, concretely:
+
+        landing JSON → event-time watermark → dropDuplicatesWithinWatermark
+        on (user_id, ts) → ONE exactly-once staged drop per drain
+
+    - duplicates (re-sent events, at-least-once upstreams) are dropped
+      by bounded watermark state — a duplicate reaching the gap monitor
+      after its user's state advanced would re-emit a spurious gap;
+    - each availableNow drain lands as a single ``batch-<id>`` drop
+      (overwrite into a batch-keyed dir = replay-idempotent, the
+      ingest.start_pipeline_stream exactly_once pattern), so however
+      disordered the landing files were, the monitor sees them as one
+      batch and its in-kernel sort restores order;
+    - events later than the watermark horizon are the composition's
+      (documented, standard-streaming) lateness contract.
+
+    Point the gap monitor at ``f"{staging_dir}/*"``. Run the drain to
+    completion before the monitor's drain (the test harness pattern);
+    a staged drop is re-written only if stage 1 crashed BEFORE its
+    checkpoint commit, i.e. before the monitor could have seen it."""
+    raw = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .json(landing_dir)
+    )
+    deduped = raw.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["user_id", "ts"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.coalesce(1)
+            .write.mode("overwrite")
+            .json(f"{staging_dir}/batch-{batch_id}")
+        )
+
+    return (
+        deduped.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -210,3 +210,80 @@ def test_cancellation_retracts_open(spark, tmp_path, monkeypatch):
         for r in st3.q_open_orders_balance(spark, SF_DIR).collect()
     )
     assert _snap(spark, d) == want
+
+
+def test_ship_after_cancel_is_dropped(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): a 'ship' arriving in a LATER batch than its
+    order's 'cancel' must not resurrect a close row — before the
+    tombstone table, the upsert merge re-inserted it (the open was
+    deleted, so open_balance went negative). Late shipments are this
+    module's motivating input, so ship-after-cancel is handled, not a
+    contract violation. Same-batch cancel+ship must net out too, and
+    the drop must survive a crash-replay storm."""
+    d = _dirs(tmp_path)
+    os.makedirs(d["landing"])
+    _land(d, BATCH1, "b0.json")          # orders 1, 2 open+close Jan
+    _run(spark, d)
+    _land(d, BATCH_CANCEL, "b1.json")    # cancel order 2
+    _run(spark, d)
+
+    # the late shipment for cancelled order 2, plus same-batch
+    # cancel+ship for order 7 (cancel lands before the ship path)
+    _land(
+        d,
+        [
+            ("ship", 2, "2024-02-20"),
+            ("open", 7, "2024-03-05"),
+            ("cancel", 7, "2024-03-06"),
+            ("ship", 7, "2024-03-07"),
+        ],
+        "b2.json",
+    )
+    _run(spark, d)
+    once = _snap(spark, d)
+    snap = {m: (o, c, bl) for m, o, c, bl in once}
+    assert snap["2024-01-01"] == (1, 1, 0)        # order 2 stays gone
+    assert "2024-02-01" not in snap               # no resurrected close
+    assert "2024-03-01" not in snap               # order 7 netted out
+    assert all(bl >= 0 for *_, bl in once), "negative open balance"
+
+    # crash-replay on the late-ship batch: tombstone marks are
+    # txn-marked upserts, so the replayed batch re-drops the ships
+    _crash_last_commit(d["ckpt"])
+    _run(spark, d)
+    assert _snap(spark, d) == once, "late-ship replay diverged"
+
+    # an even later batch (fresh tombstone READ path, not same-batch):
+    # another ship for order 2 plus a genuinely live order
+    _land(
+        d,
+        [("ship", 2, "2024-04-10"),
+         ("open", 8, "2024-04-11"), ("ship", 8, "2024-04-12")],
+        "b3.json",
+    )
+    _run(spark, d)
+    snap = {m: (o, c, bl) for m, o, c, bl in _snap(spark, d)}
+    assert snap["2024-04-01"] == (1, 1, 0)        # order 8 only
+
+    # batch parity over the surviving facts (orders 2 and 7 cancelled,
+    # their ships excluded)
+    events = [e for e in BATCH1 if e[1] != 2] + [
+        ("open", 8, "2024-04-11"), ("ship", 8, "2024-04-12"),
+    ]
+    odf = spark.createDataFrame(
+        [(k, date.fromisoformat(dt))
+         for kind, k, dt in events if kind == "open"],
+        "o_orderkey long, o_orderdate date",
+    )
+    ldf = spark.createDataFrame(
+        [(k, date.fromisoformat(dt))
+         for kind, k, dt in events if kind == "ship"],
+        "l_orderkey long, l_shipdate date",
+    )
+    tabs = {"orders": odf, "lineitem": ldf}
+    monkeypatch.setattr(st3, "load_table", lambda sp, dd, n: tabs[n])
+    want = sorted(
+        (str(r.month_start), r.n_opened, r.n_closed, r.open_balance)
+        for r in st3.q_open_orders_balance(spark, SF_DIR).collect()
+    )
+    assert _snap(spark, d) == want

@@ -297,3 +297,44 @@ def test_vacuum_retain_hours_window(spark, tmp_path):
     with pytest.raises(SnapshotUnavailable):
         t.snapshot_asof(stamps[1])
     assert t.snapshot_asof(stamps[3]) == 3
+
+
+def test_vacuum_sidecar_corruption_refused(spark, tmp_path):
+    """_vacuum.json hardening (ADVICE r11): an ABSENT sidecar means
+    'never vacuumed' (no gaps), but an UNPARSEABLE one is corruption
+    and must raise — silently mapping it to {} would re-enable the
+    exact rewrite-history resolution the gap check prevents. The write
+    itself is atomic (temp + os.replace), so no .tmp residue either."""
+    import os
+    import time as _time
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 1.0)]))
+    t.append(_df(spark, [(2, 2.0)]))
+    t.append(_df(spark, [(3, 3.0)]))
+    stamps = {s: t._manifest(s)["committed_at"] for s in t.snapshots()}
+
+    # absent sidecar: time travel works, no gaps assumed
+    assert t.snapshot_asof(stamps[1]) == 1
+
+    t.create_tag("pin", snapshot=0)  # retention root anchoring the gap
+    t.vacuum(keep_last=1)
+    sidecar = os.path.join(t.log_dir, "_vacuum.json")
+    assert os.path.exists(sidecar)
+    # atomic write left no temp residue
+    assert not [n for n in os.listdir(t.log_dir) if ".tmp." in n]
+    with pytest.raises(SnapshotUnavailable, match="vacuumed"):
+        t.snapshot_asof(stamps[1])
+
+    # truncate the sidecar mid-json: gap checks can no longer be
+    # trusted, so resolution REFUSES instead of resolving to snapshot 0
+    with open(sidecar) as f:
+        body = f.read()
+    with open(sidecar, "w") as f:
+        f.write(body[: len(body) // 2])
+    with pytest.raises(SnapshotUnavailable, match="corrupt vacuum"):
+        t.snapshot_asof(stamps[1])
+    # even a timestamp that would resolve to the retained latest goes
+    # through the gap check and is refused while the sidecar is corrupt
+    with pytest.raises(SnapshotUnavailable, match="corrupt vacuum"):
+        t.snapshot_asof(_time.time() + 60)
