@@ -274,3 +274,31 @@ def test_customer_order_distribution_zero_bucket_nonvacuous(spark):
     rows = {r.n_orders: r.n_customers for r in df.collect()}
     assert rows.get(0, 0) >= 5, f"zero-order bucket vacuous: {rows}"
     assert sum(rows.values()) == 150  # every customer lands in a bucket
+
+
+def test_registry_import_time_stays_bounded():
+    """VERDICT r11 #8: _driver_sample_history() parses every committed
+    CORRECTNESS_r*.json at import, and the registry itself builds 309
+    query closures — both grow round over round. Pin a generous wall
+    bound on a FRESH import + queries() + oracle_sql() (subprocess, so
+    no module cache) so creep surfaces as a test failure, not as a
+    mysteriously slow driver gate. Measured 0.54 s at r12 (11 history
+    files, 309 queries); the bound leaves ~4x headroom for host noise
+    and eight more rounds of history files."""
+    import subprocess
+    import sys
+
+    code = (
+        "import time, sys; sys.path.insert(0, '/root/repo');"
+        "t0 = time.perf_counter();"
+        "import __spark_entry__ as m;"
+        "qs = m.queries(); o = m.oracle_sql();"
+        "assert len(qs) >= 300 and len(o) >= 290;"
+        "print(time.perf_counter() - t0)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    wall = float(out.stdout.strip())
+    assert wall < 2.0, f"registry import+queries() took {wall:.2f}s"

@@ -395,3 +395,60 @@ def test_rebase_never_crosses_a_racer_schema_change(spark, tmp_path):
     assert {"id", "v", "u", "w"} <= cols
     got = {r["id"]: r for r in t.read(spark).collect()}
     assert got[2000]["u"] == 7 and got[0]["w"] == "x"
+
+
+def test_two_appends_race_both_land(spark, tmp_path):
+    """VERDICT r11 #6 (write-write race matrix, append∥append): two
+    writers APPENDING concurrently — the loser's exclusive-create
+    fails, but appends depend on no existing content (no removes, no
+    probe) so the loser rebases onto the winner's snapshot and BOTH
+    batches land, each in its own commit. Completes the race matrix
+    beside merge-loser cases (test_merge_rebases_over_disjoint_racer,
+    test_merge_conflict_when_racer_*) and the raw-commit conflict
+    (test_txtable.py::test_commit_conflict_raises_not_overwrites)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10))
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        out = orig_stage(df)
+        TxTable(t.root).append(mk(spark, 2000, 2010))  # racer claims next id
+        return out
+
+    t._stage = racing_stage
+    t.append(mk(spark, 1000, 1010))  # loser: rebases, does not raise
+    t._stage = orig_stage
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(range(0, 10)) | set(range(1000, 1010)) | set(
+        range(2000, 2010)
+    )
+    # three data commits: nobody clobbered anybody
+    acts = [h["action"] for h in t.history()]
+    assert acts.count("append") == 3
+
+
+def test_append_loser_rebases_over_racing_merge(spark, tmp_path):
+    """Write-write race matrix, append-loser vs merge-winner: the merge
+    rewrote (removed) a file, but the append removes nothing and its
+    content depends on nothing, so the rebase is safe — the merge's
+    rewrite AND the appended rows both survive, serialized merge-then-
+    append."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(mk(spark, 0, 10, n_files=1))
+    orig_stage = t._stage
+
+    def racing_stage(df):
+        out = orig_stage(df)
+        TxTable(t.root).merge(
+            spark,
+            spark.createDataFrame([(0, 111)], "id bigint, v bigint"),
+            ["id"],
+        )
+        return out
+
+    t._stage = racing_stage
+    t.append(mk(spark, 1000, 1010))  # loser: rebases over the merge
+    t._stage = orig_stage
+    got = dict((r.id, r.v) for r in t.read(spark).collect())
+    assert got[0] == 111, "racing merge's rewrite was lost in the rebase"
+    assert set(got) == set(range(0, 10)) | set(range(1000, 1010))
