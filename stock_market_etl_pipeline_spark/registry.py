@@ -911,6 +911,7 @@ from . import registry_stats3  # noqa: E402,F401
 from . import registry_twin  # noqa: E402,F401
 from . import registry_stats4  # noqa: E402,F401
 from . import registry_ext7  # noqa: E402,F401
+from . import registry_ext8  # noqa: E402,F401
 
 # Rows-only registry entry → its hash-green driver-oracled exact/anchor
 # twin (VERDICT r10 #4: the pairing, long documented per-query in
