@@ -1765,7 +1765,9 @@ def q_dedup_edit_distance(spark, sf_dir):
     b AS (
         SELECT doc_id,
                UNNEST(list_transform(range(1, len(t)),
-                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+                                     i -> ('0x' || substr(md5(
+                                         t[i] || ' ' || t[i + 1]
+                                     ), 1, 15))::BIGINT)) AS gram
         FROM toks WHERE len(t) >= 2
     ),
     g AS (SELECT doc_id, gram, COUNT(*) AS n FROM b GROUP BY 1, 2)
@@ -1790,8 +1792,14 @@ def q_doc_repetition_stats(spark, sf_dir):
     (doc_id, gram), then per doc — each a hash aggregate with map-side
     partial. Cost is O(tokens log tokens) per doc via shuffle, NOT the
     O(tokens²) of an array-only distinct/filter formulation, so
-    million-token documents don't quadratically blow up a task. Ratios
-    are small-int divisions → bit-exact, emitted raw (NOTES rule 9).
+    million-token documents don't quadratically blow up a task. Grams
+    are HASHED to 60 bits BEFORE the exchange (the span_duplication_rate
+    lesson, re-caught by the r12 sf1→sf10 sweep at ×13.8: full ~15-byte
+    string keys made the two-level aggregate spill at 100M gram rows;
+    8-byte keys restored ×7.1). The md5-prefix hash is mirrored in the
+    oracle, so collisions — ~len²/2⁶⁰ per doc, none at verify scale —
+    affect BOTH engines identically and the match stays bit-exact.
+    Ratios are small-int divisions → bit-exact, emitted raw (rule 9).
     """
     from .operators.dedup import _spread
 
@@ -1802,8 +1810,10 @@ def q_doc_repetition_stats(spark, sf_dir):
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                lambda i: md5_hash60(
+                    F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    )
                 ),
             )
         ).alias("gram"),

@@ -654,29 +654,38 @@ def q_dominant_part_suppliers(spark, sf_dir):
     3/360/761 rows at sf0.001/0.01/0.1, pinned by the registry test).
 
     The nested aggregate derives the per-part total FROM the
-    (part, supplier) rollup — never a second fact scan — and the rollup
-    is localCheckpoint-materialized so the totals branch and the probe
-    branch share it (|rollup| ≈ avg-suppliers-per-part · |parts|,
-    dim-scale).  The fair-share cut cross-multiplies to exact int64
-    (``qty_ps·n_supp > 3·qty_p``); the n_supp ≥ 2 guard keeps
-    single-source parts out.  Share divides exact ints raw; supplier
+    (part, supplier) rollup — never a second fact scan. The rollup is
+    FACT-sized (≈ one row per distinct (part, supplier), ~0.9× the
+    lineitem count at any sf), so it must not be checkpointed or
+    consumed twice (the r12 sweep caught the original eager
+    localCheckpoint at ×14.9 for 10× rows — the mad_daily_moves
+    lesson's complement: a fact-sized table NEVER wants a checkpoint).
+    Instead the ticks() trick: hash-partition on l_partkey ONCE —
+    HashPartitioning(l_partkey) satisfies the (l_partkey, l_suppkey)
+    groupBy AND the per-part totals window, so the rollup and the
+    nested aggregate run on a single exchange with no second
+    materialization. The fair-share cut cross-multiplies to exact
+    int64 (``qty_ps·n_supp > 3·qty_p``); the n_supp ≥ 2 guard keeps
+    single-source parts out. Share divides exact ints raw; supplier
     names broadcast onto the winners only.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
     )
     ps = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("qty").alias("qty_ps"))
-        .localCheckpoint(eager=True)
     )
-    pt = ps.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
-        F.sum("qty_ps").alias("qty_p"), F.count(F.lit(1)).alias("n_supp")
+    wp = Window.partitionBy("l_partkey")
+    j = ps.select(
+        "l_partkey", "l_suppkey", "qty_ps",
+        F.sum("qty_ps").over(wp).alias("qty_p"),
+        F.count(F.lit(1)).over(wp).alias("n_supp"),
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        ps.join(pt, ps.l_partkey == pt.pt_partkey)
-        .filter(
+        j.filter(
             (F.col("n_supp") >= 2)
             & (F.col("qty_ps") * F.col("n_supp") > 3 * F.col("qty_p"))
         )

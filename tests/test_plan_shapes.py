@@ -546,15 +546,19 @@ def test_q7_nation_pair_single_exchange_all_dims_broadcast(spark, qs):
     assert count_nodes(plan, "BroadcastHashJoin") >= 4
 
 
-def test_q20_totals_derive_from_checkpointed_rollup(spark, qs):
-    """dominant_part_suppliers: the per-part totals must derive from the
-    checkpointed (part, supplier) rollup, never a second fact scan —
-    only the supplier dim scan remains in the plan."""
+def test_q20_single_exchange_no_fact_checkpoint(spark, qs):
+    """dominant_part_suppliers: ONE lineitem scan and ONE hash exchange
+    (repartition on l_partkey) serve both the (part, supplier) rollup
+    and the per-part totals window — the r12 rewrite of the old
+    EAGER-checkpointed rollup, which materialized a FACT-sized table
+    (~0.9x lineitem) before its two consumers (SCALING.md round-12)."""
     plan = plan_of(qs["dominant_part_suppliers"](spark, SF_DIR))
     scans = re.findall(r"Location: [^\n]*?(\w+)\.parquet", plan)
-    assert scans.count("lineitem") == 0, scans
+    assert scans.count("lineitem") == 1, scans
     assert scans.count("supplier") == 1, scans
     assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "Exchange") == 1, "rollup+window must share it"
+    assert count_nodes(plan, "Window") == 1
 
 
 def test_clv_cohort_one_custkey_shuffle(spark, qs):
