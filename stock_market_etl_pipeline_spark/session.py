@@ -34,6 +34,16 @@ def get_spark(app_name: str = "stock-market-etl-pipeline-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split skewed join partitions EVEN when the join's output
+        # partitioning is reused downstream (e.g. a count-distinct whose
+        # grouping contains the join key — the subset rule makes
+        # hash(join_key) satisfy it, and stock AQE then refuses the
+        # split to avoid the extra exchange). Measured on a 50%-hot-key
+        # sf10 variant (SCALING.md round-12 skew study): priority_revenue
+        # 27.6 s stock → 13.3 s forced, SortMergeJoin(skew=true) in the
+        # finalized plan; with no skewed partition the flag is inert, so
+        # unskewed plans are untouched.
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Older testdata generations ship events.ts as TIMESTAMP(NANOS);

@@ -24,9 +24,15 @@ What the numbers are expected to show, and why (the 100 TB argument):
   ``enriched_features_skew_safe`` is measured here beside the plain
   form to show the rewrite holds under the same skew).
 
-Usage: python tools/skew_probe.py [BASE_DIR] [SKEW_DIR]
+Usage: python tools/skew_probe.py [BASE_DIR] [SKEW_DIR] [query ...]
        python tools/skew_probe.py /tmp/sf1 /tmp/sf1skew
 Emits a markdown table on stdout (paste into SCALING.md).
+
+Note on thresholds: OptimizeSkewedJoin splits a partition only when it
+exceeds BOTH skewedPartitionFactor x median AND
+skewedPartitionThresholdInBytes (default 256 MB — a CLUSTER-scale
+setting). A 50%-hot key at sf1 is ~90 MB, under the bar by design; the
+sf10 variant (~900 MB hot partition) trips it with stock settings.
 """
 
 from __future__ import annotations
@@ -81,6 +87,7 @@ def final_plan(spark, df) -> str:
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     skew = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1skew"
+    probe = sys.argv[3:] or PROBE
     spark = get_spark("skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -94,7 +101,8 @@ def main() -> None:
 
     print(f"| query | {base} s | {skew} s | × | skew-splits | aqe_reads |")
     print("|---|---|---|---|---|---|")
-    for name in PROBE:
+    degraded = []
+    for name in probe:
         t_base = wall(spark, qs[name], base)
         t_skew = wall(spark, qs[name], skew)
         p = final_plan(spark, qs[name](spark, skew))
@@ -105,6 +113,31 @@ def main() -> None:
             f"| {name} | {t_base} | {t_skew} | ×{ratio} "
             f"| {n_split} | {aqe_reads} |"
         )
+        if ratio and ratio >= 2 and ("SortMergeJoin" in p or "ShuffledHashJoin" in p):
+            degraded.append(name)
+
+    # Degraded shuffle joins with NO recorded split: by default
+    # OptimizeSkewedJoin refuses to split when the join's output
+    # partitioning is reused by a downstream requirement (e.g. a
+    # count-distinct whose grouping contains the join key — hash(key)
+    # satisfies it by the subset rule), because splitting would force
+    # an extra shuffle. forceOptimizeSkewedJoin=true accepts that
+    # trade; measure whether it pays.
+    if degraded:
+        print()
+        print("| query (forceOptimizeSkewedJoin) | skew s | skew-splits |")
+        print("|---|---|---|")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        try:
+            for name in degraded:
+                t_forced = wall(spark, qs[name], skew)
+                p = final_plan(spark, qs[name](spark, skew))
+                n_split = len(re.findall(r"skew=true", p))
+                print(f"| {name} | {t_forced} | {n_split} |")
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.forceOptimizeSkewedJoin", "false"
+            )
 
 
 if __name__ == "__main__":
