@@ -443,18 +443,7 @@ def minhash_signatures(
     ``shingles`` lets a composite plan pass a pre-materialized
     (doc_id, shingle) table so the corpus explode isn't recomputed here.
     """
-    # num_hashes MIN-aggregates over the shingle rows instead of exploding
-    # a hash_idx dimension: same md5 work, but the shuffle carries one row
-    # per (doc, shingle) rather than num_hashes× that (measured ~3× faster).
-    sh = shingles if shingles is not None else _doc_shingles(docs, k)
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                md5_hash60(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
-            ).alias(f"__mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    mins = _minhash_mins(docs, k, num_hashes, shingles)
     # unpivot to the (doc_id, hash_idx, minhash) contract
     pairs = F.array(
         *[
@@ -469,6 +458,28 @@ def minhash_signatures(
     ).select("doc_id", F.col("p.hash_idx"), F.col("p.minhash"))
 
 
+def _minhash_mins(
+    docs: DataFrame | None, k: int, num_hashes: int,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Wide per-doc MinHash mins: (doc_id, __mh0..__mh{n-1}).
+
+    num_hashes MIN-aggregates over the shingle rows instead of exploding
+    a hash_idx dimension: same md5 work, but the shuffle carries one row
+    per (doc, shingle) rather than num_hashes× that (measured ~3× faster).
+    Consumers unpivot (signatures contract) or band directly (LSH index).
+    """
+    sh = shingles if shingles is not None else _doc_shingles(docs, k)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                md5_hash60(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_banded(
     docs: DataFrame, k: int = 3, num_hashes: int = 16, bands: int = 4,
     *, shingles: DataFrame | None = None,
@@ -476,23 +487,36 @@ def minhash_banded(
     """(doc_id, band, band_sig): each doc's MinHash signature split into
     band signatures — the LSH index table. At 100 TB this is what you
     PERSIST for the corpus (KBs per doc), so incremental batches can
-    probe it without recomputing corpus signatures."""
+    probe it without recomputing corpus signatures.
+
+    r12 (guide §2.3/§2.4): band signatures are built DIRECTLY from the
+    wide per-doc min columns — band b's sig is the ':'-join of its
+    rows_per_band mins, whose hash_idx order is the column order. The
+    old path unpivoted to (doc_id, hash_idx, minhash) rows and
+    re-aggregated them (collect_list + array_sort + transform per
+    (doc, band), two ObjectHashAggregate pairs in the plan) only to
+    reassemble adjacent columns of the row it started from. Same
+    strings, same row set; plan drops 16×-row Generate + 4
+    ObjectHashAggregate nodes (plans/r12/dedup_minhash_lsh_*)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes, shingles=shingles)
-    return (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("hash_idx", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ":",
-            ).alias("band_sig")
-        )
+    mins = _minhash_mins(docs, k, num_hashes, shingles)
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"__mh{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return mins.select("doc_id", F.explode(per_band).alias("p")).select(
+        "doc_id", F.col("p.band"), F.col("p.band_sig")
     )
 
 

@@ -24,26 +24,44 @@ def calendar_fill(
     """Densify each key's date range to every calendar day; forward-fill
     fill_cols from the most recent real row; keep_cols pass through as
     null on synthesized rows. Adds ``is_gap`` marking synthesized rows.
+
+    Requires one row per (key, date) — true for the aggregated tick series
+    every caller passes (and for any sane time series).
+
+    Plan (r12 rewrite, guide §2.4): each real row generates itself plus
+    its following gap days directly — ``explode(sequence(date,
+    lead(date)-1))`` — carrying its own fill values, so the forward fill
+    IS the generation and no calendar table exists to join back. The old
+    bounds→calendar→left-join→running-last shape scanned the input twice
+    (bounds agg + tick agg), paid two hash exchanges, a broadcast build,
+    and a second window; this is one scan, one exchange, one window
+    (2 scans / 2 Exchange / 2 Window → 1 / 1 / 1; gap_fill_forward
+    1.37 s → 0.72 s at sf0.1, plans/r12/gap_fill_forward_{before,after}).
+    Rows produced are identical: the per-key range still spans
+    [min(date), max(date)] because the last real row has lead=NULL and
+    contributes only itself; a gap day's forward-filled value is by
+    construction the generating (= most recent real) row's value.
     """
-    bounds = df.groupBy(key).agg(
-        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    w = Window.partitionBy(key).orderBy(date_col)
+    spanned = df.withColumn(
+        "__stop",
+        F.coalesce(F.date_sub(F.lead(date_col).over(w), 1), F.col(date_col)),
     )
-    calendar = bounds.select(
+    gen = spanned.select(
         key,
-        F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias(date_col),
+        F.col(date_col).alias("__real"),
+        F.explode(F.sequence(F.col(date_col), F.col("__stop"))).alias(date_col),
+        *fill_cols,
+        *keep_cols,
     )
-    joined = calendar.join(df, [key, date_col], "left")
-    w = (
-        Window.partitionBy(key)
-        .orderBy(date_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_real = F.col(date_col) == F.col("__real")
+    return gen.select(
+        key,
+        date_col,
+        *fill_cols,
+        *[F.when(is_real, F.col(c)).alias(c) for c in keep_cols],
+        (~is_real).alias("is_gap"),
     )
-    out = joined.withColumn(
-        "is_gap", F.col(fill_cols[0]).isNull()
-    )
-    for c in fill_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.select(key, date_col, *fill_cols, *keep_cols, "is_gap")
 
 
 def calendar_interpolate(
@@ -64,61 +82,52 @@ def calendar_interpolate(
     gap position k of n days, the interpolated value is the single
     division (p·n + (q−p)·k) / (100·n) — an exact int64 numerator, so
     both engines produce the identical double. Real rows pass through
-    untouched.
+    untouched. Requires one row per (key, date) with non-null values —
+    true for the aggregated tick series the caller passes.
 
-    Plan: same shape as :func:`calendar_fill` — bounds aggregate,
-    calendar explode (growth bounded by days-per-key), one key
-    exchange serving both direction windows."""
-    bounds = df.groupBy(key).agg(
-        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    Plan (r12 rewrite, guide §2.4): same join-free generation as
+    :func:`calendar_fill` — each real row explodes into itself plus its
+    following gap days and already carries BOTH interpolation anchors
+    (its own cents and lead()'s), so the bounds aggregate, the calendar
+    left join, and the two direction-fill windows all disappear. (The
+    r8 version needed two window passes incl. a desc re-sort on top of
+    a two-scan broadcast join; this is one scan, one exchange, one asc
+    window. A gap day always has a next anchor by construction — its
+    generating row has a successor — so the old trailing-gap
+    forward-fill branch is vacuous and dropped.)"""
+    w = Window.partitionBy(key).orderBy(date_col)
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    spanned = (
+        df.select(key, date_col, value_col)
+        .withColumns(
+            {
+                "__pc": cents,
+                "__nc": F.lead(cents).over(w),
+                "__nd": F.lead(date_col).over(w),
+            }
+        )
+        .withColumn(
+            "__stop",
+            F.coalesce(F.date_sub("__nd", 1), F.col(date_col)),
+        )
     )
-    calendar = bounds.select(
+    gen = spanned.select(
         key,
-        F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias(date_col),
+        F.col(date_col).alias("__pd"),
+        F.explode(F.sequence(F.col(date_col), F.col("__stop"))).alias(date_col),
+        value_col,
+        "__pc",
+        "__nc",
+        "__nd",
     )
-    joined = calendar.join(
-        df.select(key, date_col, value_col), [key, date_col], "left"
-    )
-    real_c = F.when(
-        F.col(value_col).isNotNull(),
-        F.round(F.col(value_col) * 100, 0).cast("long"),
-    )
-    real_d = F.when(F.col(value_col).isNotNull(), F.col(date_col))
-    wp = (
-        Window.partitionBy(key)
-        .orderBy(date_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # "next real value" = FIRST ignore-nulls over [current, unbounded
-    # FOLLOWING] — but Spark executes an UnboundedFollowing frame by
-    # rescanning current→end for EVERY row: O(rows²) per partition
-    # (measured 69.6 s at sf0.1 vs gap_fill_forward's 1.9 s — the r8
-    # sweep's worst absolute cost). The mirror formulation — running
-    # LAST ignore-nulls over the DESCENDING order with an
-    # [unboundedPreceding, current] frame — is the O(rows) streaming
-    # RunningWindowFrame and computes the identical value (69.6 → 2.0 s).
-    wn = (
-        Window.partitionBy(key)
-        .orderBy(F.col(date_col).desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    x = joined.select(
-        key, date_col, value_col,
-        F.last(real_c, ignorenulls=True).over(wp).alias("__pc"),
-        F.last(real_d, ignorenulls=True).over(wp).alias("__pd"),
-        F.last(real_c, ignorenulls=True).over(wn).alias("__nc"),
-        F.last(real_d, ignorenulls=True).over(wn).alias("__nd"),
-    )
+    is_real = F.col(date_col) == F.col("__pd")
     k = F.datediff(F.col(date_col), F.col("__pd"))
     n = F.datediff(F.col("__nd"), F.col("__pd"))
     interp = (
         F.col("__pc") * n + (F.col("__nc") - F.col("__pc")) * k
     ) / (F.lit(100.0) * n)
-    return x.select(
+    return gen.select(
         key, date_col,
-        F.when(F.col(value_col).isNotNull(), F.col(value_col))
-        .when(F.col("__nc").isNull(), F.col("__pc") / F.lit(100.0))
-        .otherwise(interp)
-        .alias(value_col),
-        F.col(value_col).isNull().alias("is_gap"),
+        F.when(is_real, F.col(value_col)).otherwise(interp).alias(value_col),
+        (~is_real).alias("is_gap"),
     )

@@ -661,12 +661,27 @@ def test_session_overlap_no_nested_loop(spark, qs):
 
 
 def test_gap_fill_interpolated_no_unbounded_following(spark, qs):
-    """The 'next real value' must ride the DESC running frame: an
-    UnboundedFollowing frame executes as a per-row rescan (O(rows²) per
-    partition — measured 69.6 s vs 3.7 s at sf0.1)."""
+    """No UnboundedFollowing frame (per-row rescan, O(rows²) per
+    partition — measured 69.6 s vs 3.7 s at sf0.1), and since the r12
+    join-free rewrite a single ASC window (lead anchors) with no join:
+    gap rows are GENERATED from their previous real row carrying both
+    interpolation anchors, not joined back against a calendar."""
     plan = plan_of(qs["gap_fill_interpolated"](spark, SF_DIR))
     assert "unboundedfollowing" not in plan.lower()
-    assert count_nodes(plan, "Window") == 2  # asc spine + desc mirror
+    assert count_nodes(plan, "Window") == 1  # single asc spine
+    assert count_nodes(plan, "Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_gap_fill_forward_join_free(spark, qs):
+    """r12 rewrite: forward fill IS the generation — one scan, one
+    exchange, one window, no calendar join (was 2 scans / 2 Exchange /
+    2 Window / 1 BroadcastHashJoin)."""
+    plan = plan_of(qs["gap_fill_forward"](spark, SF_DIR))
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Scan parquet") == 1
+    assert "Join" not in plan
 
 
 def test_asof_next_no_unbounded_following(spark, qs):
