@@ -294,42 +294,84 @@ def bucket_pairs(
     )
     if max_bucket is not None:
         ids = ids.filter(F.size("__ids") <= max_bucket)
-    pairs = ids.select(
-        F.col("__ids"), F.posexplode("__ids").alias("__i", out[0])
-    ).select(
-        out[0],
-        F.explode(
-            F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
-        ).alias(out[1]),
-    )
+    pairs = _pairs_from_id_lists(ids, out)
     return pairs.distinct() if distinct else pairs
 
 
-def capped_shingles(
-    docs: DataFrame, k: int = 3, max_doc_freq: int | None = None
+def _pairs_from_id_lists(
+    ids: DataFrame, out: tuple[str, str] = ("doc_a", "doc_b")
 ) -> DataFrame:
-    """(doc_id, shingle) distinct word k-grams, minus stop-shingles.
-
-    ``max_doc_freq`` drops shingles appearing in more than N documents — at
-    scale, stop-shingles are the skew bomb; the cap bounds per-key join
-    fan-out. The document frequency is a WINDOW count on the shingle
-    partitioning, not a groupBy+semi-join: the cap then lives on the same
-    Exchange(shingle) a per-shingle consumer (inverted-index join) reads,
-    so Spark's ReuseExchange can share ONE shuffle of the shingle table
-    across the cap and that consumer.
-    """
-    sh = _doc_shingles(docs, k)
-    if max_doc_freq is not None:
-        from pyspark.sql import Window
-
-        sh = (
-            sh.withColumn(
-                "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+    """i<j pairs from a table carrying a sorted ``__ids`` array column
+    (the :func:`bucket_pairs` explode core, factored out so bucket tables
+    built elsewhere — :func:`shingle_buckets` — reuse it without paying a
+    second grouped pass)."""
+    return (
+        ids.filter(F.size("__ids") > 1)
+        .select(F.col("__ids"), F.posexplode("__ids").alias("__i", out[0]))
+        .select(
+            out[0],
+            F.explode(
+                F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
+            ).alias(out[1]),
         )
-    return sh
+    )
+
+
+def shingle_buckets(
+    sh: DataFrame, max_doc_freq: int | None = None
+) -> DataFrame:
+    """(shingle, __ids) inverted index: sorted distinct doc ids per shingle.
+
+    ONE hash aggregate on the shingle key — the document frequency IS
+    ``size(__ids)``, so the stop-shingle cap becomes a post-aggregate
+    filter instead of :func:`capped_shingles`'s window count (which pays a
+    full sort of the (doc_id, shingle) table on the window partitioning).
+    Singleton buckets are KEPT: per-doc shingle counts (the Jaccard union
+    sizes) are derived from this table, and a doc's size counts every
+    sub-cap shingle, shared or not.
+    """
+    ids = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("__ids")
+    )
+    if max_doc_freq is not None:
+        ids = ids.filter(F.size("__ids") <= max_doc_freq)
+    return ids
+
+
+def _attach_pair_sizes(buckets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, __size_sum, __size_min) from an inverted
+    index: intra-bucket i<j pairs counted per pair, then BOTH members'
+    per-doc shingle counts attached via ONE join.
+
+    The naive per-side join (pairs ⋈ sizes AS a ⋈ sizes AS b) plans the
+    sizes subtree twice — Catalyst never reuses a subtree across join
+    branches. Unpivoting the (small) pair table to one row per member,
+    joining sizes once, and re-grouping by pair computes it once; Jaccard
+    needs only size_a+size_b and containment only min(size_a, size_b),
+    both recoverable from the per-pair sum/min.
+    """
+    sizes = (
+        buckets.select(F.explode("__ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    inter = (
+        _pairs_from_id_lists(buckets)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.select(
+            "doc_a", "doc_b", "n_common",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .join(sizes, "doc_id")
+        .groupBy("doc_a", "doc_b", "n_common")
+        .agg(
+            F.sum("n_shingles").alias("__size_sum"),
+            F.min("n_shingles").alias("__size_min"),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -340,11 +382,12 @@ def ngram_jaccard_pairs(
 
     Inverted-index join: |A∩B| from a self-join on shingle, |A∪B| from
     per-doc shingle counts. Jaccard is exact integer arithmetic, so the
-    oracle comparison is bit-exact. See :func:`capped_shingles` for the
-    stop-shingle cap.
+    oracle comparison is bit-exact. The stop-shingle cap is fused into the
+    bucket aggregate (:func:`shingle_buckets`) — no window sort.
     """
-    return jaccard_pairs_from_shingles(
-        capped_shingles(docs, k=k, max_doc_freq=max_doc_freq), threshold
+    return jaccard_pairs_from_buckets(
+        shingle_buckets(_doc_shingles(docs, k), max_doc_freq=max_doc_freq),
+        threshold,
     )
 
 
@@ -353,34 +396,27 @@ def jaccard_pairs_from_shingles(
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs over a prebuilt (doc_id, shingle) table.
 
-    Factored out of :func:`ngram_jaccard_pairs` so a composite plan
-    (corpus_prep) can materialize the shingle table ONCE (localCheckpoint)
-    and share it across the sizes / intersection branches instead of
-    re-exploding the corpus per branch.
+    Thin wrapper building the inverted index first; callers that can
+    materialize the (much smaller) bucket table instead of the shingle
+    rows — corpus_prep — use :func:`jaccard_pairs_from_buckets` directly.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # inverted index as bucket_pairs per shingle (one pass over the shingle
-    # table, not a two-sided self-join); |A∩B| = how many shingle-buckets
-    # emit the pair. With the cap, a bucket is ≤ max_doc_freq members.
-    inter = (
-        bucket_pairs(sh, ["shingle"], distinct=False)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
-    )
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-        )
+    return jaccard_pairs_from_buckets(shingle_buckets(sh), threshold)
+
+
+def jaccard_pairs_from_buckets(
+    buckets: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs over a prebuilt (shingle, __ids)
+    inverted index (:func:`shingle_buckets`).
+
+    |A∩B| = how many buckets emit the pair (≤ max_doc_freq members each);
+    |A∪B| = size_a + size_b − n_common, with the sizes attached through
+    one unpivoted join (:func:`_attach_pair_sizes`). All-integer inputs to
+    the final division — bit-exact across engines.
+    """
+    jac = _attach_pair_sizes(buckets).withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("__size_sum") - F.col("n_common")),
     )
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_common", F.round("jaccard", 6).alias("jaccard")
@@ -396,36 +432,34 @@ def containment_pairs_from_shingles(
     The small-in-large detector Jaccard structurally misses: a document
     fully embedded in one 3× its size has J ≈ 0.33 but containment 1.0
     (quote farms, pagination supersets, article + boilerplate wrappers).
-    Same inverted-index plan as :func:`jaccard_pairs_from_shingles`
-    (bucket_pairs per shingle — one pass, no self-join; pair cost bounded
+    Same inverted-index plan as :func:`jaccard_pairs_from_buckets`
+    (one grouped pass per shingle — no self-join; pair cost bounded
     by the stop-shingle cap the caller applies), only the closing score
     changes: n_common over the SMALLER set's size, one int÷int division —
     bit-identical across engines. A contained doc shares ALL its
     shingles with its container, so any of its sub-cap shingles surfaces
     the pair — recall degrades only for docs composed entirely of
     stop-shingles, which the boilerplate queries own."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    inter = (
-        bucket_pairs(sh, ["shingle"], distinct=False)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
-    )
-    small = F.least(F.col("size_a"), F.col("size_b"))
+    return containment_pairs_from_buckets(shingle_buckets(sh), threshold)
+
+
+def containment_pairs_from_buckets(
+    buckets: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric-containment pairs over a (shingle, __ids) inverted index
+    (:func:`shingle_buckets`) — see :func:`containment_pairs_from_shingles`
+    for the semantics; min(|A|,|B|) rides the same one-join size attach as
+    the Jaccard path (:func:`_attach_pair_sizes`)."""
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("containment", F.col("n_common") / small)
+        _attach_pair_sizes(buckets)
+        .withColumn(
+            "containment", F.col("n_common") / F.col("__size_min")
+        )
         .filter(F.col("containment") >= threshold)
         .select(
             "doc_a", "doc_b",
             F.col("n_common").cast("long").alias("n_common"),
-            small.cast("long").alias("size_small"),
+            F.col("__size_min").cast("long").alias("size_small"),
             "containment",
         )
     )

@@ -45,9 +45,30 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
     # gate is just __rn >= min_history. A desc window would add a second
     # Sort; a groupBy-on-slice + join-back would compute the enrich
     # subtree twice (verified via explain).
-    ranked = enriched.withColumns(
+    #
+    # r12 (guide §2.3 "don't compute what you throw away"): only the LAST
+    # row per symbol survives, and every frame it reads fits in the last
+    # min_history rows — so the tail is pre-filtered with lead(date, N)
+    # IS NULL (an O(1)-per-row offset function in a cheap first window
+    # pass, alongside row_number and the daily-change lag the enrichment
+    # already computes there) and the five heavy frame aggregates below
+    # run over N rows per symbol instead of the whole series. Values those
+    # aggregates would produce at non-last rows are truncated-frame
+    # garbage, but no such row passes the __is_last filter. ma_5/ma_20 are
+    # recomputed from close inside the tail (same expression, same frame,
+    # same ASC order → bit-identical doubles for the surviving row);
+    # daily_change_percent must come from the TRUE lag, so it rides in
+    # from the pre-filter pass.
+    tail_n = max(min_history, 20)  # widest frame below is ma_20's 20 rows
+    tail = enriched.select(
+        "symbol", "date", "close", "daily_change_percent",
+        F.row_number().over(_ASC()).alias("__rn"),
+        F.lead("date", tail_n).over(_ASC()).isNull().alias("__in_tail"),
+    ).filter(F.col("__in_tail"))
+    ranked = tail.withColumns(
         {
-            "__rn": F.row_number().over(_ASC()),
+            "__ma5": F.avg("close").over(_ASC().rowsBetween(-4, 0)),
+            "__ma20": F.avg("close").over(_ASC().rowsBetween(-19, 0)),
             "__is_last": F.lead("date").over(_ASC()).isNull(),
             # Rounded to 6dp at the aggregate boundary: downstream arithmetic
             # then runs on bit-identical doubles in Spark and the DuckDB
@@ -69,8 +90,8 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
     ).select(
         "symbol",
         F.col("close").alias("current_price"),
-        F.round("ma_5", 6).alias("ma_5"),
-        F.round("ma_20", 6).alias("ma_20"),
+        F.round("__ma5", 6).alias("ma_5"),
+        F.round("__ma20", 6).alias("ma_20"),
         F.col("date").alias("latest_date"),
         F.col("__avg5").alias("avg_daily_change"),
         F.col("__std5").alias("recent_volatility"),
@@ -134,12 +155,33 @@ def trading_signals(enriched: DataFrame, lookback: int = 10,
     # the last N rows iff lead(date, N) runs off the partition end. Same
     # ordered window spec as the signal lags below — no desc re-sort, no
     # unordered COUNT window buffering whole partitions.
+    #
+    # r12 (guide §2.3, the predictions() tail pattern): the ma_5/ma_20
+    # frame aggregates only need to be CORRECT at the last `lookback` rows
+    # per symbol, and those rows' widest frame (ma_20, 20 rows) reaches
+    # back exactly lookback+19 rows — so the single full-series window
+    # pass computes only the two O(1) lead(date, N) tail flags, the
+    # context slice is filtered, and the moving averages are recomputed
+    # from close inside it (same expression, frame and ASC order →
+    # bit-identical doubles at every surviving row). Rows between the
+    # context edge and the tail carry truncated-frame garbage but are
+    # dropped by the __in_tail filter before any signal logic reads them.
+    ctx_n = lookback + 19  # oldest kept row's ma_20 frame tail
     last_n = (
-        enriched.withColumn(
-            "__in_tail", F.lead("date", lookback).over(_ASC()).isNull()
+        enriched.select(
+            "symbol", "date", "close",
+            F.lead("date", lookback).over(_ASC()).isNull().alias("__in_tail"),
+            F.lead("date", ctx_n).over(_ASC()).isNull().alias("__in_ctx"),
+        )
+        .filter(F.col("__in_ctx"))
+        .withColumns(
+            {
+                "ma_5": F.avg("close").over(_ASC().rowsBetween(-4, 0)),
+                "ma_20": F.avg("close").over(_ASC().rowsBetween(-19, 0)),
+            }
         )
         .filter(F.col("__in_tail"))
-        .drop("__in_tail")
+        .drop("__in_tail", "__in_ctx")
     )
     prev5 = F.lag("ma_5").over(_ASC())
     prev20 = F.lag("ma_20").over(_ASC())

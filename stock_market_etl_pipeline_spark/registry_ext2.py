@@ -344,16 +344,34 @@ def q_set_ops_symbols(spark, sf_dir):
 def q_priority_revenue(spark, sf_dir):
     """Large fact-to-fact join (orders ⋈ lineitem): the sort-merge-join
     shuffle path with AQE skew handling — deliberately NOT broadcast, the
-    plan probe for big-join behavior at scale."""
+    plan probe for big-join behavior at scale.
+
+    r12 (guide §2.3 "aggregate before you shuffle"): lineitem is
+    pre-aggregated per orderkey BELOW the join — the partial aggregate
+    runs map-side on the scan (lineitem is roughly orderkey-clustered, so
+    ~4 adjacent lines collapse per order), the join matches unique keys on
+    both sides, and COUNT(DISTINCT o_orderkey) degenerates to COUNT(*)
+    (orderkey is unique in orders), dropping the distinct's expand.
+    Revenue is the exact integer-cents sum (registry.revenue_sum_dec), so
+    re-associating it through the per-order partial is bit-identical; the
+    single ÷10⁴ stays at the end."""
+    from .registry import cents
+
     li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("__n_lines"),
+        F.sum(
+            cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+        ).alias("__rev_c4"),
+    )
     orders = load_table(spark, sf_dir, "orders").hint("merge")
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        orders.join(per_order, "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_lines"),
-            revenue_sum_dec().alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("__n_lines").alias("n_lines"),
+            (F.sum("__rev_c4") / F.lit(10000.0)).alias("revenue"),
         )
     )
 

@@ -25,15 +25,16 @@ from .functions.text import (
 )
 from .operators.dedup import (
     SIMHASH_BITS,
-    capped_shingles,
+    _doc_shingles,
     exact_duplicate_groups,
     plant_exact_duplicates,
     plant_prefix_duplicates,
     prefix_containment_pairs,
     jaccard_over_candidates,
-    jaccard_pairs_from_shingles,
+    jaccard_pairs_from_buckets,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    shingle_buckets,
     simhash_near_pairs,
 )
 from .operators.similarity import (
@@ -1252,33 +1253,44 @@ def q_corpus_prep(spark, sf_dir):
     into a single lazy plan. Near-dup stage runs with the stop-shingle
     document-frequency cap (NGRAM_MAX_DOC_FREQ) — the scale-safe variant.
 
-    The capped shingle table is localCheckpoint-materialized ONCE and
-    shared by the sizes and intersection branches: Catalyst's
-    ReuseExchange requires bit-identical subtrees and column pruning
-    breaks that across the branches, so without the checkpoint the corpus
-    explode+hash+window-cap ran once per branch (5 scans / 11 shuffles in
-    the r2 plan audit; 2 scans / ≤7 shuffles after)."""
+    r12 shape (OPTIMIZATION_r12.md): the SHINGLE BUCKET table (shingle →
+    sorted doc ids, stop-shingles dropped by the size-of-list cap — no
+    window sort) is localCheckpoint-materialized ONCE and shared by the
+    sizes and intersection branches of the Jaccard pass; it is one row per
+    distinct shingle, far smaller than the (doc_id, shingle) rows the
+    r2–r11 shape checkpointed (which Catalyst re-shuffled per branch —
+    ReuseExchange needs bit-identical subtrees and the checkpoint scan
+    severs partitioning metadata anyway). The quality filter and the
+    exact-dup fingerprint ride ONE corpus scan: min-per-fingerprint
+    survivorship carries the survivor's own quality flag via
+    min_by(q, doc_id), so the former quality-branch scan and its join are
+    gone. Jaccard's per-pair sizes attach through one unpivoted join
+    instead of two (operators/dedup._attach_pair_sizes)."""
     docs = load_table(spark, sf_dir, "documents")
     t = ws_tokens(F.col("text"))
-    quality = docs.filter(
-        (F.size(t) >= 20) & (F.length("text") >= 100)
-    ).select("doc_id")
     fp = docs.select(
-        "doc_id", normalized_fingerprint(F.col("text")).alias("f")
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("f"),
+        ((F.size(t) >= 20) & (F.length("text") >= 100)).alias("__q"),
     )
-    exact_survivors = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    sh = capped_shingles(
-        docs, k=3, max_doc_freq=NGRAM_MAX_DOC_FREQ
+    survivors = (
+        fp.groupBy("f")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("__q", "doc_id").alias("__q"),
+        )
+        .filter(F.col("__q"))
+        .select("doc_id")
+    )
+    buckets = shingle_buckets(
+        _doc_shingles(docs, 3), max_doc_freq=NGRAM_MAX_DOC_FREQ
     ).localCheckpoint(eager=True)
     near_dropped = (
-        jaccard_pairs_from_shingles(sh, threshold=0.5)
+        jaccard_pairs_from_buckets(buckets, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return (
-        quality.join(exact_survivors, "doc_id")
-        .join(near_dropped, "doc_id", "left_anti")
-    )
+    return survivors.join(near_dropped, "doc_id", "left_anti")
 
 
 _K_PER_GROUP = 20

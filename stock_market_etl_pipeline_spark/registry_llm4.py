@@ -97,16 +97,19 @@ def q_dedup_containment(spark, sf_dir):
     dedup_ngram_jaccard (bucket_pairs, Σ bucket² bounded by the df cap);
     the score is one int÷int division, emitted raw."""
     from .operators.dedup import (
-        capped_shingles,
-        containment_pairs_from_shingles,
+        _doc_shingles,
+        containment_pairs_from_buckets,
         plant_prefix_duplicates,
+        shingle_buckets,
     )
     from .registry_llm import NGRAM_MAX_DOC_FREQ
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = plant_prefix_duplicates(docs, n=25, id_offset=_CONTAIN_OFFSET)
-    sh = capped_shingles(corpus, k=_SHINGLE_K, max_doc_freq=NGRAM_MAX_DOC_FREQ)
-    return containment_pairs_from_shingles(sh, threshold=_CONTAIN_THRESHOLD)
+    buckets = shingle_buckets(
+        _doc_shingles(corpus, _SHINGLE_K), max_doc_freq=NGRAM_MAX_DOC_FREQ
+    )
+    return containment_pairs_from_buckets(buckets, threshold=_CONTAIN_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

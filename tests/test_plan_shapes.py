@@ -120,21 +120,27 @@ def test_near_pairs_lsh_no_all_pairs_join(spark, qs):
 
 
 def test_ngram_jaccard_registered_with_doc_freq_cap(spark, qs):
-    """The registered Jaccard query must run the stop-shingle cap (the
-    __df document-frequency aggregate appears in the plan)."""
+    """The registered Jaccard query must run the stop-shingle cap — r12
+    shape: the cap is size(__ids) <= N on the shingle-bucket aggregate
+    (no per-row __df window; a Window node here means the old sort-heavy
+    cap crept back)."""
     plan = plan_of(qs["dedup_ngram_jaccard"](spark, SF_DIR))
-    assert "__df" in plan
+    assert re.search(r"size\(__ids#\d+, \w+\) <= \d+", plan), "df cap missing"
+    assert count_nodes(plan, "Window") == 0
 
 
 def test_corpus_prep_shares_one_shingle_materialization(spark, qs):
-    """corpus_prep materializes the capped shingle table ONCE
+    """corpus_prep materializes the shingle BUCKET table ONCE
     (localCheckpoint → Scan ExistingRDD) shared by the sizes/intersection
-    branches — never the r2 shape that re-exploded the corpus per branch
-    (5 parquet scans / 11 shuffles)."""
+    branches, fuses quality+fingerprint into ONE corpus scan, and pays no
+    window sort — never the r2 shape that re-exploded the corpus per
+    branch (5 parquet scans / 11 shuffles) nor the r11 shape (2 scans,
+    window cap, sizes subtree twice, 8 shuffles)."""
     plan = plan_of(qs["corpus_prep"](spark, SF_DIR))
-    assert count_nodes(plan, "Scan parquet") <= 2
+    assert count_nodes(plan, "Scan parquet") == 1
     assert "Scan ExistingRDD" in plan
-    assert count_nodes(plan, "Exchange") <= 7
+    assert count_nodes(plan, "Exchange") <= 5
+    assert count_nodes(plan, "Window") == 0
 
 
 def test_token_frequencies_no_global_window(spark, qs):
