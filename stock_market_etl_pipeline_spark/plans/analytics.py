@@ -27,13 +27,24 @@ def _ASC():
     return Window.partitionBy("symbol").orderBy("date")
 
 
-def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
+def predictions(
+    enriched: DataFrame, min_history: int = 20, recompute_mas: bool = False
+) -> DataFrame:
     """Next-day price prediction per symbol (C1/C2, src/predictions.py:6-110).
 
     Loop-free translation: latest row via row_number, last-5 stats via a
     grouped aggregate over the rank-filtered slice, then pure expressions.
     Symbols with < min_history rows are dropped (reference returns None).
     Output is sorted by predicted_change_percent desc.
+
+    ``recompute_mas`` opts into the r12 window-tail plan: the caller
+    asserts that the input's ma_5/ma_20 ARE the trailing means of its
+    close column (true for the enrich() spine), which lets this plan drop
+    those full-series window frames and recompute the moving averages
+    inside the per-symbol tail — bit-identical at every surviving row.
+    Default False preserves the operator contract for hand-built inputs
+    whose ma columns need not be consistent with close: provided values
+    are consumed as-is.
     """
     # Single-branch plan: the last-5 stats (A10) are TRAILING frame
     # aggregates in the same ASC-ordered window the enrichment already
@@ -59,32 +70,58 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
     # same ASC order → bit-identical doubles for the surviving row);
     # daily_change_percent must come from the TRUE lag, so it rides in
     # from the pre-filter pass.
-    tail_n = max(min_history, 20)  # widest frame below is ma_20's 20 rows
-    tail = enriched.select(
-        "symbol", "date", "close", "daily_change_percent",
-        F.row_number().over(_ASC()).alias("__rn"),
-        F.lead("date", tail_n).over(_ASC()).isNull().alias("__in_tail"),
-    ).filter(F.col("__in_tail"))
-    ranked = tail.withColumns(
-        {
-            "__ma5": F.avg("close").over(_ASC().rowsBetween(-4, 0)),
-            "__ma20": F.avg("close").over(_ASC().rowsBetween(-19, 0)),
-            "__is_last": F.lead("date").over(_ASC()).isNull(),
-            # Rounded to 6dp at the aggregate boundary: downstream arithmetic
-            # then runs on bit-identical doubles in Spark and the DuckDB
-            # oracle, so the final 2dp rounding can't straddle (engines'
-            # window/agg float summation differs by ~1 ulp otherwise).
-            "__avg5": F.round(
-                F.avg("daily_change_percent").over(_ASC().rowsBetween(-4, 0)), 6
-            ),
-            "__std5": F.round(
-                F.stddev_samp("daily_change_percent").over(
-                    _ASC().rowsBetween(-4, 0)
+    if recompute_mas:
+        tail_n = max(min_history, 20)  # widest frame below is ma_20's 20 rows
+        tail = enriched.select(
+            "symbol", "date", "close", "daily_change_percent",
+            F.row_number().over(_ASC()).alias("__rn"),
+            F.lead("date", tail_n).over(_ASC()).isNull().alias("__in_tail"),
+        ).filter(F.col("__in_tail"))
+        ranked = tail.withColumns(
+            {
+                "__ma5": F.avg("close").over(_ASC().rowsBetween(-4, 0)),
+                "__ma20": F.avg("close").over(_ASC().rowsBetween(-19, 0)),
+                "__is_last": F.lead("date").over(_ASC()).isNull(),
+                # Rounded to 6dp at the aggregate boundary: downstream
+                # arithmetic then runs on bit-identical doubles in Spark and
+                # the DuckDB oracle, so the final 2dp rounding can't straddle
+                # (engines' window/agg float summation differs by ~1 ulp
+                # otherwise).
+                "__avg5": F.round(
+                    F.avg("daily_change_percent").over(
+                        _ASC().rowsBetween(-4, 0)
+                    ),
+                    6,
                 ),
-                6,
-            ),
-        }
-    )
+                "__std5": F.round(
+                    F.stddev_samp("daily_change_percent").over(
+                        _ASC().rowsBetween(-4, 0)
+                    ),
+                    6,
+                ),
+            }
+        )
+    else:
+        ranked = enriched.withColumns(
+            {
+                "__rn": F.row_number().over(_ASC()),
+                "__ma5": F.col("ma_5"),
+                "__ma20": F.col("ma_20"),
+                "__is_last": F.lead("date").over(_ASC()).isNull(),
+                "__avg5": F.round(
+                    F.avg("daily_change_percent").over(
+                        _ASC().rowsBetween(-4, 0)
+                    ),
+                    6,
+                ),
+                "__std5": F.round(
+                    F.stddev_samp("daily_change_percent").over(
+                        _ASC().rowsBetween(-4, 0)
+                    ),
+                    6,
+                ),
+            }
+        )
     joined = ranked.filter(
         F.col("__is_last") & (F.col("__rn") >= min_history)
     ).select(
@@ -142,7 +179,8 @@ def predictions(enriched: DataFrame, min_history: int = 20) -> DataFrame:
 
 
 def trading_signals(enriched: DataFrame, lookback: int = 10,
-                    max_date_df: DataFrame | None = None) -> DataFrame:
+                    max_date_df: DataFrame | None = None,
+                    recompute_mas: bool = False) -> DataFrame:
     """MA-crossover BUY/SELL signals (C3, src/predictions.py:113-174).
 
     Adjacent-row comparison within each symbol's last ``lookback`` rows:
@@ -150,6 +188,15 @@ def trading_signals(enriched: DataFrame, lookback: int = 10,
     mirrored (SELL). ``days_ago`` is measured from the GLOBAL max date of
     the full input (not per symbol) — a scalar aggregate broadcast-joined
     back (J3).
+
+    ``recompute_mas`` opts into the r12 window-tail plan (see
+    predictions()): the caller asserts the input's ma_5/ma_20 ARE the
+    trailing means of close (true for the enrich() spine), letting the
+    full-series ma frames be dropped and the averages recomputed inside
+    the per-symbol context slice — bit-identical at every surviving row.
+    Default False consumes the provided ma columns as-is (the operator
+    contract for hand-built inputs, pinned by
+    tests/test_analytics.py::test_trading_signals_crossover).
     """
     # last-N per symbol expressed against the ASC ordering: a row is within
     # the last N rows iff lead(date, N) runs off the partition end. Same
@@ -166,23 +213,34 @@ def trading_signals(enriched: DataFrame, lookback: int = 10,
     # bit-identical doubles at every surviving row). Rows between the
     # context edge and the tail carry truncated-frame garbage but are
     # dropped by the __in_tail filter before any signal logic reads them.
-    ctx_n = lookback + 19  # oldest kept row's ma_20 frame tail
-    last_n = (
-        enriched.select(
-            "symbol", "date", "close",
-            F.lead("date", lookback).over(_ASC()).isNull().alias("__in_tail"),
-            F.lead("date", ctx_n).over(_ASC()).isNull().alias("__in_ctx"),
+    if recompute_mas:
+        ctx_n = lookback + 19  # oldest kept row's ma_20 frame tail
+        last_n = (
+            enriched.select(
+                "symbol", "date", "close",
+                F.lead("date", lookback).over(_ASC()).isNull().alias(
+                    "__in_tail"
+                ),
+                F.lead("date", ctx_n).over(_ASC()).isNull().alias("__in_ctx"),
+            )
+            .filter(F.col("__in_ctx"))
+            .withColumns(
+                {
+                    "ma_5": F.avg("close").over(_ASC().rowsBetween(-4, 0)),
+                    "ma_20": F.avg("close").over(_ASC().rowsBetween(-19, 0)),
+                }
+            )
+            .filter(F.col("__in_tail"))
+            .drop("__in_tail", "__in_ctx")
         )
-        .filter(F.col("__in_ctx"))
-        .withColumns(
-            {
-                "ma_5": F.avg("close").over(_ASC().rowsBetween(-4, 0)),
-                "ma_20": F.avg("close").over(_ASC().rowsBetween(-19, 0)),
-            }
+    else:
+        last_n = (
+            enriched.withColumn(
+                "__in_tail", F.lead("date", lookback).over(_ASC()).isNull()
+            )
+            .filter(F.col("__in_tail"))
+            .drop("__in_tail")
         )
-        .filter(F.col("__in_tail"))
-        .drop("__in_tail", "__in_ctx")
-    )
     prev5 = F.lag("ma_5").over(_ASC())
     prev20 = F.lag("ma_20").over(_ASC())
     flagged = last_n.withColumns(
@@ -226,13 +284,14 @@ def trading_signals(enriched: DataFrame, lookback: int = 10,
     )
 
 
-def top_movers(enriched: DataFrame, top_n: int = 5, kind: str = "gainers") -> DataFrame:
+def top_movers(enriched: DataFrame, top_n: int = 5, kind: str = "gainers",
+               recompute_mas: bool = False) -> DataFrame:
     """Top predicted gainers/losers (C4, src/predictions.py:177-197).
 
     orderBy+limit plans as TakeOrderedAndProject — no global sort
     materialization at scale.
     """
-    preds = predictions(enriched)
+    preds = predictions(enriched, recompute_mas=recompute_mas)
     key = F.col("predicted_change_percent")
     order = key.desc() if kind == "gainers" else key.asc()
     return preds.orderBy(order, "symbol").limit(top_n)

@@ -811,7 +811,7 @@ _PREDICTIONS_SQL = (
 @register("predictions", _PREDICTIONS_SQL)
 def q_predictions(spark, sf_dir):
     """C1/C2: loop-free next-day predictions (plans/analytics.py)."""
-    return predictions(_enriched(spark, sf_dir))
+    return predictions(_enriched(spark, sf_dir), recompute_mas=True)
 
 
 @register(
@@ -820,7 +820,9 @@ def q_predictions(spark, sf_dir):
 )
 def q_top_gainers(spark, sf_dir):
     """C4: top-k predicted gainers (TakeOrderedAndProject)."""
-    return top_movers(_enriched(spark, sf_dir), top_n=5, kind="gainers")
+    return top_movers(
+        _enriched(spark, sf_dir), top_n=5, kind="gainers", recompute_mas=True
+    )
 
 
 @register(
@@ -829,7 +831,9 @@ def q_top_gainers(spark, sf_dir):
 )
 def q_top_losers(spark, sf_dir):
     """C4: top-k predicted losers."""
-    return top_movers(_enriched(spark, sf_dir), top_n=5, kind="losers")
+    return top_movers(
+        _enriched(spark, sf_dir), top_n=5, kind="losers", recompute_mas=True
+    )
 
 
 @register(
@@ -874,7 +878,9 @@ def q_trading_signals(spark, sf_dir):
     """
     li = load_table(spark, sf_dir, "lineitem")
     max_date = li.agg(F.max(F.to_date("l_shipdate")).alias("__max_date"))
-    df = trading_signals(_enriched(spark, sf_dir), max_date_df=max_date)
+    df = trading_signals(
+        _enriched(spark, sf_dir), max_date_df=max_date, recompute_mas=True
+    )
     return df.select(
         "symbol", "signal", "signal_type", "date", "price",
         _r6("ma_5"), _r6("ma_20"), "days_ago",
