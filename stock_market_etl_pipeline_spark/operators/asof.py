@@ -29,17 +29,33 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     strict: bool = False,
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     right_time ≤ left_time (or < if strict) for the same key.
 
     Left rows with no prior right row get nulls (left-outer semantics).
+
+    ``right_order`` (column names from ``value_cols``) breaks ties between
+    right rows sharing (key, right_time): the LAST row in that ascending
+    order wins. With it, a right side that is NOT unique per (key, time)
+    needs no pre-aggregation exchange — e.g. ``right_order=["v"]`` picks
+    the row with MAX(v) per (key, time), exactly what a ``GROUP BY key,
+    time → MAX(v)`` feed would supply, without shuffling and aggregating
+    the right side first (guide §2.4: remove shuffles outright). Without
+    it, the old contract stands: right must be unique per (key, time) or
+    the matched value is nondeterministic.
     """
+    # The union payload carries each left row's key and time ONCE (__key /
+    # __t), not again inside the __left struct — the final projection
+    # reconstructs those two columns from the window keys (§2.3: shuffle
+    # fewer bytes; the struct previously duplicated both).
+    rest = [c for c in left.columns if c not in (key, left_time)]
     lt = left.select(
         F.col(key).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        F.struct(*left.columns).alias("__left"),
+        F.struct(*rest).alias("__left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in value_cols],
     )
@@ -54,11 +70,16 @@ def asof_join(
     )
     unioned = lt.unionByName(rt)
     # right rows sort before left rows at equal time → "≤" semantics;
-    # strict "<" puts left rows first instead.
+    # strict "<" puts left rows first instead. right_order ties only ever
+    # compare right rows with each other: __is_left already separates the
+    # sides at equal __t, and left rows are all-null in the tie columns.
     tie = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    order = [F.col("__t").asc(), tie] + [
+        F.col(f"__r_{c}").asc() for c in (right_order or [])
+    ]
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), tie)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumns(
@@ -69,7 +90,12 @@ def asof_join(
     )
     out = filled.filter(F.col("__is_left") == 1)
     return out.select(
-        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[
+            F.col("__key").alias(c) if c == key
+            else F.col("__t").alias(c) if c == left_time
+            else F.col("__left")[c].alias(c)
+            for c in left.columns
+        ],
         *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
@@ -82,18 +108,28 @@ def asof_join_forward(
     right_time: str,
     value_cols: list[str],
     strict: bool = False,
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """Forward as-of: for each left row, the right row with the SMALLEST
     right_time ≥ left_time (or > if strict) for the same key — the
     next-event lookup (e.g. "the next order after this tick"). Same
     one-shuffle union+window formulation, mirrored: ``first(...,
     ignorenulls)`` over the [current row, unbounded following] frame.
+
+    ``right_order`` as in asof_join: ascending tie-break among right rows
+    sharing (key, right_time), the LAST row in that order wins — in the
+    mirrored (t desc) running window the nearest preceding right group is
+    the smallest t' ≥ t and its last member is the right_order max, so
+    ``right_order=["v"]`` reproduces a MAX(v)-per-(key, time) feed with
+    no pre-aggregation exchange.
     """
+    # same key/time payload narrowing as asof_join: __key/__t carry them
+    rest = [c for c in left.columns if c not in (key, left_time)]
     lt = left.select(
         F.col(key).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        F.struct(*left.columns).alias("__left"),
+        F.struct(*rest).alias("__left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in value_cols],
     )
@@ -115,9 +151,12 @@ def asof_join_forward(
     # Mirror of (t asc, is_left desc) is (t desc, is_left asc): "≥"
     # semantics keep a same-time right row visible from the left row.
     tie = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    order = [F.col("__t").desc(), tie] + [
+        F.col(f"__r_{c}").asc() for c in (right_order or [])
+    ]
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").desc(), tie)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumns(
@@ -128,6 +167,11 @@ def asof_join_forward(
     )
     out = filled.filter(F.col("__is_left") == 1)
     return out.select(
-        *[F.col("__left")[c].alias(c) for c in left.columns],
+        *[
+            F.col("__key").alias(c) if c == key
+            else F.col("__t").alias(c) if c == left_time
+            else F.col("__left")[c].alias(c)
+            for c in left.columns
+        ],
         *[F.col(f"__r_{c}").alias(f"asof_next_{c}") for c in value_cols],
     )

@@ -185,12 +185,23 @@ def enrich(
         window_layer = window_layer.join(F.broadcast(qt), "symbol")
         q1, q2, q3 = (F.col("__qs")[i].cast("double") for i in range(3))
     elif quartile_cols is None:
+        # ONE percentile window function with an array of percentages,
+        # not three: each whole-partition `percentile` call buffers and
+        # sorts the partition's volumes independently (three copies of
+        # the same buffer, three sorts); the array form shares one buffer
+        # and one sort and yields the same linear-interpolated doubles
+        # element-wise (guide §1.2 step 2: per-task work). Materialized
+        # as a named column FIRST — indexing the window expression three
+        # times inline would plan three separate (identical) window
+        # functions, since the physical Window node does not dedupe them.
         wp = Window.partitionBy("symbol")
-        q1, q2, q3 = (
-            F.percentile("volume", 0.25).over(wp),
-            F.percentile("volume", 0.50).over(wp),
-            F.percentile("volume", 0.75).over(wp),
+        window_layer = window_layer.withColumn(
+            "__qs",
+            F.percentile(
+                "volume", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+            ).over(wp),
         )
+        q1, q2, q3 = (F.col("__qs")[i] for i in range(3))
     else:
         q1, q2, q3 = (F.col(c) for c in quartile_cols)
     out = window_layer.select(

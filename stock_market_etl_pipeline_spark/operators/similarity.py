@@ -62,18 +62,40 @@ def cosine_topk(
     nested-loop; at 100 TB the corpus scan is embarrassingly parallel and
     the per-query top-k is a TakeOrdered inside one window partition.
     """
+    # Norms are precomputed per ROW on each side before the pair join:
+    # cosine(qv, v) inline would re-fold l2_norm(v) once per (query, row)
+    # pair — k× redundant work on the corpus side — and the optimizer
+    # cannot share it across join output rows (guide §1.2 step 2). Same
+    # fold order and operand order (norm_q * norm_v) as cosine(), so the
+    # doubles are bit-identical. The query side is built from the RAW
+    # input (not the spread corpus): its rows are broadcast anyway, so
+    # fanning them through the round-robin exchange first was a useless
+    # shuffle stage in the broadcast-build branch.
     emb = _spread(embeddings).select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
     )
-    q = emb.filter(F.col("vec_id").isin(query_ids)) if query_ids else emb.limit(10)
-    q = q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    emb = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("__nv"))
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        if query_ids
+        else embeddings.limit(10)
+    )
+    q = q.select(
+        F.col("vec_id").alias("query_id"),
+        _to_double(F.col("embedding")).alias("qv"),
+    )
+    q = q.select("query_id", "qv", l2_norm(F.col("qv")).alias("__nq"))
     scored = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("__nq") * F.col("__nv")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -93,17 +115,31 @@ def embedding_near_pairs(
     All-pairs here (the exact baseline / oracle surface); the banded LSH
     candidate path below is the scale route.
     """
+    # per-row norm precompute, as in cosine_topk: inline cosine() would
+    # re-fold each row's norm once per PAIR (n× redundant); same operand
+    # order (norm_a * norm_b) keeps the doubles bit-identical.
     emb = _spread(embeddings).select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    emb = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("__n"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__n").alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

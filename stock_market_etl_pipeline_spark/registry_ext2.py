@@ -36,18 +36,22 @@ def q_asof_last_order_value(spark, sf_dir):
     the same key at-or-before the tick date (operators/asof.py — union +
     ordered window, one shuffle; DuckDB's native ASOF JOIN is the oracle).
 
-    Right side pre-aggregated to one row per (key, date) so the matched
-    value is deterministic.
+    The oracle's feed is MAX(o_totalprice) per (key, date); instead of a
+    pre-aggregation shuffle of orders, the RAW projected rows go straight
+    into the union and ``right_order=["order_value"]`` makes the window's
+    running last() pick the max-value row per (key, date) — identical
+    matches, one whole Exchange + two HashAggregates less (guide §2.4).
     """
     t = ticks(spark, sf_dir).select("symbol", "date", "close")
     orders = load_table(spark, sf_dir, "orders")
-    feed = orders.groupBy(
+    feed = orders.select(
         F.col("o_custkey").alias("symbol"),
         F.to_date("o_orderdate").alias("odate"),
-    ).agg(F.max("o_totalprice").alias("order_value"))
+        F.col("o_totalprice").alias("order_value"),
+    )
     return asof_join(
         t, feed, key="symbol", left_time="date", right_time="odate",
-        value_cols=["odate", "order_value"],
+        value_cols=["odate", "order_value"], right_order=["order_value"],
     ).withColumnsRenamed({"asof_odate": "asof_odate",
                           "asof_order_value": "asof_order_value"})
 
@@ -607,13 +611,14 @@ def q_asof_next_order_value(spark, sf_dir):
 
     t = ticks(spark, sf_dir).select("symbol", "date", "close")
     orders = load_table(spark, sf_dir, "orders")
-    feed = orders.groupBy(
+    feed = orders.select(
         F.col("o_custkey").alias("symbol"),
         F.to_date("o_orderdate").alias("odate"),
-    ).agg(F.max("o_totalprice").alias("order_value"))
+        F.col("o_totalprice").alias("order_value"),
+    )
     return asof_join_forward(
         t, feed, key="symbol", left_time="date", right_time="odate",
-        value_cols=["odate", "order_value"],
+        value_cols=["odate", "order_value"], right_order=["order_value"],
     )
 
 

@@ -86,3 +86,44 @@ def test_asof_forward_strict(frames):
     got = {(r["k"], r["tag"]): r["asof_next_v"] for r in out.collect()}
     assert got[(1, "a")] == 40.0    # same-date excluded under ">"
     assert got[(1, "c")] is None    # Jan 10 tie excluded, nothing later
+
+
+def test_asof_right_order_picks_max_per_time_without_preagg(spark):
+    """right_order=['v'] on a NON-unique right side must match what a
+    MAX(v)-per-(key, time) pre-aggregated feed would produce — in both
+    directions (the r12 shuffle-removal contract for the asof queries)."""
+    import datetime as dt
+
+    from stock_market_etl_pipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 5), "x"), (1, d(2024, 1, 2), "y")],
+        "k int, t date, tag string",
+    )
+    # duplicates per (k, rt): the 1/2 group holds 7 and 40 (max 40);
+    # the 1/5 group holds 5 and 50 (max 50); 1/9 holds 9 and 90.
+    right = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 2), 7.0),
+            (1, d(2024, 1, 2), 40.0),
+            (1, d(2024, 1, 5), 50.0),
+            (1, d(2024, 1, 5), 5.0),
+            (1, d(2024, 1, 9), 9.0),
+            (1, d(2024, 1, 9), 90.0),
+        ],
+        "k int, rt date, v double",
+    )
+    back = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                     value_cols=["rt", "v"], right_order=["v"])
+    got = {r["tag"]: (r["asof_rt"], r["asof_v"]) for r in back.collect()}
+    assert got == {"x": (d(2024, 1, 5), 50.0), "y": (d(2024, 1, 2), 40.0)}
+
+    fwd = asof_join_forward(left, right, key="k", left_time="t",
+                            right_time="rt", value_cols=["rt", "v"],
+                            right_order=["v"])
+    got = {r["tag"]: (r["asof_next_rt"], r["asof_next_v"])
+           for r in fwd.collect()}
+    assert got == {"x": (d(2024, 1, 5), 50.0), "y": (d(2024, 1, 2), 40.0)}

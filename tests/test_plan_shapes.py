@@ -941,3 +941,31 @@ def test_embedding_norm_stats_no_explode(spark, qs):
     plan = plan_of(qs["embedding_norm_stats"](spark, SF_DIR))
     assert count_nodes(plan, "Scan parquet") == 1
     assert "Generate" not in plan
+
+
+def test_asof_queries_skip_right_side_preaggregation(spark, qs):
+    """r12: the asof feeds go into the union RAW with a right_order
+    tie-break — the only Exchanges left are the ticks aggregation and the
+    union window shuffle (the old plans carried a third for the orders
+    pre-aggregate), and the only HashAggregates are the ticks pair."""
+    for q in ("asof_last_order_value", "asof_next_order_value"):
+        plan = plan_of(qs[q](spark, SF_DIR))
+        assert count_nodes(plan, "Exchange") <= 2, q
+        assert count_nodes(plan, "HashAggregate") <= 2, q
+
+
+def test_enrich_quartiles_single_percentile_buffer(spark, qs):
+    """r12: the per-symbol volume quartiles are ONE percentile window
+    function over an array of percentages — three separate calls would
+    each buffer and sort the partition's volumes independently."""
+    plan = plan_of(qs["enriched_categories"](spark, SF_DIR))
+    assert plan.count("percentile(") == 1
+
+
+def test_cosine_topk_single_corpus_exchange_and_no_per_pair_norms(spark, qs):
+    """r12: the query side broadcasts straight from the scan (no spread
+    exchange in the broadcast-build branch) and norms are per-row columns,
+    so the pair projection folds only the dot product."""
+    plan = plan_of(qs["embedding_cosine_topk"](spark, SF_DIR))
+    # one round-robin spread of the corpus + the final top-k shuffle
+    assert count_nodes(plan, "Exchange") <= 2
