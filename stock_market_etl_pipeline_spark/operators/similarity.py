@@ -349,18 +349,32 @@ def embedding_near_pairs_lsh(
         bb, ["band", "bucket"], id_col="vec_id", out=("id_a", "id_b"),
         max_bucket=max_bucket,
     )
+    # norms ride along from the per-vector projection (one fold per
+    # vector) instead of re-folding inside cosine() once per candidate
+    # pair; same operand order (norm_a * norm_b) → bit-identical doubles
     emb = embeddings.select(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
     )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    emb = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("__n"))
+    va = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -375,13 +389,17 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: exact rerank restricted to same-LSH-bucket candidates."""
     buckets = random_projection_buckets(embeddings, n_planes=n_planes, dim=dim)
+    # per-row norm precompute (see cosine_topk): one fold per vector, not
+    # one per candidate pair; operand order kept as norm_q * norm_v
     emb = embeddings.join(buckets, "vec_id").select(
         "vec_id", _to_double(F.col("embedding")).alias("v"), "bucket"
     )
+    emb = emb.select("vec_id", "v", "bucket", l2_norm(F.col("v")).alias("__nv"))
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("__nv").alias("__nq"),
     )
     cand = emb.join(
         F.broadcast(q),
@@ -395,7 +413,11 @@ def ann_topk_lsh(
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("__nq") * F.col("__nv")),
+                6,
+            ).alias("score"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -456,6 +478,11 @@ def ivf_topk(
         [(int(qid), [float(x) for x in qv]) for qid, qv in queries.items()],
         "query_id long, qv array<double>",
     )
+    # norm folds hoisted out of the per-candidate projection: the corpus
+    # norm is one column per vector, the query norm is evaluated once per
+    # broadcast row (same l2_norm expression → bit-identical doubles)
+    emb = emb.select("vec_id", "v", "cluster", l2_norm(F.col("v")).alias("__nv"))
+    qdf = qdf.select("query_id", "qv", l2_norm(F.col("qv")).alias("__nq"))
     cand = (
         emb.join(F.broadcast(probes), "cluster")
         .join(F.broadcast(qdf), "query_id")
@@ -468,7 +495,11 @@ def ivf_topk(
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("__nq") * F.col("__nv")),
+                6,
+            ).alias("score"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

@@ -2396,7 +2396,7 @@ def q_dedup_signal_agreement(spark, sf_dir):
         jaccard_over_candidates,
         minhash_lsh_candidates,
     )
-    from .operators.similarity import _to_double, cosine
+    from .operators.similarity import _to_double, dot, l2_norm
 
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs, 3).localCheckpoint(eager=True)
@@ -2406,12 +2406,23 @@ def q_dedup_signal_agreement(spark, sf_dir):
     jac = jaccard_over_candidates(
         docs, cand, k=3, threshold=0.0, shingles=sh
     )
+    # norms hoisted to one fold per vector (r12, see cosine_topk); same
+    # operand order (norm_a * norm_b) keeps the doubles bit-identical
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _to_double(F.col("embedding")).alias("v")
     )
-    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    emb = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("__n"))
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"),
+        F.col("__n").alias("__na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         jac.join(ea, "doc_a")
         .join(eb, "doc_b")
