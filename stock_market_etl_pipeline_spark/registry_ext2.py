@@ -119,7 +119,20 @@ def q_clean_raw_quotes(spark, sf_dir):
     positivity filters, keep-last dedup on (symbol, date) with the row
     sequence as tiebreak (operators/clean.py::clean_quotes).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # r12 (guide §2.5 input skew: "one huge unsplittable file ...
+    # repartition immediately after the read"): the testdata parquet is
+    # ONE row group, so the scan is a single task — and this query's
+    # per-row work (4 decimal→string renders + 5 try_cast parses + date
+    # format per row) is by far the heaviest projection in the registry.
+    # Fanning the RAW rows out by hash(l_suppkey) BEFORE the projection
+    # moves the string build/parse onto every core for one extra cheap
+    # exchange of raw columns (measured 15.7 s → see OPTIMIZATION_r12.md;
+    # a DETERMINISTIC key, not round-robin, so task retries are safe —
+    # guide §2.5). At real multi-split scale the fan-out is a no-op-cost
+    # hash exchange feeding the same parallel shape.
+    li = load_table(spark, sf_dir, "lineitem").repartition(
+        F.col("l_suppkey")
+    )
     c = F.col
     # DECIMAL(18,6) represents the true ≤6dp product exactly — no rounding
     # tie for the engines to resolve differently (TPC-H prices are 2dp,
@@ -137,6 +150,15 @@ def q_clean_raw_quotes(spark, sf_dir):
         c("l_quantity").cast("bigint").cast("string").alias("volume"),
         (c("l_orderkey") * 10 + c("l_linenumber")).cast("bigint").alias("seq"),
     )
+    # Optimizer barrier (lazy localCheckpoint, the corpus_prep pattern):
+    # without it, PushPredicateThroughNonJoin drags the null-drop/OHLC
+    # filters below the repartition AND inlines every try_cast(cast(cast(
+    # ...)→string)→double) chain into the pushed predicates — the whole
+    # format+parse pipeline then runs twice, with the filter half on the
+    # single scan task. The barrier keeps build → parse → filter above
+    # the fan-out. Fresh per invocation (nothing persists across runs);
+    # measured 15.7 s sweep / 9.1 s min (pushed-down) → 2.3 s min.
+    raw = raw.localCheckpoint(eager=False)
     cleaned = clean_quotes(raw.withColumn("extracted_at", c("seq")))
     return cleaned.select(
         F.col("symbol").try_cast("bigint").alias("symbol"),
