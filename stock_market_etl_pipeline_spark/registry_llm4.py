@@ -695,8 +695,8 @@ def q_minhash_estimate_calibration(spark, sf_dir):
     localCheckpoint'd once and shared (jaccard_lsh_verified's plan)."""
     from .operators.dedup import (
         _doc_shingles,
+        _minhash_mins,
         minhash_lsh_candidates,
-        minhash_signatures,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -704,23 +704,33 @@ def q_minhash_estimate_calibration(spark, sf_dir):
     cand = minhash_lsh_candidates(
         docs, k=3, num_hashes=16, bands=4, shingles=sh
     )
-    sig = minhash_signatures(docs, k=3, num_hashes=16, shingles=sh)
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "hash_idx",
-        F.col("minhash").alias("mh_a"),
+    # r12 (guide §2.3): signature agreement per pair via the WIDE per-doc
+    # signature (one 16-element array row per doc) — the long-format
+    # formulation fanned every candidate ×16 signature rows through a
+    # (doc_b, hash_idx) join and re-grouped; zip_with over the two arrays
+    # counts the same agreeing positions with two one-row-per-doc joins
+    # and no re-aggregation. Docs with no shingles drop out of the wide
+    # table exactly as they dropped out of the long signatures.
+    mins = _minhash_mins(docs, 3, 16, sh)
+    arr = mins.select(
+        "doc_id",
+        F.array(*[F.col(f"__mh{i}") for i in range(16)]).alias("__sig"),
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), "hash_idx",
-        F.col("minhash").alias("mh_b"),
-    )
+    wa = arr.select(F.col("doc_id").alias("doc_a"), F.col("__sig").alias("__sa"))
+    wb = arr.select(F.col("doc_id").alias("doc_b"), F.col("__sig").alias("__sb"))
     agree = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "hash_idx"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
-            ).alias("n_agree")
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.aggregate(
+                F.zip_with(
+                    "__sa", "__sb",
+                    lambda a, b: F.when(a == b, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("n_agree"),
         )
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
