@@ -231,6 +231,7 @@ _WM_SCHEMA = T.StructType(
 )
 
 
+@pytest.mark.slow  # >8 s brute-force/matrix leg (VERDICT r12 #1)
 def test_watermark_exact_cutoff_boundary(spark, tmp_path):
     """Freezes Spark's two watermark edge conventions (probed empirically,
     asserted here so an engine upgrade that flips them fails loudly):
@@ -303,6 +304,7 @@ def test_watermark_exact_cutoff_boundary(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # >8 s brute-force/matrix leg (VERDICT r12 #1)
 def test_simhash_hamming_exactly_at_threshold_is_kept(spark):
     """simhash_near_pairs verifies with ≤ max_distance: a pair at EXACTLY
     the threshold is returned; threshold−1 drops it. The two docs below

@@ -15,6 +15,13 @@ from stock_market_etl_pipeline_spark.streaming.ingest import start_quote_ingest
 
 from conftest import SF_DIR, make_raw_rows
 
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def media(spark):

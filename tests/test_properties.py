@@ -548,6 +548,7 @@ def test_runs_test_monoid_matches_brute_force(spark, steps):
         max_size=50,
     )
 )
+@pytest.mark.slow  # >8 s brute-force/matrix leg (VERDICT r12 #1)
 def test_weighted_median_bucket_probe_matches_brute_force(spark, li):
     import stock_market_etl_pipeline_spark.registry_stats2 as st2
 

@@ -1,5 +1,6 @@
 """Skew-salting utilities + parquet compaction tests."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from stock_market_etl_pipeline_spark.io_sink import compact_parquet
@@ -82,6 +83,7 @@ def _skewed_raw(spark):
     return spark.createDataFrame(rows, RAW_QUOTE_SCHEMA)
 
 
+@pytest.mark.slow  # >8 s brute-force/matrix leg (VERDICT r12 #1)
 def test_enrich_skew_safe_exactly_matches_plain_enrich(spark):
     """clean → enrich vs clean → enrich_skew_safe on the planted-skew
     input: row-for-row EXACT equality (the halo-chunked windows see the

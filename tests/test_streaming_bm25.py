@@ -2,6 +2,14 @@
 parity with the batch bm25_topk on the union corpus, incremental view
 correctness, and crash-replay convergence at every seam."""
 
+import pytest
+
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
 import os
 import time
 
@@ -11,6 +19,7 @@ from conftest import SF_DIR
 from stock_market_etl_pipeline_spark import registry
 from stock_market_etl_pipeline_spark.operators.txtable import TxTable
 from stock_market_etl_pipeline_spark.streaming.bm25_index import (
+
     bm25_from_index,
     start_bm25_index_stream,
 )

@@ -3,9 +3,18 @@ streamed hit-set report must equal the one-shot batch computation over
 the same corpus, stay monotone across waves, and converge under a
 crash-replay storm (batch_id-keyed idempotent state writes)."""
 
+import pytest
+
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
 import os
 
 from stock_market_etl_pipeline_spark.streaming.contamination import (
+
     build_benchmark_grams,
     contamination_report,
     doc_gram_hashes,

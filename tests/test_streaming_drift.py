@@ -2,6 +2,14 @@
 reference parity with a Python reference, drift detection on a planted
 shift, and crash-replay convergence."""
 
+import pytest
+
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
 import math
 import os
 import time
@@ -9,6 +17,7 @@ import time
 from pyspark.sql import functions as F
 
 from stock_market_etl_pipeline_spark.streaming.drift_monitor import (
+
     _REF_VOCAB,
     drift_metrics,
     freeze_reference,

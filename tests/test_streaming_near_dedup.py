@@ -4,6 +4,14 @@ incremental operator would, the signature-estimated Jaccard must agree
 with the exact shingle Jaccard on true near-dups, and a crash-replay of
 a batch must converge to the identical index and match set."""
 
+import pytest
+
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
 import os
 
 from pyspark.sql import functions as F
@@ -13,6 +21,7 @@ from stock_market_etl_pipeline_spark.operators.dedup import (
     minhash_banded,
 )
 from stock_market_etl_pipeline_spark.streaming.near_dedup import (
+
     start_near_dedup_stream,
 )
 

@@ -11,6 +11,13 @@ from stock_market_etl_pipeline_spark.streaming.windows import (
 
 from conftest import SF_DIR
 
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
+
 
 def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
     # materialize events as a streamable directory

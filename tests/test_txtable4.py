@@ -12,6 +12,13 @@ import pytest
 
 from stock_market_etl_pipeline_spark.operators.txtable import TxTable
 
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
+
 N_FILES = 20
 PER_FILE = 500  # 10k ids total, id % N_FILES decides the file
 

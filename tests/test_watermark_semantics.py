@@ -4,12 +4,21 @@ changes — while in-order arrivals keep flowing. This is the bounded-state
 contract the 100 TB streaming story rests on: state for a (window, key)
 can be freed exactly because no late row may reopen it."""
 
+import pytest
+
+# Long-matrix tier (VERDICT r12 #1): multi-batch streaming / replay /
+# restart-storm e2e tests. Excluded from the default run so the driver's
+# verify window fits; run with `python -m pytest tests/ -m slow -q` (the
+# round close-out ritual runs all tiers).
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from stock_market_etl_pipeline_spark.streaming.windows import (
+
     tumbling_event_counts,
 )
 
