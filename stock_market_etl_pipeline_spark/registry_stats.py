@@ -1317,8 +1317,20 @@ def q_bootstrap_order_value_ci(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
+    # r13 fan-out (guide §2.5 input skew / §1.2 step 1): the testdata
+    # orders parquet is ONE row group, so the 17 md5 + 34 conv renders
+    # per row all ran on a single task. The width must be EXPLICIT:
+    # an implicit repartition(col) is AQE-coalesced by its shuffle BYTES
+    # (~2.4 MB here → 1 post-shuffle partition, measured), but bytes are
+    # a blind proxy for this stage's cost — the hash work is multiplied
+    # 17× by the replicate-group cross join ABOVE the exchange. A
+    # deterministic key (retry-safe) at defaultParallelism width scales
+    # with the cluster, not a local constant. Measured (quiet host,
+    # interleaved A/B, min-of-4): 6.41 → 1.54 s at sf0.1; rows identical.
+    dp = spark.sparkContext.defaultParallelism
+    o_spread = o.repartition(dp, F.col("o_orderkey"))
     grp_ids = spark.range(_BOOT_GROUPS).select(F.col("id").alias("g"))
-    hg = o.crossJoin(F.broadcast(grp_ids)).select(
+    hg = o_spread.crossJoin(F.broadcast(grp_ids)).select(
         "cents", "g",
         F.md5(F.concat_ws("-", "o_orderkey", "g")).alias("h32"),
     )

@@ -969,3 +969,21 @@ def test_cosine_topk_single_corpus_exchange_and_no_per_pair_norms(spark, qs):
     plan = plan_of(qs["embedding_cosine_topk"](spark, SF_DIR))
     # one round-robin spread of the corpus + the final top-k shuffle
     assert count_nodes(plan, "Exchange") <= 2
+
+
+def test_bootstrap_ci_explicit_width_fanout(spark, qs):
+    """r13: the replicate hash work (17 md5 + 34 conv per order row,
+    multiplied ABOVE the exchange by the group cross join) must fan out
+    at an EXPLICIT width. An implicit repartition(col) is AQE-coalesced
+    by shuffle bytes (~2.4 MB -> 1 partition, measured), which is blind
+    to the compute multiplier and re-serializes the stage; the explicit
+    numPartitions form is exempt from coalescing. Measured 6.41 ->
+    1.54 s at sf0.1 (OPTIMIZATION_r13.md)."""
+    plan = plan_of(qs["bootstrap_order_value_ci"](spark, SF_DIR))
+    # the explicit-width repartition survives into the physical plan as
+    # a non-coalescible shuffle origin (REPARTITION_BY_NUM)
+    m = re.search(
+        r"hashpartitioning\(o_orderkey#\d+L?, \d+\), REPARTITION_BY_NUM",
+        plan,
+    )
+    assert m, plan[:2000]
