@@ -45,6 +45,16 @@ def asof_join(
     the right side first (guide §2.4: remove shuffles outright). Without
     it, the old contract stands: right must be unique per (key, time) or
     the matched value is nondeterministic.
+
+    CAVEAT (r13, ADVICE r12): with ``right_order``, the right side's
+    ``value_cols`` must be NON-NULL. The match is per-column
+    ``last(ignorenulls)``, so a null in one value column would make that
+    column alone skip back to an older right row — mixing columns across
+    rows where a true MAX-per-(key,time) pre-aggregation would return
+    the winning row's null. (A null in the tie-break column itself is
+    harmless: nulls sort first, so a non-null row still wins.) Both
+    registry feeds satisfy this (o_totalprice is NOT NULL in TPC-H);
+    callers with nullable right values must pre-aggregate instead.
     """
     # The union payload carries each left row's key and time ONCE (__key /
     # __t), not again inside the __left struct — the final projection

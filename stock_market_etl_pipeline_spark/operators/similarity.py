@@ -75,10 +75,15 @@ def cosine_topk(
         F.col("vec_id"), _to_double(F.col("embedding")).alias("v")
     )
     emb = emb.select("vec_id", "v", l2_norm(F.col("v")).alias("__nv"))
+    # Deterministic fallback (r13, ADVICE r12): a bare limit(10) is
+    # order-nondeterministic, so the default query set could silently
+    # change across plan changes. No registry caller uses the fallback
+    # (all pass explicit query_ids), but the operator contract should
+    # not depend on scan order.
     q = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
         if query_ids
-        else embeddings.limit(10)
+        else embeddings.orderBy("vec_id").limit(10)
     )
     q = q.select(
         F.col("vec_id").alias("query_id"),
