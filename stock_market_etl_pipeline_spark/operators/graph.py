@@ -29,9 +29,19 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node in `edges`; cluster_id = the
     smallest node id reachable through the undirected edge set."""
+    # Both directions via ONE explode pass: the union formulation
+    # (select(u,v) UNION select(v,u)) evaluates the caller's edge lineage
+    # TWICE — for semantic_dedup that lineage is the full within-cluster
+    # pair expansion with a cosine per pair (§2.4 duplicated subtree,
+    # measured r13: the double-eval was most of the CC leg's cost).
     sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.u", "__e.v")
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -46,10 +56,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # old_label rides along so convergence is a flag FILTER over the
+        # round's own output instead of a join back against the previous
+        # labels table (one fewer join per round, and the convergence
+        # action doubles as the checkpoint materializer below).
         prop = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
@@ -76,17 +91,23 @@ def connected_components(
             )
             .select(
                 F.col("a.node").alias("node"),
+                F.col("a.old_label").alias("old_label"),
                 F.least(F.col("a.label"), F.col("plabel")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.alias("n").join(
-            labels.alias("o"),
-            (F.col("n.node") == F.col("o.node"))
-            & (F.col("n.label") != F.col("o.label")),
+        # ONE action per round: the full-scan count materializes the lazy
+        # checkpoint (every partition — unlike isEmpty/take(1), which can
+        # stop early and leave the checkpoint partial) AND answers the
+        # convergence question. The old shape paid two blocking jobs per
+        # round (eager checkpoint, then a changed-rows join + isEmpty).
+        # Same fixpoint: label != old_label is exactly the old
+        # new-vs-previous label comparison, carried as a column.
+        done = (
+            new_labels.filter(F.col("label") != F.col("old_label")).count()
+            == 0
         )
-        done = changed.isEmpty()
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if done:
             break
     if not done:

@@ -475,6 +475,34 @@ def ann_topk_lsh(
     )
 
 
+def _ivf_assign_full(
+    embeddings: DataFrame, n_clusters: int = 16, seed: int = 42
+) -> tuple[DataFrame, "KMeansModel"]:
+    """KMeans-assign every corpus vector and KEEP the feature vector in the
+    output: (vec_id, v array<double>, cluster), plus the fitted model.
+
+    ``v`` comes back through ``vector_to_array(features)`` — an exact
+    round-trip of the ``array_to_vector(_to_double(embedding))`` the model
+    was fed, so consumers that need the raw vector alongside the cluster id
+    can use THIS frame directly instead of re-scanning the corpus and
+    joining assignments back on vec_id (§2.4: that join was a corpus-sized
+    SortMergeJoin in semantic_dedup/ivf_topk for data the transform output
+    already carries)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = _spread(embeddings).select(
+        "vec_id", array_to_vector(_to_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id",
+        vector_to_array(F.col("features")).alias("v"),
+        F.col("prediction").alias("cluster"),
+    )
+    return assigned, model
+
+
 def ivf_assignments(
     embeddings: DataFrame, n_clusters: int = 16, seed: int = 42
 ) -> tuple[DataFrame, "KMeansModel"]:
@@ -482,17 +510,8 @@ def ivf_assignments(
     nearest-centroid cluster id. The inverted-file ANN scale path — at
     query time only the closest cluster(s) are scanned instead of the
     whole corpus. Returns (vec_id → cluster assignments, fitted model)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = _spread(embeddings).select(
-        "vec_id", array_to_vector(_to_double(F.col("embedding"))).alias("features")
-    )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", F.col("prediction").alias("cluster")
-    )
-    return assigned, model
+    full, model = _ivf_assign_full(embeddings, n_clusters, seed)
+    return full.select("vec_id", "cluster"), model
 
 
 def ivf_topk(
@@ -508,11 +527,11 @@ def ivf_topk(
     rises with n_probe (n_probe = n_clusters degrades to exact search)."""
     import numpy as np
 
-    assigned, model = ivf_assignments(embeddings, n_clusters, seed)
+    # the transform output already carries (vec_id, v, cluster) — no
+    # corpus re-scan + assignment join needed (§2.4; v is the exact
+    # array_to_vector round-trip of _to_double(embedding))
+    emb, model = _ivf_assign_full(embeddings, n_clusters, seed)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    emb = embeddings.join(assigned, "vec_id").select(
-        "vec_id", _to_double(F.col("embedding")).alias("v"), "cluster"
-    )
     queries = {
         r["vec_id"]: np.array(r["v"])
         for r in emb.filter(F.col("vec_id").isin(query_ids)).collect()
@@ -755,7 +774,12 @@ def semantic_dedup(
     from .graph import connected_components
 
     spark = embeddings.sparkSession
-    assigned, model = ivf_assignments(embeddings, n_clusters, seed)
+    # (vec_id, v, cluster) straight from the KMeans transform — the old
+    # embeddings ⋈ assigned re-join was a corpus-sized SortMergeJoin for
+    # columns the transform output already carries (§2.4); v is the exact
+    # array_to_vector round-trip of _to_double(embedding), so centroid_sim
+    # and the pair cosines below see bit-identical doubles.
+    assigned, model = _ivf_assign_full(embeddings, n_clusters, seed)
     centroids = spark.createDataFrame(
         [
             (int(i), [float(x) for x in c])
@@ -764,14 +788,19 @@ def semantic_dedup(
         "cluster int, centroid array<double>",
     )
     emb = (
-        embeddings.join(assigned, "vec_id")
-        .join(F.broadcast(centroids), "cluster")
+        assigned.join(F.broadcast(centroids), "cluster")
         .select(
             "vec_id",
             "cluster",
-            _to_double(F.col("embedding")).alias("v"),
-            F.round(cosine(_to_double(F.col("embedding")), F.col("centroid")), 6)
+            "v",
+            F.round(cosine(F.col("v"), F.col("centroid")), 6)
             .alias("centroid_sim"),
+            # per-ROW norm, hoisted out of the per-PAIR cosine below:
+            # cosine(va, vb) inline re-folds each side's l2_norm once per
+            # pair — O(pairs) redundant folds; same fold + operand order
+            # (norm_a * norm_b), so the filter sees bit-identical doubles
+            # (§1.2 step 2, the cosine_topk r12 treatment).
+            l2_norm(F.col("v")).alias("__n"),
         )
         # reused by the candidate phase, both verify join sides, and the
         # final decision join — cut the lineage once instead of 4 KMeans
@@ -781,13 +810,30 @@ def semantic_dedup(
     cand = bucket_pairs(
         emb.select("cluster", "vec_id"), ["cluster"], id_col="vec_id",
         out=("id_a", "id_b"), max_bucket=max_cluster,
+        # each vec_id lives in exactly ONE cluster, so intra-bucket i<j
+        # pairs cannot repeat across buckets — the distinct() would be a
+        # pure extra Exchange (§2.4)
+        distinct=False,
     )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    va = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"),
+    )
     dup_edges = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= threshold
+        )
         .select("id_a", "id_b")
     )
     comp = connected_components(dup_edges, src="id_a", dst="id_b")
@@ -1047,14 +1093,17 @@ def ivf_pq_topk(
     curve in NOTES; PQ planted-twin test)."""
     import numpy as np
 
-    assigned, model = ivf_assignments(embeddings, n_clusters, seed=42)
+    # one corpus pass supplies BOTH the cluster assignment and the exact
+    # rerank vectors (§2.4 — a third raw scan + spread carried nothing
+    # the transform output didn't already have)
+    full, model = _ivf_assign_full(embeddings, n_clusters, seed=42)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     books = pq_codebooks(embeddings, m=m, k_codes=k_codes, seed=seed)
-    codes = pq_encode(embeddings, books).join(assigned, "vec_id")
-    spark = embeddings.sparkSession
-    emb = _spread(embeddings).select(
-        "vec_id", _to_double(F.col("embedding")).alias("v")
+    codes = pq_encode(embeddings, books).join(
+        full.select("vec_id", "cluster"), "vec_id"
     )
+    spark = embeddings.sparkSession
+    emb = full.select("vec_id", "v")
     queries = _collect_query_vectors(emb, query_ids)
     probe_rows = []
     for qid, qv in queries.items():

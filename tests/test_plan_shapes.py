@@ -987,3 +987,46 @@ def test_bootstrap_ci_explicit_width_fanout(spark, qs):
         plan,
     )
     assert m, plan[:2000]
+
+
+def test_ivf_assignments_single_corpus_scan(spark, qs):
+    """r13: IVF consumers take (vec_id, v, cluster) straight from the
+    KMeans transform output (vector_to_array is the exact round-trip of
+    the array_to_vector the model was fed) — the old corpus re-scan +
+    assignment join doubled the parquet scans and paid an extra join."""
+    plan = plan_of(qs["ann_ivf_full_probe"](spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_semantic_dedup_pair_phase_shape(spark):
+    """r13: the within-cluster pair phase emits unique pairs by
+    construction (each vec_id lives in exactly one KMeans cluster), so
+    bucket_pairs runs distinct-free — a distinct would re-aggregate the
+    pair stream through an extra Exchange + HashAggregate pair — and the
+    pair filter folds only the dot product: norms are per-row columns of
+    the checkpointed emb table, not per-pair re-folds."""
+    import stock_market_etl_pipeline_spark.operators.graph as graph
+    from stock_market_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from stock_market_etl_pipeline_spark.sources.tables import load_table
+
+    captured = {}
+    orig = graph.connected_components
+
+    def spy(edges, **kw):
+        captured["edges"] = edges
+        return orig(edges, **kw)
+
+    graph.connected_components = spy
+    try:
+        semantic_dedup(
+            load_table(spark, SF_DIR, "embeddings"),
+            n_clusters=16,
+            threshold=0.35,
+        )
+    finally:
+        graph.connected_components = orig
+    plan = plan_of(captured["edges"])
+    assert count_nodes(plan, "HashAggregate") == 0
+    assert plan.count("lambdafunction") <= 3
